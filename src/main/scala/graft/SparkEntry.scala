@@ -1,13 +1,148 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.compile.{EventsFrame, QueryEngine}
+import graft.sources.EventsAdapter
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator from SURVEY.md §2 through the
+  * full engine (search-language parse -> Catalyst plan); `oracleSql` holds an
+  * independent DuckDB recomputation from the same parquet tables. The rendered
+  * log line is a pure function of the structured `events` columns
+  * (EventsAdapter.RAW_SQL), so the oracle never depends on engine code.
+  */
 object SparkEntry {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def eng(s: SparkSession, dir: String): QueryEngine = EventsAdapter.engine(s, dir)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    eng(spark, "/root/testdata/sf0.001")
+      .run("error | table \"userid,eventtype,_time\"").df
+
+  def queries: Map[String, Q] = Map(
+    // P4 fragment filter (word-boundary, case-insensitive)
+    "q_search_fragment" -> ((s, dir) =>
+      eng(s, dir).run("error").df.select(col("doc_id"), col("raw"))),
+    // P5 field predicates: = and !=
+    "q_search_field" -> ((s, dir) =>
+      eng(s, dir).run("userid=13 eventtype!=signup").df.select(col("doc_id"))),
+    // P5 IN list
+    "q_search_field_in" -> ((s, dir) =>
+      eng(s, dir).run("userid IN (13, 14, 15)").df.select(col("doc_id"))),
+    // P4/P5 wildcard fragments
+    "q_search_wildcard" -> ((s, dir) =>
+      eng(s, dir).run("eventtype=p*").df.select(col("doc_id"))),
+    // NOT fragment
+    "q_search_not" -> ((s, dir) =>
+      eng(s, dir).run("userid=7 NOT signup").df.select(col("doc_id"))),
+    // A3 matched-event count
+    "q_count" -> ((s, dir) =>
+      eng(s, dir).run("error").df.agg(count(lit(1)).as("n"))),
+    // P7 rex ad-hoc extraction (original-case raw)
+    "q_rex" -> ((s, dir) =>
+      eng(s, dir).run("error | rex \"userId=(?P<uid>\\d+)\"").df
+        .select(col("doc_id"), try_element_at(col("fields"), lit("uid")).as("uid"))),
+    // P8 where (exact string equality on extracted fields)
+    "q_where" -> ((s, dir) =>
+      eng(s, dir).run("error | where userid=13").df.select(col("doc_id"))),
+    // P9 table projection (ordered columns, missing -> "")
+    "q_table" -> ((s, dir) =>
+      eng(s, dir).run("error | table \"userid,eventtype,missing\"").df),
+    // A1 field stats (explode fields -> groupBy key,value -> count)
+    "q_fieldstats" -> ((s, dir) => {
+      val e = eng(s, dir)
+      e.fieldStats(e.run("error")).select(col("key"), col("value"), col("occurrences"))
+    }),
+    // A2 distinct-value count per key
+    "q_fieldcount" -> ((s, dir) => {
+      val e = eng(s, dir)
+      e.fieldOccurrences(e.run("error"))
+    }),
+    // extension histogram: 1h tumbling window per source
+    "q_histogram" -> ((s, dir) => {
+      val e = eng(s, dir)
+      e.histogram(e.run(""))
+        .select(date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+          col("source"), col("n"))
+    }),
+    // P10 surrounding context (two-sided top-k within source_id)
+    "q_surrounding" -> ((s, dir) =>
+      eng(s, dir).run("| surrounding count=6 eventId=50").df.select(col("doc_id"))),
+    // O1 global sort newest-first + top-k
+    "q_topk" -> ((s, dir) =>
+      QueryEngine.newestFirst(eng(s, dir).run("eventtype=purchase")).limit(50)
+        .select(col("doc_id"))),
+    // S8 retention: drop events older than a cutoff
+    "q_retention" -> ((s, dir) =>
+      eng(s, dir).run("").df
+        .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .select(col("doc_id"))),
+    // S5 ingest dedup on (host, source, ts, offset)
+    "q_dedup_ingest" -> ((s, dir) => {
+      val ev = EventsAdapter.events(s, dir)
+      ev.unionByName(ev).dropDuplicates("host", "source", "ts", "offset")
+        .select(col("doc_id"))
+    })
+  )
+
+  private val RAW = EventsAdapter.RAW_SQL
+  private val SRC = EventsAdapter.SOURCE_SQL
+  private val DOC = "CAST(event_id AS VARCHAR)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_search_fragment" ->
+      s"SELECT $DOC AS doc_id, $RAW AS raw FROM events WHERE event_type = 'error'",
+    "q_search_field" ->
+      s"SELECT $DOC AS doc_id FROM events WHERE user_id = 13 AND event_type <> 'signup'",
+    "q_search_field_in" ->
+      s"SELECT $DOC AS doc_id FROM events WHERE user_id IN (13, 14, 15)",
+    "q_search_wildcard" ->
+      s"SELECT $DOC AS doc_id FROM events WHERE event_type LIKE 'p%'",
+    "q_search_not" ->
+      s"SELECT $DOC AS doc_id FROM events WHERE user_id = 7 AND event_type <> 'signup'",
+    "q_count" ->
+      "SELECT count(*) AS n FROM events WHERE event_type = 'error'",
+    "q_rex" ->
+      s"SELECT $DOC AS doc_id, CAST(user_id AS VARCHAR) AS uid FROM events WHERE event_type = 'error'",
+    "q_where" ->
+      s"SELECT $DOC AS doc_id FROM events WHERE event_type = 'error' AND user_id = 13",
+    "q_table" ->
+      "SELECT CAST(user_id AS VARCHAR) AS userid, event_type AS eventtype, '' AS missing FROM events WHERE event_type = 'error'",
+    "q_fieldstats" ->
+      s"""WITH f AS (
+         |  SELECT 'eventtype' AS key, event_type AS value FROM events WHERE event_type='error'
+         |  UNION ALL SELECT 'userid', CAST(user_id AS VARCHAR) FROM events WHERE event_type='error'
+         |  UNION ALL SELECT 'eventid', CAST(event_id AS VARCHAR) FROM events WHERE event_type='error'
+         |  UNION ALL SELECT '_time', strftime(ts, '%Y/%m/%d %H:%M:%S.%f') FROM events WHERE event_type='error'
+         |  UNION ALL SELECT 'host', 'host-' || (user_id % 4) FROM events WHERE event_type='error'
+         |  UNION ALL SELECT 'source', $SRC FROM events WHERE event_type='error'
+         |) SELECT key, value, count(*) AS occurrences FROM f GROUP BY key, value""".stripMargin,
+    "q_fieldcount" ->
+      s"""WITH f AS (
+         |  SELECT 'eventtype' AS key, event_type AS value FROM events WHERE event_type='error'
+         |  UNION ALL SELECT 'userid', CAST(user_id AS VARCHAR) FROM events WHERE event_type='error'
+         |  UNION ALL SELECT 'eventid', CAST(event_id AS VARCHAR) FROM events WHERE event_type='error'
+         |  UNION ALL SELECT '_time', strftime(ts, '%Y/%m/%d %H:%M:%S.%f') FROM events WHERE event_type='error'
+         |  UNION ALL SELECT 'host', 'host-' || (user_id % 4) FROM events WHERE event_type='error'
+         |  UNION ALL SELECT 'source', $SRC FROM events WHERE event_type='error'
+         |) SELECT key, count(*) AS n_values FROM (SELECT DISTINCT key, value FROM f) GROUP BY key""".stripMargin,
+    "q_histogram" ->
+      s"SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, $SRC AS source, count(*) AS n FROM events GROUP BY 1, 2",
+    "q_surrounding" ->
+      s"""WITH base AS (SELECT $SRC AS sid, event_id AS base_off FROM events WHERE event_id = 50),
+         |up AS (SELECT e.event_id FROM events e, base b WHERE $SRC = b.sid AND e.event_id <= b.base_off ORDER BY e.event_id DESC LIMIT 3),
+         |down AS (SELECT e.event_id FROM events e, base b WHERE $SRC = b.sid AND e.event_id > b.base_off ORDER BY e.event_id ASC LIMIT 3)
+         |SELECT CAST(event_id AS VARCHAR) AS doc_id FROM up UNION ALL SELECT CAST(event_id AS VARCHAR) FROM down""".stripMargin,
+    "q_topk" ->
+      s"SELECT $DOC AS doc_id FROM events WHERE event_type = 'purchase' ORDER BY ts DESC, $DOC LIMIT 50",
+    "q_retention" ->
+      s"SELECT $DOC AS doc_id FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'",
+    "q_dedup_ingest" ->
+      s"SELECT $DOC AS doc_id FROM events"
+  )
 }

@@ -1,0 +1,320 @@
+package graft.compile
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.F
+import graft.lang.Lang
+import graft.model.SourceConfig
+
+/** Pipe typing, mirroring the reference's compile-time step-chain checks
+  * (pkg/logsuck/pipeline/Pipeline.go:25-33, internal/pipeline/Pipeline.go:97-114).
+  */
+object PipeType extends Enumeration {
+  val None, Events, Table, Propagate = Value
+}
+
+/** A step result: either an events frame (base columns + dynamic `fields`
+  * map) or a projected table with a declared column order
+  * (reference pipeline.StepResult, Pipeline.go:42-45).
+  */
+sealed trait Frame { def df: DataFrame }
+final case class EventsFrame(df: DataFrame) extends Frame
+final case class TableFrame(df: DataFrame, columnOrder: Seq[String]) extends Frame
+
+final case class QueryError(msg: String) extends RuntimeException(msg)
+
+/** The query layer: compiles the logsuck search language into Catalyst plans
+  * over a canonical events DataFrame with columns
+  * (doc_id, source, host, source_id, ts, offset, raw [, tokens, n_tok]).
+  *
+  * Everything is declarative — filters and projections reach the scan
+  * (predicate pushdown / partition pruning are Catalyst's job); the engine
+  * only decides WHAT to compute. No RDDs, no driver-side row loops.
+  */
+class QueryEngine(val events: DataFrame, val configs: Seq[SourceConfig]) {
+  import QueryEngine._
+
+  // ---------------------------------------------------------------- parse
+
+  /** Search-time field extraction for one event, resolved per source via the
+    * config dimension (reference J2: plugins/steps/Utils.go:24-49). First
+    * matching glob wins; extraction runs on lowercased raw
+    * (plugins/steps/Fragments.go:95) and injects reserved host/source
+    * (Fragments.go:97-98).
+    */
+  def fieldsColumn(raw: Column, host: Column, source: Column): Column = {
+    val lowered = lower(raw)
+    val fallback: Column = F.extract_fields(
+      lowered, host, source, SourceConfig.defaultExtractors, "_time")
+    configs.foldRight(fallback) { (cfg, acc) =>
+      val extracted = cfg.file_type match {
+        case "json" => F.json_fields(raw, host, source, cfg.time_field)
+        case _ => F.extract_fields(lowered, host, source, cfg.extractors, cfg.time_field)
+      }
+      when(F.globMatches(source, cfg.source_glob), extracted).otherwise(acc)
+    }
+  }
+
+  /** Events frame with the `fields` map materialized as an expression
+    * (schema-on-read: nothing stored, recomputed per query like the
+    * reference re-extracts per search).
+    */
+  def withFields(base: DataFrame): DataFrame =
+    base.withColumn("fields", fieldsColumn(col("raw"), col("host"), col("source")))
+
+  // ---------------------------------------------------------------- search
+
+  /** Compile a Search IR + time bounds to a single Column predicate.
+    * Fragments match raw (case-insensitive, wildcard, word-boundary —
+    * Fragments.go:74-89); field predicates AND across keys, OR across values,
+    * missing field excludes (positive) / includes (negative)
+    * (Fragments.go:91-135); time bounds inclusive both ends
+    * (SqliteEventRepository.go:297-301). host/source short-circuit to column
+    * predicates so Catalyst can prune partitions.
+    */
+  def searchPredicate(s: Lang.Search,
+      start: Option[Timestamp], end: Option[Timestamp]): Column = {
+    val preds = Seq.newBuilder[Column]
+    start.foreach(t => preds += (col("ts") >= lit(t)))
+    end.foreach(t => preds += (col("ts") <= lit(t)))
+    s.fragments.foreach(f => preds += F.fragMatches(col("raw"), f))
+    s.notFragments.foreach(f => preds += !F.fragMatches(col("raw"), f))
+    def fieldVal(k: String): Column = k match {
+      case "source" => col("source")
+      case "host" => col("host")
+      case _ => try_element_at(col("fields"), lit(k))
+    }
+    s.fields.foreach { case (k, vs) =>
+      val v = fieldVal(k)
+      val any = vs.map(x => v.rlike(F.compileFrag(x))).reduce(_ || _)
+      preds += coalesce(any, lit(false))
+    }
+    s.notFields.foreach { case (k, vs) =>
+      val v = fieldVal(k)
+      val any = vs.map(x => v.rlike(F.compileFrag(x))).reduce(_ || _)
+      preds += !coalesce(any, lit(false))
+    }
+    preds.result().reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  // ---------------------------------------------------------------- steps
+
+  sealed trait Step {
+    def name: String
+    def inputType: PipeType.Value
+    def outputType: PipeType.Value
+    def apply(in: Frame): Frame
+  }
+
+  /** `search` generator (plugins/steps/SearchPipelineStep.go:37-134). */
+  final case class SearchStep(search: Lang.Search,
+      start: Option[Timestamp], end: Option[Timestamp]) extends Step {
+    val name = "search"
+    val inputType = PipeType.None
+    val outputType = PipeType.Events
+    def apply(in: Frame): Frame =
+      EventsFrame(withFields(events).filter(searchPredicate(search, start, end)))
+  }
+
+  /** `rex` (plugins/steps/RexPipelineStep.go:33-103): one ad-hoc extractor
+    * over original-case raw / source / host / an extracted field; new fields
+    * merged last-wins; events whose source field is missing pass unchanged.
+    */
+  final case class RexStep(field: String, regex: String) extends Step {
+    val name = "rex"
+    val inputType = PipeType.Events
+    val outputType = PipeType.Events
+    def apply(in: Frame): Frame = in match {
+      case EventsFrame(df) =>
+        val src: Column = field match {
+          case "_raw" => col("raw")
+          case "source" => col("source")
+          case "host" => col("host")
+          case f => try_element_at(col("fields"), lit(f))
+        }
+        EventsFrame(df.withColumn("fields",
+          F.map_union(col("fields"), F.rex_extract(src, regex))))
+      case t: TableFrame => throw QueryError("rex requires an events input")
+    }
+  }
+
+  /** `where` (plugins/steps/WherePipelineStep.go:29-90): conjunctive exact
+    * string equality; missing field compares as "" (Go zero value). Keys
+    * lowercased on the events path; used verbatim on the table path.
+    */
+  final case class WhereStep(conds: Map[String, String]) extends Step {
+    val name = "where"
+    val inputType = PipeType.Propagate
+    val outputType = PipeType.Propagate
+    def apply(in: Frame): Frame = in match {
+      case EventsFrame(df) =>
+        val pred = conds.map { case (k, v) =>
+          coalesce(try_element_at(col("fields"), lit(k.toLowerCase)), lit("")) === lit(v)
+        }.reduceOption(_ && _).getOrElse(lit(true))
+        EventsFrame(df.filter(pred))
+      case TableFrame(df, order) =>
+        val pred = conds.map { case (k, v) =>
+          (if (order.contains(k)) coalesce(col(k), lit("")) else lit("")) === lit(v)
+        }.reduceOption(_ && _).getOrElse(lit(true))
+        TableFrame(df.filter(pred), order)
+    }
+  }
+
+  /** `table` (plugins/steps/TablePipelineStep.go:29-85): ordered projection,
+    * missing field -> empty string.
+    */
+  final case class TableStep(fields: Seq[String]) extends Step {
+    val name = "table"
+    val inputType = PipeType.Events
+    val outputType = PipeType.Table
+    def apply(in: Frame): Frame = in match {
+      case EventsFrame(df) =>
+        TableFrame(df.select(fields.map(f =>
+          coalesce(try_element_at(col("fields"), lit(f)), lit("")).as(f)): _*), fields)
+      case _: TableFrame => throw QueryError("table requires an events input")
+    }
+  }
+
+  /** `surrounding` generator (plugins/steps/SurroundingPipelineStep.go:36-122,
+    * SQL at SqliteEventRepository.go:435-462): count/2 events at offset <=
+    * base and count/2 at offset > base within the same source_id, final order
+    * offset DESC. Implemented as two filtered top-k scans (no global
+    * window shuffle — SURVEY.md §7.3).
+    */
+  final case class SurroundingStep(eventId: String, count: Int) extends Step {
+    val name = "surrounding"
+    val inputType = PipeType.None
+    val outputType = PipeType.Events
+    def apply(in: Frame): Frame = {
+      val base = events.filter(col("doc_id") === lit(eventId))
+        .select(col("source_id"), col("offset")).limit(1).collect()
+      if (base.isEmpty) return EventsFrame(withFields(events).limit(0))
+      val sid = base(0).getString(0)
+      val off = base(0).getLong(1)
+      val half = count / 2
+      val up = events.filter(col("source_id") === lit(sid) && col("offset") <= lit(off))
+        .orderBy(col("offset").desc).limit(half)
+      val down = events.filter(col("source_id") === lit(sid) && col("offset") > lit(off))
+        .orderBy(col("offset").asc).limit(half)
+      EventsFrame(withFields(up.unionByName(down)).orderBy(col("offset").desc))
+    }
+  }
+
+  // ---------------------------------------------------------------- compile
+
+  /** Compile one parsed step (registry analog of
+    * plugins/steps/StepsPlugin.go:25-75).
+    */
+  def compileStep(p: Lang.PipelineStep,
+      start: Option[Timestamp], end: Option[Timestamp]): Step = p.stepType match {
+    case "search" =>
+      Lang.parseSearch(p.value) match {
+        case Right(s) => SearchStep(s, start, end)
+        case Left(e) => throw QueryError(s"failed to compile search: $e")
+      }
+    case "rex" =>
+      if (p.value.isEmpty) throw QueryError("failed to compile rex: no regex given")
+      RexStep(p.args.getOrElse("field", "_raw"), p.value)
+    case "where" => WhereStep(p.args)
+    case "table" =>
+      val fs = p.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (fs.isEmpty) throw QueryError("failed to compile table: no fields given")
+      TableStep(fs)
+    case "surrounding" =>
+      val id = p.args.getOrElse("eventId",
+        throw QueryError("failed to compile surrounding: eventId must be provided"))
+      SurroundingStep(id, p.args.get("count").map(_.toInt).getOrElse(100))
+    case other => throw QueryError(s"unknown step type: $other")
+  }
+
+  /** Full query compile: parse -> per-step compile -> generator elision
+    * (internal/pipeline/Pipeline.go:89-95: everything before the last
+    * generator step is discarded) -> type check (ibid :97-114).
+    */
+  def compile(query: String,
+      start: Option[Timestamp] = None, end: Option[Timestamp] = None): Seq[Step] = {
+    val parsed = Lang.parsePipeline(query.trim) match {
+      case Right(steps) => steps
+      case Left(e) => throw QueryError(e)
+    }
+    val steps = parsed.zipWithIndex.map { case (p, i) =>
+      compileStep(p, if (i == 0 || p.stepType == "search") start else None,
+        if (i == 0 || p.stepType == "search") end else None)
+    }
+    val lastGen = steps.lastIndexWhere(_.inputType == PipeType.None)
+    val kept = if (lastGen <= 0) steps else steps.drop(lastGen)
+    // type propagation check
+    var cur = PipeType.None
+    kept.foreach { s =>
+      val ok = s.inputType == PipeType.None ||
+        s.inputType == PipeType.Propagate ||
+        s.inputType == cur
+      if (!ok) throw QueryError(
+        s"step '${s.name}' expects ${s.inputType} input but receives $cur")
+      cur = s.outputType match {
+        case PipeType.Propagate => cur
+        case t => t
+      }
+    }
+    kept
+  }
+
+  /** Execute a query end-to-end, returning the final frame. */
+  def run(query: String,
+      start: Option[Timestamp] = None, end: Option[Timestamp] = None): Frame = {
+    val steps = compile(query, start, end)
+    var frame: Frame = EventsFrame(withFields(events).limit(0))
+    steps.foreach(s => frame = s(frame))
+    frame
+  }
+
+  // ------------------------------------------------------------- aggregates
+
+  /** A1 field stats: (field, value) -> occurrences
+    * (internal/jobs/Engine.go:201-259). Map-side partial aggregation is
+    * Catalyst's hash aggregate — no hand-rolled merge needed.
+    */
+  def fieldStats(frame: Frame): DataFrame = frame match {
+    case EventsFrame(df) =>
+      df.select(explode(col("fields")).as(Seq("key", "value")))
+        .groupBy("key", "value").agg(count(lit(1)).as("occurrences"))
+    case TableFrame(df, order) =>
+      val kv = order.map(c => struct(lit(c).as("key"), coalesce(col(c), lit("")).as("value")))
+      df.select(explode(array(kv: _*)).as("kv"))
+        .select(col("kv.key").as("key"), col("kv.value").as("value"))
+        .groupBy("key", "value").agg(count(lit(1)).as("occurrences"))
+  }
+
+  /** A2: distinct value count per field key
+    * (plugins/sqlite_jobs/SqliteJobRepository.go:188-205).
+    */
+  def fieldOccurrences(frame: Frame): DataFrame =
+    fieldStats(frame).groupBy("key").agg(count(lit(1)).as("n_values"))
+
+  /** A3: matched-event count (the per-sink count invariant,
+    * SqliteJobRepository.go:226-249).
+    */
+  def matchedCount(frame: Frame): Long = frame.df.count()
+
+  /** Extension: time-bucketed histogram (no reference counterpart —
+    * SURVEY.md §2.3). 1h tumbling window per source.
+    */
+  def histogram(frame: Frame, bucket: String = "1 hour"): DataFrame = frame match {
+    case EventsFrame(df) =>
+      df.groupBy(window(col("ts"), bucket).as("w"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("bucket_start"), col("source"), col("n"))
+    case _ => throw QueryError("histogram requires an events frame")
+  }
+}
+
+object QueryEngine {
+  /** Sort mode of the final frame (reference events/Repository.go:23-29):
+    * the API layer orders event results newest-first.
+    */
+  def newestFirst(frame: Frame): DataFrame =
+    frame.df.orderBy(col("ts").desc, col("doc_id"))
+}

@@ -1,0 +1,174 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.compile.{EventsFrame, QueryEngine, QueryError, TableFrame}
+import graft.model.SourceConfig
+
+/** Ported reference step tests over the engine: fixtures from
+  * plugins/steps/RexPipelineStep_test.go, WherePipelineStep_test.go,
+  * SearchPipelineStep_test.go, SurroundingPipelineStep_test.go,
+  * TablePipelineStep_test.go and Utils_test.go:31-109.
+  */
+class StepsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val T0 = Timestamp.valueOf("2021-01-20 19:37:00")
+  private val SID = "1a9a7cd6-0f00-4aa6-ae2e-1ad17d40bb35"
+
+  /** (doc_id, source, host, source_id, ts, offset, raw) */
+  private def frame(rows: (String, String, String, String, Timestamp, Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "source", "host", "source_id", "ts", "offset", "raw")
+
+  private val fixtureConfigs = Seq(
+    SourceConfig("my-log*.txt", "kv", SourceConfig.defaultExtractors, "_time",
+      SourceConfig.defaultTimeLayout, "my-host", "app"),
+    SourceConfig("log-*.txt", "kv", SourceConfig.defaultExtractors, "_time",
+      SourceConfig.defaultTimeLayout, "my-host", "app"))
+
+  private def engine(df: DataFrame) = new QueryEngine(df, fixtureConfigs)
+
+  private def fieldsOf(e: QueryEngine, query: String): Map[String, String] = {
+    val f = e.run(query)
+    f.df.select(col("fields")).as[Map[String, String]].head()
+  }
+
+  test("rex: named group (RexPipelineStep_test.go:28-60)") {
+    val e = engine(frame(("1", "my-log.txt", "my-host", SID, T0, 0L,
+      "2021-01-20 19:37:00 The user did something. The userid was 123.")))
+    val m = fieldsOf(e, "| rex \"userid was (?P<userid>\\d+).\"")
+    assert(m("userid") == "123")
+  }
+
+  test("rex: multiple extractions (RexPipelineStep_test.go:63-98)") {
+    val e = engine(frame(("1", "my-log.txt", "my-host", SID, T0, 0L,
+      "2021-01-20 19:37:00 The user did something. userid=123, thingid=456.")))
+    val m = fieldsOf(e, "| rex \"(\\w+)=(\\w+)\"")
+    assert(m("userid") == "123")
+    assert(m("thingid") == "456")
+  }
+
+  test("rex: field=source (RexPipelineStep_test.go:139-173)") {
+    val e = engine(frame(("1", "log-123.txt", "my-host", SID, T0, 0L,
+      "2021-01-20 19:37:00 The user did something. The userid was 123.")))
+    val m = fieldsOf(e, "| rex field=source \"log-(?P<logid>\\d+)\"")
+    assert(m("logid") == "123")
+  }
+
+  test("rex: field=host (RexPipelineStep_test.go:176-210)") {
+    val e = engine(frame(("1", "log-123.txt", "host-123", SID, T0, 0L,
+      "2021-01-20 19:37:00 The user did something. The userid was 123.")))
+    val m = fieldsOf(e, "| rex field=host \"host-(?P<hostid>\\d+)\"")
+    assert(m("hostid") == "123")
+  }
+
+  test("rex: missing source field passes event through unchanged (RexPipelineStep.go:53)") {
+    val e = engine(frame(("1", "my-log.txt", "my-host", SID, T0, 0L,
+      "2021-01-20 19:37:00 a=1")))
+    val f = e.run("| rex field=NoSuchField \"x(?P<y>\\d+)\"")
+    assert(f.df.count() == 1)
+    val m = f.df.select(col("fields")).as[Map[String, String]].head()
+    assert(!m.contains("y"))
+    assert(m("a") == "1") // pre-existing fields intact
+  }
+
+  test("where: filters on extracted field (WherePipelineStep_test.go:28-154)") {
+    val e = engine(frame(
+      ("1", "my-log.txt", "my-host", SID, T0, 0L,
+        "2021-01-20 19:37:00 The user did something. userid=123, thingid=456."),
+      ("2", "my-log.txt", "my-host", SID, T0, 50L,
+        "2021-01-20 19:37:00 The user did something. userid=456, thingid=9.")))
+    assert(e.run("| where userid=123").df.count() == 1)
+    assert(e.run("| where userid=123 thingid=456").df.count() == 1)
+    assert(e.run("| where userid=123 thingid=9").df.count() == 0)
+    assert(e.run("| where userid=999").df.count() == 0)
+  }
+
+  test("where on table rows (WherePipelineStep propagate type)") {
+    val e = engine(frame(
+      ("1", "my-log.txt", "my-host", SID, T0, 0L, "2021-01-20 x userid=123"),
+      ("2", "my-log.txt", "my-host", SID, T0, 50L, "2021-01-20 x userid=456")))
+    val f = e.run("| table \"userid\" | where userid=123")
+    assert(f.df.count() == 1)
+    assert(f.df.head().getString(0) == "123")
+  }
+
+  test("search roundtrip (SearchPipelineStep_test.go:27-65)") {
+    val e = engine(frame(("1", "my-log.txt", "my-host", SID, T0, 0L,
+      "2021-01-20 19:37:00 The user did something. The userid was 123.")))
+    assert(e.run("userid").df.count() == 1)
+    assert(e.run("nosuchword").df.count() == 0)
+  }
+
+  test("surrounding: 5 events 2 sources -> 3 same-source desc (SurroundingPipelineStep_test.go:27-108)") {
+    val e = engine(frame(
+      ("1", "my-log.txt", "my-host", "sid-1", T0, 0L, "2021-01-20 19:37:00 a"),
+      ("2", "my-log.txt", "my-host", "sid-1", T0, 50L, "2021-01-20 19:37:00 b"),
+      ("3", "my-log.txt", "my-host", "sid-1", T0, 100L, "2021-01-20 19:37:00 c"),
+      ("4", "my-log-2.txt", "my-host", "sid-2", T0, 0L, "2021-01-20 19:37:00 d"),
+      ("5", "my-log-2.txt", "my-host", "sid-2", T0, 50L, "2021-01-20 19:37:00 e")))
+    val rows = e.run("| surrounding eventId=3").df
+      .select("doc_id", "offset").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("3", "2", "1"))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(100L, 50L, 0L))
+  }
+
+  test("table: empty fields is a compile error (TablePipelineStep_test.go:19-24)") {
+    val e = engine(frame(("1", "my-log.txt", "my-host", SID, T0, 0L, "x")))
+    intercept[QueryError] { e.compile("| table \"\"") }
+  }
+
+  test("table: ordered columns, missing -> empty (TablePipelineStep.go:29-85)") {
+    val e = engine(frame(("1", "my-log.txt", "my-host", SID, T0, 0L,
+      "2021-01-20 19:37:00 userid=123")))
+    e.run("| table \"userid,missing,host\"") match {
+      case TableFrame(df, order) =>
+        assert(order == Seq("userid", "missing", "host"))
+        assert(df.columns.toSeq == Seq("userid", "missing", "host"))
+        val r = df.head()
+        assert(r.getString(0) == "123" && r.getString(1) == "" && r.getString(2) == "my-host")
+      case _ => fail("expected table frame")
+    }
+  }
+
+  test("generator elision: '… | search X' discards prior steps (Pipeline.go:89-95)") {
+    val e = engine(frame(
+      ("1", "my-log.txt", "my-host", SID, T0, 0L, "2021-01-20 hello userid=1"),
+      ("2", "my-log.txt", "my-host", SID, T0, 50L, "2021-01-20 world userid=2")))
+    val steps = e.compile("hello | rex \"(\\w+)=(\\w+)\" | search world")
+    assert(steps.length == 1)
+    assert(e.run("hello | rex \"x(?P<y>.)\" | search world").df
+      .select("doc_id").head().getString(0) == "2")
+  }
+
+  test("type propagation: rex after table fails (Pipeline.go:97-114)") {
+    val e = engine(frame(("1", "my-log.txt", "my-host", SID, T0, 0L, "x")))
+    intercept[QueryError] { e.compile("| table \"a\" | rex \"(?P<x>.)\"") }
+  }
+
+  test("smoketest analog: single-match count (test/smoketest.sh:41-46)") {
+    val e = engine(frame(
+      ("1", "my-log.txt", "my-host", SID, T0, 0L, "2021/01/20 19:37:00.000000 Starting Web GUI"),
+      ("2", "my-log.txt", "my-host", SID, T0, 50L, "2021/01/20 19:37:00.000001 something else")))
+    assert(e.matchedCount(e.run("Starting Web GUI")) == 1L)
+  }
+
+  test("field stats A1/A2 (internal/jobs/Engine.go:201-259)") {
+    val e = engine(frame(
+      ("1", "my-log.txt", "my-host", SID, T0, 0L, "2021-01-20 a=1 b=2"),
+      ("2", "my-log.txt", "my-host", SID, T0, 50L, "2021-01-20 a=1 b=3")))
+    val stats = e.fieldStats(e.run("")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(stats(("a", "1")) == 2L)
+    assert(stats(("b", "2")) == 1L)
+    assert(stats(("b", "3")) == 1L)
+    val occ = e.fieldOccurrences(e.run("")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(occ("a") == 1L && occ("b") == 2L)
+  }
+}
