@@ -87,6 +87,31 @@ object SparkEntry {
       val ev = EventsAdapter.events(s, dir)
       ev.unionByName(ev).dropDuplicates("host", "source", "ts", "offset")
         .select(col("doc_id"))
+    }),
+    // full pipeline: tokens -> parse -> enrich(J2 broadcast) -> per-sink
+    // counts (A3, the north-rule per-sink aggregate invariant)
+    "q_pipeline_sinkcounts" -> ((s, dir) => {
+      val enriched = graft.plans.LogPipeline.run(
+        s, EventsAdapter.sequences(s, dir), EventsAdapter.configs)
+      enriched.groupBy(col("sink"), col("host")).agg(count(lit(1)).as("n"))
+    }),
+    // full pipeline: event-time re-derived from the rendered+extracted _time,
+    // bucketed 1h per sink (the histogram extension over the tokens path)
+    "q_pipeline_histogram" -> ((s, dir) => {
+      val enriched = graft.plans.LogPipeline.run(
+        s, EventsAdapter.sequences(s, dir), EventsAdapter.configs)
+      graft.plans.LogPipeline.histogram(enriched)
+        .select(date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+          col("sink"), col("n"))
+    }),
+    // full pipeline: routed rows with extracted fields surviving the
+    // round-trip (doc_id, uid from tokens-rendered text)
+    "q_pipeline_fields" -> ((s, dir) => {
+      val enriched = graft.plans.LogPipeline.run(
+        s, EventsAdapter.sequences(s, dir), EventsAdapter.configs)
+      enriched.select(col("doc_id"),
+        try_element_at(col("fields"), lit("userid")).as("userid"),
+        try_element_at(col("fields"), lit("eventtype")).as("eventtype"))
     })
   )
 
@@ -143,6 +168,12 @@ object SparkEntry {
     "q_retention" ->
       s"SELECT $DOC AS doc_id FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'",
     "q_dedup_ingest" ->
-      s"SELECT $DOC AS doc_id FROM events"
+      s"SELECT $DOC AS doc_id FROM events",
+    "q_pipeline_sinkcounts" ->
+      s"SELECT regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, 'events-host' AS host, count(*) AS n FROM events GROUP BY 1",
+    "q_pipeline_histogram" ->
+      s"SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n FROM events GROUP BY 1, 2",
+    "q_pipeline_fields" ->
+      s"SELECT $DOC AS doc_id, CAST(user_id AS VARCHAR) AS userid, event_type AS eventtype FROM events"
   )
 }

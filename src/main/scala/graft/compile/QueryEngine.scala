@@ -45,18 +45,8 @@ class QueryEngine(val events: DataFrame, val configs: Seq[SourceConfig]) {
     * (plugins/steps/Fragments.go:95) and injects reserved host/source
     * (Fragments.go:97-98).
     */
-  def fieldsColumn(raw: Column, host: Column, source: Column): Column = {
-    val lowered = lower(raw)
-    val fallback: Column = F.extract_fields(
-      lowered, host, source, SourceConfig.defaultExtractors, "_time")
-    configs.foldRight(fallback) { (cfg, acc) =>
-      val extracted = cfg.file_type match {
-        case "json" => F.json_fields(raw, host, source, cfg.time_field)
-        case _ => F.extract_fields(lowered, host, source, cfg.extractors, cfg.time_field)
-      }
-      when(F.globMatches(source, cfg.source_glob), extracted).otherwise(acc)
-    }
-  }
+  def fieldsColumn(raw: Column, host: Column, source: Column): Column =
+    F.extract_event(raw, host, source, configs)
 
   /** Events frame with the `fields` map materialized as an expression
     * (schema-on-read: nothing stored, recomputed per query like the

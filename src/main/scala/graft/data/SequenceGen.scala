@@ -26,7 +26,9 @@ object SequenceGen {
     SourceConfig("log-*.txt", "kv", SourceConfig.defaultExtractors,
       "_time", SourceConfig.defaultTimeLayout, "app-host", "app"),
     SourceConfig("access-*.log", "access",
-      Seq("""^(?P<ip>[\d.]+) - - \[(?P<_time>[^\]]+)\] "(?P<method>\w+) (?P<path>\S+) HTTP/1\.1" (?P<status>\d+) (?P<size>\d+)"""),
+      // NB: search-time extraction runs on lowercased raw (Fragments.go:95),
+      // so literals in extractors must be lowercase
+      Seq("""^(?P<ip>[\d.]+) - - \[(?P<_time>[^\]]+)\] "(?P<method>\w+) (?P<path>\S+) http/1\.1" (?P<status>\d+) (?P<size>\d+)"""),
       "_time", "02/Jan/2006:15:04:05 -0700", "web-host", "web"),
     SourceConfig("json-*.log", "json", Seq(), "ts", "UNIX_DECIMAL_NANOS",
       "svc-host", "svc")

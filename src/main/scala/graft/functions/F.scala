@@ -40,6 +40,25 @@ object F {
   def json_extract_map(raw: Column, timeField: String): Column =
     toCol(JsonToFieldsMap(toExpr(raw), nullStr, nullStr, timeField, inject = false))
 
+  /** Whole parse-stage extraction with per-source config dispatch (memoized
+    * glob resolution inside one compact expression — see ExtractEvent).
+    */
+  def extract_event(raw: Column, host: Column, source: Column,
+      configs: Seq[graft.model.SourceConfig]): Column =
+    toCol(ExtractEvent(toExpr(raw), toExpr(host), toExpr(source),
+      configs.map(c => (globToRegex(c.source_glob), c.file_type, c.extractors, c.time_field)),
+      graft.model.SourceConfig.defaultExtractors, "_time"))
+
+  /** Per-source event-time parse (see EventTime). */
+  def event_time(timeStr: Column, source: Column,
+      configs: Seq[graft.model.SourceConfig]): Column = {
+    val defaultGo = graft.model.SourceConfig.defaultTimeLayout
+    toCol(EventTime(toExpr(timeStr), toExpr(source),
+      configs.map(c => (globToRegex(c.source_glob), c.time_layout)),
+      configs.map(c => goLayoutToJava(c.time_layout)),
+      (defaultGo, goLayoutToJava(defaultGo))))
+  }
+
   /** Compile a search fragment to the reference's regex form
     * (plugins/steps/Fragments.go:74-89): case-insensitive, `*` -> `.*`,
     * word-boundary anchors unless the fragment starts/ends with `*`.
@@ -83,7 +102,19 @@ object F {
       timestamp_micros(
         element_at(parts, 1).cast(LongType) * lit(1000000L) +
           (element_at(parts, 2).cast(LongType) / lit(1000L)).cast(LongType))
-    case goLayout => to_timestamp(value, goLayoutToJava(goLayout))
+    case goLayout =>
+      // extraction runs on lowercased raw (Fragments.go:95), so month/day
+      // names arrive lowercased; java.time parsing is case-sensitive. The
+      // reference would silently fall back to wall clock here (its default
+      // layouts are numeric-only); we normalize instead (SURVEY.md §7.3).
+      val v =
+        if (goLayout.contains("Jan") || goLayout.contains("Mon")) {
+          val names = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul",
+            "aug", "sep", "oct", "nov", "dec", "mon", "tue", "wed", "thu",
+            "fri", "sat", "sun")
+          names.foldLeft(value)((c, n) => regexp_replace(c, "\\b" + n, n.capitalize))
+        } else value
+      to_timestamp(v, goLayoutToJava(goLayout))
   }
 
   /** Translate a Go reference-time layout (Mon Jan 2 15:04:05 MST 2006) to a

@@ -86,25 +86,33 @@ final class CompiledExtractor(val original: String) extends Serializable {
     (sb.toString, names.toArray)
   }
 
-  @transient private var _p: java.util.regex.Pattern = _
-  def pattern: java.util.regex.Pattern = {
-    if (_p == null) _p = java.util.regex.Pattern.compile(javaPattern)
-    _p
-  }
-  def groupCount: Int = pattern.matcher("").groupCount()
+  @transient private lazy val pattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(javaPattern)
+  @transient lazy val groupCount: Int = pattern.matcher("").groupCount()
   def namedOnly: Boolean = groupNames.length == groupCount
 
-  /** Run against `s`, writing name->value into `into` (last-wins). */
+  // Reused matcher (hot path: one per row per extractor otherwise).
+  // ThreadLocal because expression instances can be shared on the driver;
+  // executor tasks each own a deserialized copy, so the map stays tiny.
+  @transient private lazy val localMatcher =
+    ThreadLocal.withInitial[java.util.regex.Matcher](() => pattern.matcher(""))
+
+  /** Run against `s`, writing name->value into `into` (last-wins).
+    * For named-only extractors, group numbers are assigned in paren order,
+    * so the i-th recorded name IS group i+1 — indexed access, no name lookup.
+    */
   def extractInto(s: String, into: java.util.LinkedHashMap[String, String]): Unit = {
-    val m = pattern.matcher(s)
+    val m = localMatcher.get()
+    m.reset(s)
     val gc = groupCount
     val named = namedOnly
+    val names = groupNames
     while (m.find()) {
       if (named) {
         var i = 0
-        while (i < groupNames.length) {
-          val v = m.group(s"g$i")
-          into.put(groupNames(i), if (v == null) "" else v) // Go yields "" for non-participating groups
+        while (i < names.length) {
+          val v = m.group(i + 1)
+          into.put(names(i), if (v == null) "" else v) // Go yields "" for non-participating groups
           i += 1
         }
       } else if (gc == 2) {
@@ -363,4 +371,297 @@ case class JsonToFieldsMap(
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): JsonToFieldsMap =
     copy(raw = f, host = s, source = t)
+}
+
+/** Diagnostic counter (cheap atomic; used by perf probes only). */
+object ExtractCounter {
+  val n = new java.util.concurrent.atomic.AtomicLong()
+}
+
+/** Whole parse-stage extraction in ONE compact expression: resolves the
+  * event's source to its config (glob dispatch, memoized per distinct source
+  * exactly like the reference's getSourceToIndexedFileConfig memo,
+  * plugins/steps/Utils.go:24-49), then runs that config's extractors
+  * (regex or JSON) and injects host/source.
+  *
+  * Replaces a CASE-WHEN chain of RegexExtractToMap branches: the chain's
+  * generated code grew past JIT-compilable method sizes (observed 5x
+  * slowdown in wide write projections); this emits a single call.
+  */
+case class ExtractEvent(
+    raw: Expression,
+    host: Expression,
+    source: Expression,
+    configs: Seq[(String, String, Seq[String], String)], // (globRegex, fileType, extractors, timeField)
+    defaultExtractors: Seq[String],
+    defaultTimeField: String)
+  extends TernaryExpression {
+
+  override def first: Expression = raw
+  override def second: Expression = host
+  override def third: Expression = source
+  override def dataType: DataType = MapType(StringType, StringType, valueContainsNull = false)
+  override def nullable: Boolean = raw.nullable
+
+  @transient private lazy val compiledGlobs: Array[java.util.regex.Pattern] =
+    configs.map(c => java.util.regex.Pattern.compile(c._1)).toArray
+  @transient private lazy val compiledExtractors: Array[Array[CompiledExtractor]] =
+    configs.map(_._3.map(new CompiledExtractor(_)).toArray).toArray :+
+      defaultExtractors.map(new CompiledExtractor(_)).toArray
+  @transient private lazy val jsonMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+  // memo: source -> config index (configs.length = default fallback)
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  // reused per-row field map (ThreadLocal: driver may share instances)
+  @transient private lazy val localMap =
+    ThreadLocal.withInitial[java.util.LinkedHashMap[String, String]](
+      () => new java.util.LinkedHashMap[String, String]())
+
+  private def resolve(source: String): Int =
+    memo.computeIfAbsent(source, s => {
+      var i = 0
+      while (i < compiledGlobs.length) {
+        if (compiledGlobs(i).matcher(s).matches()) return Integer.valueOf(i)
+        i += 1
+      }
+      Integer.valueOf(configs.length)
+    }).intValue()
+
+  def doExtract(rawS: UTF8String, hostS: UTF8String, sourceS: UTF8String): MapData = {
+    val src = if (sourceS == null) "" else sourceS.toString
+    val idx = resolve(src)
+    val isJson = idx < configs.length && configs(idx)._2 == "json"
+    val timeField =
+      if (idx < configs.length) configs(idx)._4 else defaultTimeField
+    val m = localMap.get()
+    m.clear()
+    if (isJson) {
+      try {
+        val node = jsonMapper.readTree(rawS.toString)
+        if (node != null && node.isObject) {
+          val it = node.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            val v = e.getValue
+            val s =
+              if (v.isNumber) String.format(java.util.Locale.ROOT, "%.6f", Double.box(v.asDouble()))
+              else if (v.isTextual) v.asText()
+              else if (v.isBoolean) String.valueOf(v.asBoolean())
+              else if (v.isNull) "<nil>"
+              else v.toString
+            m.put(e.getKey, s)
+          }
+        }
+      } catch { case _: Exception => () }
+    } else {
+      // search-time extraction runs on lowercased raw (Fragments.go:95)
+      val s = rawS.toString.toLowerCase(java.util.Locale.ROOT)
+      val exs = compiledExtractors(idx)
+      var i = 0
+      while (i < exs.length) { exs(i).extractInto(s, m); i += 1 }
+    }
+    if (timeField != null && timeField.nonEmpty) {
+      val tv = m.get(timeField)
+      if (tv != null) m.put("_time", tv)
+    }
+    if (hostS != null) m.put("host", hostS.toString)
+    if (sourceS != null) m.put("source", sourceS.toString)
+    val n = m.size()
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = UTF8String.fromString(e.getKey)
+      vals(j) = UTF8String.fromString(e.getValue)
+      j += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val r = raw.eval(input)
+    if (r == null) return null
+    doExtract(r.asInstanceOf[UTF8String],
+      host.eval(input).asInstanceOf[UTF8String],
+      source.eval(input).asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("extractEvent", this, classOf[ExtractEvent].getName)
+    val rawC = raw.genCode(ctx)
+    val hostC = host.genCode(ctx)
+    val sourceC = source.genCode(ctx)
+    val hostV = if (host.nullable) s"${hostC.isNull} ? null : ${hostC.value}" else hostC.value.toString
+    val srcV = if (source.nullable) s"${sourceC.isNull} ? null : ${sourceC.value}" else sourceC.value.toString
+    ev.copy(code =
+      org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+        new StringContext(
+          s"""
+          ${rawC.code}
+          ${hostC.code}
+          ${sourceC.code}
+          boolean ${ev.isNull} = ${rawC.isNull};
+          org.apache.spark.sql.catalyst.util.MapData ${ev.value} = null;
+          if (!${ev.isNull}) {
+            ${ev.value} = $ref.doExtract(${rawC.value}, ($hostV), ($srcV));
+          }
+          """)).code())
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ExtractEvent =
+    copy(raw = f, host = s, source = t)
+}
+
+/** Per-config event-time parse in one compact expression (reference
+  * ParseTime.go:24-54 semantics: Go layouts + UNIX / UNIX_MILLIS /
+  * UNIX_DECIMAL_NANOS). Case-insensitive java.time parsing (month names
+  * arrive lowercased because extraction lowercases raw). Config resolution
+  * memoized per source. Returns micros since epoch; null if unparseable.
+  */
+case class EventTime(
+    timeStr: Expression,
+    source: Expression,
+    configs: Seq[(String, String)], // (globRegex, goLayout)
+    javaLayouts: Seq[String],       // pre-translated java patterns ("" for UNIX forms)
+    defaultLayout: (String, String)) // (goLayout, javaLayout)
+  extends BinaryExpression {
+
+  override def left: Expression = timeStr
+  override def right: Expression = source
+  override def dataType: DataType = TimestampType
+  override def nullable: Boolean = true
+
+  @transient private lazy val compiledGlobs: Array[java.util.regex.Pattern] =
+    configs.map(c => java.util.regex.Pattern.compile(c._1)).toArray
+  @transient private lazy val formatters: Array[AnyRef] =
+    (configs.map(_._2).zip(javaLayouts) :+ defaultLayout).map {
+      case (go, _) if go == "UNIX" || go == "UNIX_MILLIS" || go == "UNIX_DECIMAL_NANOS" => go
+      case (_, java0) =>
+        new java.time.format.DateTimeFormatterBuilder()
+          .parseCaseInsensitive().appendPattern(java0)
+          .toFormatter(java.util.Locale.ROOT)
+    }.toArray
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def resolve(source: String): Int =
+    memo.computeIfAbsent(source, s => {
+      var i = 0
+      while (i < compiledGlobs.length) {
+        if (compiledGlobs(i).matcher(s).matches()) return Integer.valueOf(i)
+        i += 1
+      }
+      Integer.valueOf(configs.length)
+    }).intValue()
+
+  /** Allocation-free fast path for the reference's default kv layout
+    * ("2006/01/02 15:04:05.000000"): fixed-width numeric parse + the
+    * days-from-civil epoch formula. ~50x cheaper than DateTimeFormatter.
+    */
+  private def fastKv(v: String): java.lang.Long = {
+    if (v.length != 26 || v.charAt(4) != '/' || v.charAt(7) != '/' ||
+      v.charAt(10) != ' ' || v.charAt(13) != ':' || v.charAt(16) != ':' ||
+      v.charAt(19) != '.') return null
+    var i = 0
+    def d2(a: Int): Int = {
+      val c1 = v.charAt(a); val c2 = v.charAt(a + 1)
+      if (c1 < '0' || c1 > '9' || c2 < '0' || c2 > '9') return -1
+      (c1 - '0') * 10 + (c2 - '0')
+    }
+    val c0 = v.charAt(0); val c1 = v.charAt(1)
+    if (c0 < '0' || c0 > '9' || c1 < '0' || c1 > '9') return null
+    val year = (c0 - '0') * 1000 + (c1 - '0') * 100 + d2(2)
+    val month = d2(5); val day = d2(8)
+    val hh = d2(11); val mm = d2(14); val ss = d2(17)
+    if (month < 1 || month > 12 || day < 1 || day > 31 || hh < 0 || mm < 0 || ss < 0) return null
+    var micros = 0L
+    i = 20
+    while (i < 26) {
+      val c = v.charAt(i)
+      if (c < '0' || c > '9') return null
+      micros = micros * 10 + (c - '0')
+      i += 1
+    }
+    // days-from-civil (Howard Hinnant's algorithm, public domain)
+    val y = if (month <= 2) year - 1 else year
+    val era = (if (y >= 0) y else y - 399) / 400
+    val yoe = y - era * 400
+    val mp = (month + 9) % 12
+    val doy = (153 * mp + 2) / 5 + day - 1
+    val doe = yoe * 365 + yoe / 4 - yoe / 100 + doy
+    val days = era * 146097L + doe - 719468L
+    java.lang.Long.valueOf(
+      ((days * 86400L + hh * 3600L + mm * 60L + ss) * 1000000L) + micros)
+  }
+
+  @transient private lazy val isDefaultKv: Array[Boolean] =
+    (configs.map(_._2) :+ defaultLayout._1).map(_ == "2006/01/02 15:04:05.000000").toArray
+
+  /** null (boxed) when unparseable — callers coalesce a fallback. */
+  def doParse(value: UTF8String, sourceS: UTF8String): java.lang.Long = {
+    if (value == null) return null
+    val idx = resolve(if (sourceS == null) "" else sourceS.toString)
+    val v = value.toString
+    if (isDefaultKv(idx)) return fastKv(v)
+    try {
+      formatters(idx) match {
+        case "UNIX" => java.lang.Long.valueOf(v.trim.toLong * 1000000L)
+        case "UNIX_MILLIS" => java.lang.Long.valueOf(v.trim.toLong * 1000L)
+        case "UNIX_DECIMAL_NANOS" =>
+          val dot = v.indexOf('.')
+          if (dot < 0) return null
+          val sec = v.substring(0, dot).toLong
+          val nanos = v.substring(dot + 1).toLong // Go quirk: decimals as int nanos
+          java.lang.Long.valueOf(sec * 1000000L + nanos / 1000L)
+        case f: java.time.format.DateTimeFormatter =>
+          val ta = f.parse(v)
+          val date =
+            if (ta.isSupported(java.time.temporal.ChronoField.EPOCH_DAY))
+              java.time.LocalDate.from(ta)
+            else java.time.LocalDate.of(1970, 1, 1)
+          val time =
+            if (ta.isSupported(java.time.temporal.ChronoField.NANO_OF_DAY))
+              java.time.LocalTime.from(ta)
+            else java.time.LocalTime.MIDNIGHT
+          val offset =
+            if (ta.isSupported(java.time.temporal.ChronoField.OFFSET_SECONDS))
+              java.time.ZoneOffset.from(ta)
+            else java.time.ZoneOffset.UTC
+          val odt = java.time.OffsetDateTime.of(date, time, offset)
+          java.lang.Long.valueOf(odt.toInstant.getEpochSecond * 1000000L +
+            odt.getNano / 1000L)
+      }
+    } catch { case _: Exception => null }
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = timeStr.eval(input)
+    if (v == null) return null
+    doParse(v.asInstanceOf[UTF8String], source.eval(input).asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("eventTime", this, classOf[EventTime].getName)
+    val vC = timeStr.genCode(ctx)
+    val sC = source.genCode(ctx)
+    val srcV = if (source.nullable) s"${sC.isNull} ? null : ${sC.value}" else sC.value.toString
+    val boxed = ctx.freshName("boxedTs")
+    ev.copy(code =
+      org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+        new StringContext(
+          s"""
+          ${vC.code}
+          ${sC.code}
+          java.lang.Long $boxed = ${vC.isNull} ? null : $ref.doParse(${vC.value}, ($srcV));
+          boolean ${ev.isNull} = ($boxed == null);
+          long ${ev.value} = ${ev.isNull} ? 0L : $boxed.longValue();
+          """)).code())
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): EventTime =
+    copy(timeStr = l, source = r)
 }

@@ -1,0 +1,187 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.F
+import graft.model.SourceConfig
+
+/** The parse -> enrich -> route -> aggregate pipeline over the pre-tokenized
+  * sequences table (BASELINE.json north rule).
+  *
+  * Stage mapping (SURVEY.md §7.0):
+  *   parse     — render tokens -> raw, extract dynamic fields, derive ts
+  *               (reference P1-P3); tokens carried untouched (per-row
+  *               token-array-equality invariant)
+  *   enrich    — broadcast equi-join against the source_config dimension;
+  *               the non-equi glob match is evaluated once per *distinct
+  *               source* (tiny) and converted to an equi-join key, so the
+  *               big side never sees a nested-loop join (reference J2)
+  *   route     — salted repartition + fan-out write partitioned by sink
+  *               (reference S5-S7 forwarder/recipient topology)
+  *   aggregate — per-sink counts (A3), field stats (A1), time histogram
+  *
+  * All stages are Dataset/Catalyst expressions — one shuffle for the route
+  * (repartition) and one tiny one for the enrich dimension; the parse stage
+  * is pure whole-stage-codegen map work.
+  */
+object LogPipeline {
+
+  /** parse: sequences(doc_id, tokens, n_tok, source) -> + raw, offset, source_id.
+    * `offset` is the numeric doc index (monotone per generation order) —
+    * the rebuild's analog of the file byte offset.
+    */
+  def parse(sequences: DataFrame): DataFrame =
+    sequences
+      .withColumn("raw", F.tokens_to_text(col("tokens")))
+      .withColumn("offset", regexp_extract(col("doc_id"), "(\\d+)$", 1).cast("long"))
+      .withColumn("source_id", col("source"))
+
+  /** The config dimension as a DataFrame (broadcast side). */
+  def configDim(spark: SparkSession, configs: Seq[SourceConfig]): DataFrame = {
+    import spark.implicits._
+    configs.zipWithIndex.map { case (c, i) =>
+      (c.source_glob, F.globToRegex(c.source_glob), c.file_type, c.time_field,
+        c.time_layout, c.host, c.host_type, i)
+    }.toDF("source_glob", "glob_regex", "file_type", "time_field",
+      "time_layout", "cfg_host", "host_type", "priority")
+  }
+
+  /** enrich: resolve each event's source to its config (first match wins by
+    * priority) and stamp host/host_type/ts + the dynamic fields map.
+    *
+    * Scale shape: `distinct sources` is a partial-aggregated shuffle over a
+    * low-cardinality key; the glob (non-equi) match runs on that tiny frame
+    * only; the result is broadcast and the 10^12-row side does a broadcast
+    * hash equi-join — no big-side shuffle at all.
+    */
+  def enrich(spark: SparkSession, parsed: DataFrame, configs: Seq[SourceConfig]): DataFrame = {
+    val dim = configDim(spark, configs)
+    val sources = parsed.select("source").distinct()
+    val resolved = sources.join(dim, expr("source rlike glob_regex"), "left")
+      .groupBy("source")
+      .agg(min_by(
+        struct(col("file_type"), col("time_field"), col("time_layout"),
+          col("cfg_host"), col("host_type"), col("priority")),
+        col("priority")).as("cfg"))
+      .select(col("source"),
+        coalesce(col("cfg.cfg_host"), lit("unknown-host")).as("host"),
+        coalesce(col("cfg.host_type"), lit("unknown")).as("host_type"),
+        coalesce(col("cfg.file_type"), lit("kv")).as("file_type"))
+
+    val withHost = parsed.join(broadcast(resolved), Seq("source"), "left")
+
+    // fields + ts are per-config *plan constants* (extractor regexes and time
+    // layouts can't travel through a join), so they compile to a CASE chain
+    // keyed on the source glob — same first-match-wins order.
+    val fields = fieldsColumn(col("raw"), col("host"), col("source"), configs)
+    val ts = tsColumn(configs)
+    withHost
+      .withColumn("fields", fields)
+      .withColumn("ts", ts)
+  }
+
+  /** enrich without the dimension join — host/host_type resolved through the
+    * same first-match-wins CASE chain as fields/ts. Used on unbounded
+    * (streaming) inputs where a distinct+join per micro-plan isn't legal, and
+    * as the zero-shuffle enrich when the config set is small.
+    */
+  def enrichStatic(parsed: DataFrame, configs: Seq[SourceConfig]): DataFrame = {
+    def chain(f: SourceConfig => String, dflt: String): Column =
+      configs.foldRight(lit(dflt): Column) { (cfg, acc) =>
+        when(F.globMatches(col("source"), cfg.source_glob), lit(f(cfg))).otherwise(acc)
+      }
+    parsed
+      .withColumn("host", chain(_.host, "unknown-host"))
+      .withColumn("host_type", chain(_.host_type, "unknown"))
+      .withColumn("file_type", chain(_.file_type, "kv"))
+      .withColumn("fields", fieldsColumn(col("raw"), col("host"), col("source"), configs))
+      .withColumn("ts", tsColumn(configs))
+  }
+
+  /** Search-time field extraction per source config (first glob match wins,
+    * memoized inside one compact ExtractEvent expression — a CASE-WHEN chain
+    * of per-config extractions blew generated methods past JIT limits).
+    */
+  def fieldsColumn(raw: Column, host: Column, source: Column,
+      configs: Seq[SourceConfig]): Column =
+    F.extract_event(raw, host, source, configs)
+
+  /** Event-time: parse `_time` with the per-config layout; rows without an
+    * extractable time get a deterministic fallback (the reference stamps
+    * wall-clock at read — EventPublishers.go:86-98 — which we replace with a
+    * fixed epoch for reproducibility; documented divergence).
+    */
+  def tsColumn(configs: Seq[SourceConfig]): Column = {
+    val timeStr = try_element_at(col("fields"), lit("_time"))
+    val fallbackTs = to_timestamp(lit("1970-01-01 00:00:00"))
+    coalesce(F.event_time(timeStr, col("source"), configs), fallbackTs)
+  }
+
+  /** Sink key for the fan-out write: filesystem-safe source name. */
+  def sinkCol: Column = regexp_replace(col("source"), "[^A-Za-z0-9_-]", "_")
+
+  /** route: salted repartition + fan-out write, one directory per sink.
+    *
+    * The salt spreads each (possibly huge) source across all writer tasks so
+    * a 50%-skewed source can't serialize into one task — the explicit skew
+    * handling the north rule demands (AQE would also rebalance; we don't
+    * rely on it). The salt domain is 8x the partition count: with a domain
+    * equal to the partition count, hash collisions of (sink, salt) combos
+    * leave some writers with 3-4x the median load (observed skew 3.8); an
+    * oversized domain evens the per-partition combo count (observed < 1.3).
+    * The explicit partition count also stops AQE coalescing the salt away
+    * on small inputs.
+    */
+  def routeWrite(enriched: DataFrame, outDir: String, numPartitions: Int,
+      mode: String = "overwrite"): Unit = {
+    // Schema-on-read, like the reference ("fields are not stored",
+    // SURVEY.md §1.2): persist only the payload + metadata. `raw` and
+    // `fields` are pure functions of `tokens` and re-derived at search time —
+    // at 10^12 rows this halves the write volume of the fan-out.
+    val persisted = enriched.select(
+      col("doc_id"), col("tokens"), col("n_tok"), col("source"),
+      col("host"), col("source_id"), col("ts"), col("offset"), col("sink"))
+    val salted = persisted
+      .withColumn("_salt", pmod(hash(col("doc_id")), lit(numPartitions * 8)))
+    salted.repartition(numPartitions, col("sink"), col("_salt")).drop("_salt")
+      .write.mode(mode).partitionBy("sink").parquet(outDir)
+  }
+
+  /** Re-open a routed sink directory as the query layer's canonical event
+    * frame (raw re-rendered from tokens; fields re-extracted per query).
+    */
+  def openSinks(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .withColumn("raw", F.tokens_to_text(col("tokens")))
+
+  /** aggregate: per-sink counts + order-independent routed-row-set checksum
+    * (count + bit_xor of xxhash64(doc_id, tokens) — verifies row-set AND
+    * token-array equality without collecting), per the north rule's
+    * "per-sink aggregate counts + routed-row-set equality + per-row
+    * token-array equality".
+    */
+  def sinkSummary(enriched: DataFrame): DataFrame =
+    enriched.withColumn("sink", sinkCol)
+      .groupBy("sink")
+      .agg(
+        count(lit(1)).as("n"),
+        bit_xor(xxhash64(col("doc_id"), col("tokens"))).as("rowset_sig"),
+        sum(col("n_tok").cast("long")).as("total_tokens"))
+
+  /** A1 field stats over the enriched frame. */
+  def fieldStats(enriched: DataFrame): DataFrame =
+    enriched.select(col("sink"), explode(col("fields")).as(Seq("key", "value")))
+      .groupBy("sink", "key", "value").agg(count(lit(1)).as("occurrences"))
+
+  /** Time-bucketed histogram per sink (1h tumbling). */
+  def histogram(enriched: DataFrame, bucket: String = "1 hour"): DataFrame =
+    enriched.groupBy(window(col("ts"), bucket).as("w"), col("sink"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket_start"), col("sink"), col("n"))
+
+  /** Full batch pipeline: returns the enriched frame (lazily) with sink col. */
+  def run(spark: SparkSession, sequences: DataFrame,
+      configs: Seq[SourceConfig]): DataFrame =
+    enrich(spark, parse(sequences), configs).withColumn("sink", sinkCol)
+}

@@ -49,4 +49,20 @@ object EventsAdapter {
 
   def engine(spark: SparkSession, sfDir: String): QueryEngine =
     new QueryEngine(events(spark, sfDir), configs)
+
+  /** The same events rendered as a pre-tokenized `sequences` table
+    * (BASELINE.json input_hint shape) — lets the DuckDB oracle verify the
+    * full tokens -> parse -> enrich -> route -> aggregate pipeline, because
+    * the rendered line (and hence every downstream value) is recomputable
+    * from the structured columns.
+    */
+  def sequences(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    val ev = events(spark, sfDir)
+    val toks = graft.functions.F.text_to_tokens(col("raw"))
+    ev.select(
+      col("doc_id"),
+      toks.as("tokens"),
+      org.apache.spark.sql.functions.size(toks).as("n_tok"),
+      col("source"))
+  }
 }

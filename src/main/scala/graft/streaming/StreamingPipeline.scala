@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.{Schemas, SourceConfig}
+import graft.plans.LogPipeline
+
+/** Structured Streaming face of the pipeline (reference ingest dataflow,
+  * SURVEY.md §2.7): the file-tail + batch-flush machinery of the reference
+  * (FileWatcher 1s poll, 5000/1s channel flush) collapses into Spark's file
+  * source + micro-batch triggers; at-least-once + idempotent-insert becomes
+  * checkpointed exactly-once.
+  */
+object StreamingPipeline {
+
+  /** Streaming ingest: watch `inputDir` for new sequence parquet files,
+    * parse -> enrich -> salted fan-out append per sink. The streaming
+    * checkpoint tracks processed input files (the "offsets"); a restart with
+    * the same checkpoint processes only new files — the streaming twin of
+    * RouteJob's lineage manifests.
+    */
+  def ingest(spark: SparkSession, inputDir: String, outDir: String,
+      checkpointDir: String, configs: Seq[SourceConfig],
+      saltBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(Schemas.sequences)
+      .parquet(inputDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val enriched = LogPipeline.run(batch.sparkSession, batch, configs)
+        LogPipeline.routeWrite(enriched, outDir, saltBuckets, mode = "append")
+      }
+      .start()
+  }
+
+  /** Streaming time-bucketed histogram with a watermark (the extension
+    * aggregate, SURVEY.md §2.3/2.7): tumbling window per sink, late data
+    * beyond the watermark dropped.
+    */
+  def histogram(spark: SparkSession, inputDir: String, configs: Seq[SourceConfig],
+      queryName: String, bucket: String = "1 hour",
+      watermark: String = "2 hours"): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(Schemas.sequences)
+      .parquet(inputDir)
+    val enriched = LogPipeline.enrichStatic(LogPipeline.parse(stream), configs)
+      .withColumn("sink", LogPipeline.sinkCol)
+    enriched
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), bucket), col("sink"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"), col("sink"), col("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

