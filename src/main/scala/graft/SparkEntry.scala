@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.compile.{EventsFrame, QueryEngine}
-import graft.sources.EventsAdapter
+import graft.sources.{DocsAdapter, EventsAdapter}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -112,7 +112,53 @@ object SparkEntry {
       enriched.select(col("doc_id"),
         try_element_at(col("fields"), lit("userid")).as("userid"),
         try_element_at(col("fields"), lit("eventtype")).as("eventtype"))
-    })
+    }),
+
+    // ===== training-data pipeline operators (documents / embeddings) =====
+    // exact dedup: md5-fingerprint keep-first
+    "q_dedup_exact" -> ((s, dir) =>
+      graft.ml.TextDedup.exact(DocsAdapter.augmentedDocs(s, dir))),
+    // n-gram Jaccard pairwise within source blocks (exact quadratic baseline)
+    "q_dedup_ngram" -> ((s, dir) =>
+      graft.ml.TextDedup.ngramJaccardPairs(DocsAdapter.augmentedDocs(s, dir), 0.5)),
+    // MinHash + LSH banding -> bucket join -> verified Jaccard (scale path)
+    "q_dedup_minhash" -> ((s, dir) =>
+      graft.ml.TextDedup.minhashLshPairs(DocsAdapter.augmentedDocs(s, dir), 0.5)),
+    // SimHash signatures (32-bit, bit-parallel vote)
+    "q_simhash" -> ((s, dir) =>
+      DocsAdapter.augmentedDocs(s, dir).select(col("doc_id"),
+        graft.ml.TextDedup.simhashCol(col("text")).as("simhash"))),
+    // embedding-cosine near-dup pairs
+    "q_dedup_embedding" -> ((s, dir) =>
+      graft.ml.Similarity.cosineNearDupPairs(
+        DocsAdapter.augmentedEmbeddings(s, dir), 0.999)),
+    // brute-force cosine top-k (exact ANN baseline)
+    "q_ann_topk" -> ((s, dir) =>
+      graft.ml.Similarity.bruteForceTopK(DocsAdapter.embeddings(s, dir), 5, 10)),
+    // token counting (whitespace + BPE-ish segmentation)
+    "q_token_count" -> ((s, dir) =>
+      graft.ml.TextAnalysis.tokenCounts(DocsAdapter.docs(s, dir))),
+    // quality scoring (alpha/stopword/length bands)
+    "q_quality" -> ((s, dir) =>
+      graft.ml.TextAnalysis.qualityScore(DocsAdapter.docs(s, dir))),
+    // language-ID marker heuristic
+    "q_lang_id" -> ((s, dir) =>
+      graft.ml.TextAnalysis.langId(DocsAdapter.docs(s, dir))),
+    // document fingerprints (md5 + shared 64-bit int hash)
+    "q_fingerprint" -> ((s, dir) =>
+      graft.ml.TextAnalysis.fingerprints(DocsAdapter.docs(s, dir))),
+    // multimodal: binary payload + typed metadata through the mapPartitions
+    // decode stub (metadata projection is the oracle-comparable part)
+    "q_multimodal_meta" -> ((s, dir) =>
+      graft.ml.Multimodal.mediaMeta(s, DocsAdapter.docs(s, dir))),
+    // rows-only checks (no SQL-expressible oracle): LSH-bucketed ANN and
+    // SimHash near-dup pairs — recall asserted against the exact baselines
+    // in ScalaTest instead
+    "q_ann_lsh" -> ((s, dir) =>
+      graft.ml.Similarity.lshNearDupPairs(
+        DocsAdapter.augmentedEmbeddings(s, dir), 0.999)),
+    "q_simhash_pairs" -> ((s, dir) =>
+      graft.ml.TextDedup.simhashPairs(DocsAdapter.augmentedDocs(s, dir), 6))
   )
 
   private val RAW = EventsAdapter.RAW_SQL
@@ -174,6 +220,28 @@ object SparkEntry {
     "q_pipeline_histogram" ->
       s"SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n FROM events GROUP BY 1, 2",
     "q_pipeline_fields" ->
-      s"SELECT $DOC AS doc_id, CAST(user_id AS VARCHAR) AS userid, event_type AS eventtype FROM events"
+      s"SELECT $DOC AS doc_id, CAST(user_id AS VARCHAR) AS userid, event_type AS eventtype FROM events",
+    "q_dedup_exact" ->
+      graft.ml.TextDedup.exactSql(DocsAdapter.augmentedDocsSql()),
+    "q_dedup_ngram" ->
+      graft.ml.TextDedup.ngramJaccardPairsSql(DocsAdapter.augmentedDocsSql(), 0.5),
+    "q_dedup_minhash" ->
+      graft.ml.TextDedup.minhashLshPairsSql(DocsAdapter.augmentedDocsSql(), 0.5),
+    "q_simhash" ->
+      s"SELECT doc_id, ${graft.ml.TextDedup.simhashSqlExpr("text")} AS simhash FROM ${DocsAdapter.augmentedDocsSql()}",
+    "q_dedup_embedding" ->
+      graft.ml.Similarity.cosineNearDupPairsSql(DocsAdapter.augmentedEmbeddingsSql(), 0.999),
+    "q_ann_topk" ->
+      graft.ml.Similarity.bruteForceTopKSql("embeddings", 5, 10),
+    "q_token_count" ->
+      graft.ml.TextAnalysis.tokenCountsSql("documents"),
+    "q_quality" ->
+      graft.ml.TextAnalysis.qualityScoreSql("documents"),
+    "q_lang_id" ->
+      graft.ml.TextAnalysis.langIdSql("documents"),
+    "q_fingerprint" ->
+      graft.ml.TextAnalysis.fingerprintsSql("documents"),
+    "q_multimodal_meta" ->
+      graft.ml.Multimodal.mediaMetaSql("documents")
   )
 }

@@ -1,0 +1,132 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over `documents`:
+  * language-ID (marker-word heuristic), quality scoring, token counting,
+  * document fingerprinting. Spark plan and DuckDB oracle generated from the
+  * same constants.
+  */
+object TextAnalysis {
+
+  // --------------------------------------------------------- token counts
+
+  /** Whitespace tokens + a BPE-ish segmentation estimate (letter runs,
+    * single digits, single punctuation marks — the classic "~chars/4" proxy
+    * replaced by an explicit segmenter both engines share).
+    */
+  val BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BPE_PATTERN), lit(0))).as("bpe_tokens"),
+      length(col("text")).as("n_chars"))
+
+  def tokenCountsSql(docsRel: String): String =
+    s"""SELECT doc_id,
+       | len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       | len(regexp_extract_all(text, '$BPE_PATTERN', 0)) AS bpe_tokens,
+       | length(text) AS n_chars
+       | FROM $docsRel""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------- quality
+
+  /** Deterministic quality score in [0,1]: blend of alpha ratio, stopword
+    * ratio, mean word length band, and length band. Same arithmetic (and
+    * rounding) on both engines.
+    */
+  val STOPWORDS: Seq[String] = Seq("the", "a", "and", "of", "to", "is", "in", "for")
+
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val words = split(TextDedup.normalizeCol(col("text")), " ")
+    val nWords = size(words)
+    val alphaChars = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    val alphaRatio = alphaChars.cast("double") / greatest(length(col("text")), lit(1))
+    val stopCount = size(filter(words, w => w.isInCollection(STOPWORDS)))
+    val stopRatio = stopCount.cast("double") / greatest(nWords, lit(1))
+    val meanWordLen = aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      greatest(nWords, lit(1))
+    val lengthBand = when(length(col("text")) >= 200 && length(col("text")) <= 2000, 1.0)
+      .when(length(col("text")) >= 50, 0.5).otherwise(0.0)
+    val wordLenBand = when(meanWordLen >= 3 && meanWordLen <= 10, 1.0).otherwise(0.3)
+    val score = round(
+      alphaRatio * 0.3 + least(stopRatio * lit(3.0), lit(1.0)) * 0.3 +
+        lengthBand * 0.2 + wordLenBand * 0.2, 4)
+    docs.select(col("doc_id"), round(alphaRatio, 4).as("alpha_ratio"),
+      round(stopRatio, 4).as("stop_ratio"), score.as("quality"))
+  }
+
+  def qualityScoreSql(docsRel: String): String = {
+    val norm = TextDedup.normalizeSql("text")
+    val stopList = STOPWORDS.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       | round(alpha_chars / greatest(length(text), 1), 4) AS alpha_ratio,
+       | round(stop_count / greatest(n_words, 1), 4) AS stop_ratio,
+       | round((alpha_chars / greatest(length(text), 1)) * 0.3
+       |   + least((stop_count / greatest(n_words, 1)) * 3.0, 1.0) * 0.3
+       |   + (CASE WHEN length(text) BETWEEN 200 AND 2000 THEN 1.0 WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END) * 0.2
+       |   + (CASE WHEN (char_sum / greatest(n_words, 1)) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.3 END) * 0.2, 4) AS quality
+       |FROM (SELECT doc_id, text,
+       |   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars,
+       |   CAST(len(string_split($norm, ' ')) AS DOUBLE) AS n_words,
+       |   CAST(len(list_filter(string_split($norm, ' '), w -> list_contains($stopList, w))) AS DOUBLE) AS stop_count,
+       |   CAST(list_sum(list_transform(string_split($norm, ' '), w -> length(w))) AS DOUBLE) AS char_sum
+       | FROM $docsRel)""".stripMargin.replace("\n", " ")
+  }
+
+  // -------------------------------------------------------------- lang id
+
+  /** Marker-word language heuristic. Marker sets are deliberately tiny (the
+    * corpus is synthetic); determinism and cross-engine parity are the
+    * point, with a fixed precedence for ties.
+    */
+  val LANG_MARKERS: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "que"),
+    "zh" -> Seq("de5", "shi4", "le5"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val words = split(TextDedup.normalizeCol(col("text")), " ")
+    val counts = LANG_MARKERS.map { case (lang, markers) =>
+      lang -> size(filter(words, w => w.isInCollection(markers)))
+    }
+    // argmax with declaration-order precedence on ties; 0 markers -> unknown
+    val best = counts.foldLeft((lit("unknown"), lit(0))) {
+      case ((bl, bc), (lang, c)) => (when(c > bc, lit(lang)).otherwise(bl), greatest(c, bc))
+    }
+    docs.select(col("doc_id"), best._1.as("lang_pred"), best._2.as("marker_hits"))
+  }
+
+  def langIdSql(docsRel: String): String = {
+    val norm = TextDedup.normalizeSql("text")
+    val countCols = LANG_MARKERS.map { case (lang, markers) =>
+      val lst = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split($norm, ' '), w -> list_contains($lst, w))) AS c_$lang"
+    }
+    val (bestLang, bestCnt) = LANG_MARKERS.foldLeft(("'unknown'", "0")) {
+      case ((bl, bc), (lang, _)) =>
+        (s"(CASE WHEN c_$lang > $bc THEN '$lang' ELSE $bl END)", s"greatest(c_$lang, $bc)")
+    }
+    s"""SELECT doc_id, $bestLang AS lang_pred, $bestCnt AS marker_hits
+       |FROM (SELECT doc_id, ${countCols.mkString(", ")} FROM $docsRel)""".stripMargin.replace("\n", " ")
+  }
+
+  // --------------------------------------------------------- fingerprints
+
+  /** Document fingerprints: md5 of normalized text + the shared 64-bit
+    * integer hash (rolling-hash analog usable as a join/dedup key).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(TextDedup.normalizeCol(col("text"))).as("fp_md5"),
+      TextDedup.hash64Col(TextDedup.normalizeCol(col("text"))).as("fp_int"))
+
+  def fingerprintsSql(docsRel: String): String = {
+    val norm = TextDedup.normalizeSql("text")
+    s"SELECT doc_id, md5(norm) AS fp_md5, ${TextDedup.hash64Sql("norm")} AS fp_int FROM (SELECT doc_id, $norm AS norm FROM $docsRel)"
+  }
+}

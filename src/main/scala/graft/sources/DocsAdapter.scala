@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Documents/embeddings adapters for the training-data operators.
+  *
+  * The raw synthetic corpus has no duplicates, so dedup operators would
+  * return empty (trivially matching) results. Both engines therefore derive
+  * the same *augmented* set: a deterministic subset plus exact copies and
+  * near-copies with shifted ids — giving every dedup operator a non-empty,
+  * fully-oracled answer.
+  */
+object DocsAdapter {
+  val EXACT_SHIFT = 1000000L
+  val NEAR_SHIFT = 2000000L
+  val NEAR_SUFFIX = " extra trailing words appended here"
+
+  /** Subset (1/`mod` of docs) + exact copies (ids % 7) + near copies (ids % 13). */
+  def augmentedDocs(spark: SparkSession, sfDir: String, mod: Int = 10): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(mod)) === 0)
+    val exact = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("doc_id", col("doc_id") + EXACT_SHIFT)
+    val near = d.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .withColumn("doc_id", col("doc_id") + NEAR_SHIFT)
+      .withColumn("text", concat(col("text"), lit(NEAR_SUFFIX)))
+    d.unionByName(exact).unionByName(near)
+  }
+
+  /** DuckDB twin of [[augmentedDocs]] as a relation expression. */
+  def augmentedDocsSql(mod: Int = 10): String =
+    s"""(SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % $mod = 0
+       | UNION ALL SELECT doc_id + $EXACT_SHIFT, text, lang, source, n_chars FROM documents WHERE doc_id % $mod = 0 AND doc_id % 7 = 0
+       | UNION ALL SELECT doc_id + $NEAR_SHIFT, text || '$NEAR_SUFFIX', lang, source, n_chars FROM documents WHERE doc_id % $mod = 0 AND doc_id % 13 = 0)""".stripMargin.replace("\n", " ")
+
+  val VEC_SHIFT = 100000L
+
+  /** Embedding subset (1/`mod`) + exact copies of ids % 5 under shifted ids. */
+  def augmentedEmbeddings(spark: SparkSession, sfDir: String, mod: Int = 25): DataFrame = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(mod)) === 0)
+    val copies = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .withColumn("vec_id", col("vec_id") + VEC_SHIFT)
+    e.unionByName(copies)
+  }
+
+  def augmentedEmbeddingsSql(mod: Int = 25): String =
+    s"""(SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % $mod = 0
+       | UNION ALL SELECT vec_id + $VEC_SHIFT, embedding, label FROM embeddings WHERE vec_id % $mod = 0 AND vec_id % 5 = 0)""".stripMargin.replace("\n", " ")
+
+  def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+}

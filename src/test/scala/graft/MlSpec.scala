@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.{Multimodal, Similarity, TextDedup}
+import graft.sources.DocsAdapter
+
+/** Training-data operator tests: dedup family, similarity search, multimodal
+  * plumbing. The sf0.001 testdata + deterministic augmentation gives known
+  * duplicate pairs.
+  */
+class MlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("exact dedup flags exactly the planted copies") {
+    val docs = DocsAdapter.augmentedDocs(spark, dir)
+    val res = TextDedup.exact(docs)
+    val dups = res.filter(col("is_dup")).select("doc_id").collect().map(_.getLong(0)).toSet
+    // every planted exact copy (id >= EXACT_SHIFT, < NEAR_SHIFT) must be a dup
+    val planted = docs.filter(col("doc_id") >= DocsAdapter.EXACT_SHIFT &&
+      col("doc_id") < DocsAdapter.NEAR_SHIFT).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty && planted.subsetOf(dups))
+    // near copies (text changed) must NOT be exact dups
+    assert(!dups.exists(_ >= DocsAdapter.NEAR_SHIFT))
+  }
+
+  test("minhash LSH finds every exact pair and the near pairs; no false positives vs threshold") {
+    val docs = DocsAdapter.augmentedDocs(spark, dir)
+    val lsh = TextDedup.minhashLshPairs(docs, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = docs.filter(col("doc_id") >= DocsAdapter.EXACT_SHIFT &&
+      col("doc_id") < DocsAdapter.NEAR_SHIFT).select("doc_id").collect()
+      .map(r => (r.getLong(0) - DocsAdapter.EXACT_SHIFT, r.getLong(0))).toSet
+    assert(exactPairs.subsetOf(lsh), s"missing: ${exactPairs.diff(lsh)}")
+    // verified-jaccard filter means every reported pair is a true near-dup:
+    // compare against the exhaustive quadratic baseline (unblocked — LSH
+    // searches across sources, so the baseline must too)
+    val brute = TextDedup.ngramJaccardPairs(docs.withColumn("source", lit("all")), 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+    // recall of LSH vs exhaustive at this threshold
+    assert(lsh.size.toDouble / brute.size >= 0.9, s"LSH recall ${lsh.size}/${brute.size}")
+  }
+
+  test("simhash: identical docs share signatures; near docs within small hamming") {
+    val docs = DocsAdapter.augmentedDocs(spark, dir)
+    val pairs = TextDedup.simhashPairs(docs, 6)
+      .select("doc_a", "doc_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val exactPairs = docs.filter(col("doc_id") >= DocsAdapter.EXACT_SHIFT &&
+      col("doc_id") < DocsAdapter.NEAR_SHIFT).select("doc_id").collect()
+      .map(r => (r.getLong(0) - DocsAdapter.EXACT_SHIFT, r.getLong(0)))
+    exactPairs.foreach { p =>
+      assert(pairs.get(p).contains(0), s"exact copy pair $p should have distance 0")
+    }
+  }
+
+  test("LSH ANN achieves full recall on the planted identical vectors") {
+    val emb = DocsAdapter.augmentedEmbeddings(spark, dir)
+    val exact = Similarity.cosineNearDupPairs(emb, 0.999)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(emb, 0.999)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(exact == lsh, s"identical vectors always collide in every LSH band: ${exact.diff(lsh)}")
+  }
+
+  test("brute-force topk: self excluded, k rows per query, sims descending") {
+    val topk = Similarity.bruteForceTopK(DocsAdapter.embeddings(spark, dir), 3, 5).collect()
+    val byQ = topk.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.length == 5)
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(!rows.exists(r => r.getLong(2) == r.getLong(0))) // no self
+    }
+  }
+
+  test("multimodal decode stub: deterministic features, balanced partitions") {
+    val media = Multimodal.mediaTable(DocsAdapter.docs(spark, dir))
+    val feats = Multimodal.decodeStub(spark, media, partitions = 4)
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    rows.foreach { f =>
+      assert(f.feature.length == 8)
+      assert(f.entropy >= 0.0 && f.entropy <= 8.0)
+      assert(f.head_hex.length == 16)
+    }
+    // determinism across runs
+    val again = Multimodal.decodeStub(spark, media, partitions = 2).collect()
+    assert(rows.sortBy(_.doc_id).map(_.entropy).toSeq ==
+      again.sortBy(_.doc_id).map(_.entropy).toSeq)
+  }
+}
