@@ -82,6 +82,13 @@ object SparkEntry {
       eng(s, dir).run("").df
         .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
         .select(col("doc_id"))),
+    // O3 skip/take pagination of job results (Web.go:220-257)
+    "q_pagination" -> ((s, dir) => {
+      val e = eng(s, dir)
+      val api = new graft.api.JobsApi(e)
+      val job = api.startJob("eventtype IN (purchase, view)")
+      api.jobResults(job.id, 100, 50).select(col("doc_id"))
+    }),
     // S5 ingest dedup on (host, source, ts, offset)
     "q_dedup_ingest" -> ((s, dir) => {
       val ev = EventsAdapter.events(s, dir)
@@ -126,8 +133,8 @@ object SparkEntry {
       graft.ml.TextDedup.minhashLshPairs(DocsAdapter.augmentedDocs(s, dir), 0.5)),
     // SimHash signatures (32-bit, bit-parallel vote)
     "q_simhash" -> ((s, dir) =>
-      DocsAdapter.augmentedDocs(s, dir).select(col("doc_id"),
-        graft.ml.TextDedup.simhashCol(col("text")).as("simhash"))),
+      graft.ml.TextDedup.withSimhash(DocsAdapter.augmentedDocs(s, dir))
+        .select(col("doc_id"), col("simhash"))),
     // embedding-cosine near-dup pairs
     "q_dedup_embedding" -> ((s, dir) =>
       graft.ml.Similarity.cosineNearDupPairs(
@@ -215,6 +222,8 @@ object SparkEntry {
       s"SELECT $DOC AS doc_id FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'",
     "q_dedup_ingest" ->
       s"SELECT $DOC AS doc_id FROM events",
+    "q_pagination" ->
+      s"SELECT $DOC AS doc_id FROM events WHERE event_type IN ('purchase', 'view') ORDER BY ts DESC, $DOC LIMIT 50 OFFSET 100",
     "q_pipeline_sinkcounts" ->
       s"SELECT regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, 'events-host' AS host, count(*) AS n FROM events GROUP BY 1",
     "q_pipeline_histogram" ->

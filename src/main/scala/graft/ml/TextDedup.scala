@@ -116,12 +116,33 @@ object TextDedup {
   val COEF_A: Seq[Long] = (0 until NUM_HASHES).map(i => (1103515245L * (i + 1) + 12345L) % MOD | 1L)
   val COEF_B: Seq[Long] = (0 until NUM_HASHES).map(i => (134775813L * (i + 1) + 1L) % MOD)
 
-  /** MinHash signature column: array of NUM_HASHES longs. `x` is reduced to
-    * 31 bits so a*x+b stays inside int64 (DuckDB BIGINT arithmetic is
-    * checked, so wraparound must be avoided, not relied upon).
+  /** MinHash signature from an already-materialized shingle-hash array
+    * column. `xs` MUST be a plain column reference: passing the hash
+    * expression directly would clone the whole shingle+md5 subtree into all
+    * NUM_HASHES branches (observed 16x recompute before staging).
     */
+  def minhashFromHashes(xs: Column): Column =
+    array((0 until NUM_HASHES).map { i =>
+      array_min(transform(xs, x => pmod(x * lit(COEF_A(i)) + lit(COEF_B(i)), lit(MOD))))
+    }: _*)
+
+  /** 31-bit shingle hashes (31 bits so a*x+b stays inside int64 — DuckDB
+    * BIGINT arithmetic is checked, so wraparound must be avoided).
+    */
+  def shingleHashesCol(text: Column): Column =
+    transform(shinglesCol(text), s => pmod(hash64Col(s), lit(2147483647L)))
+
+  /** docs + `mh` minhash signature column, staged so shingling/hashing runs
+    * once per row.
+    */
+  def withMinhash(docs: DataFrame): DataFrame =
+    docs.withColumn("_xs", shingleHashesCol(col("text")))
+      .withColumn("mh", minhashFromHashes(col("_xs")))
+      .drop("_xs")
+
+  /** One-expression variant (convenience; prefer [[withMinhash]] in plans). */
   def minhashCol(text: Column): Column = {
-    val xs = transform(shinglesCol(text), s => pmod(hash64Col(s), lit(2147483647L)))
+    val xs = shingleHashesCol(text)
     array((0 until NUM_HASHES).map { i =>
       array_min(transform(xs, x => pmod(x * lit(COEF_A(i)) + lit(COEF_B(i)), lit(MOD))))
     }: _*)
@@ -142,8 +163,7 @@ object TextDedup {
     * per-bucket joins, never a global cross join.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sigs = docs.select(col("doc_id"), col("text"))
-      .withColumn("mh", minhashCol(col("text")))
+    val sigs = withMinhash(docs.select(col("doc_id"), col("text")))
     val bands = sigs.select(col("doc_id"), col("mh"),
       explode(array((0 until BANDS).map { b =>
         struct(lit(b).as("band"),
@@ -195,14 +215,30 @@ object TextDedup {
     */
   val SIMHASH_BITS = 32
 
-  def simhashCol(text: Column): Column = {
-    val hs = transform(array_distinct(split(normalizeCol(text), " ")), w => hash64Col(w))
+  /** SimHash from a materialized word-hash array column (same staging rule
+    * as [[minhashFromHashes]] — the hash subtree must not be cloned into all
+    * 32 bit branches).
+    */
+  def simhashFromHashes(hs: Column): Column = {
     val total = size(hs)
     (0 until SIMHASH_BITS).map { j =>
       when(size(filter(hs, h => shiftright(h, j).bitwiseAND(lit(1L)) === lit(1L))) * 2 > total,
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  def wordHashesCol(text: Column): Column =
+    transform(array_distinct(split(normalizeCol(text), " ")), w => hash64Col(w))
+
+  /** docs + `simhash` column, staged. */
+  def withSimhash(docs: DataFrame): DataFrame =
+    docs.withColumn("_hs", wordHashesCol(col("text")))
+      .withColumn("simhash", simhashFromHashes(col("_hs")))
+      .drop("_hs")
+
+  /** One-expression variant (prefer [[withSimhash]] in plans). */
+  def simhashCol(text: Column): Column =
+    simhashFromHashes(wordHashesCol(text))
 
   def simhashSqlExpr(text: String): String = {
     val terms = (0 until SIMHASH_BITS).map { j =>
@@ -219,7 +255,8 @@ object TextDedup {
     * share at least one band, verified by Hamming distance <= maxDist.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhashCol(col("text")).as("sh"))
+    val sigs = withSimhash(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("simhash").as("sh"))
     val bands = sigs.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
