@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions._
+
+/** SQL surface: the engine's expressions as SQL functions, for
+  * `spark.sql("SELECT graft_fields(raw, host, source) ...")` users.
+  *
+  * Two registration paths:
+  *  - `--conf spark.sql.extensions=graft.GraftExtensions` (session build)
+  *  - `GraftExtensions.register(spark)` (runtime, existing session)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def str(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case _ => throw new IllegalArgumentException(s"$what must be a string literal")
+  }
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("tokens_to_text",
+      new ExpressionInfo(classOf[TokensToText].getName, "tokens_to_text"),
+      (es: Seq[Expression]) => TokensToText(es.head)),
+    ("text_to_tokens",
+      new ExpressionInfo(classOf[TextToTokens].getName, "text_to_tokens"),
+      (es: Seq[Expression]) => TextToTokens(es.head)),
+    // rex-style ad-hoc extraction: graft_rex(raw, '<regex>')
+    ("graft_rex",
+      new ExpressionInfo(classOf[RegexExtractToMap].getName, "graft_rex"),
+      (es: Seq[Expression]) => RegexExtractToMap(es.head,
+        Literal(null, StringType), Literal(null, StringType),
+        Seq(str(es(1), "graft_rex regex")), "", inject = false)),
+    // full search-time extraction with host/source injection:
+    // graft_fields(raw, host, source, '<extractor>'...)
+    ("graft_fields",
+      new ExpressionInfo(classOf[RegexExtractToMap].getName, "graft_fields"),
+      (es: Seq[Expression]) => RegexExtractToMap(es.head, es(1), es(2),
+        es.drop(3).map(str(_, "graft_fields extractor")), "_time", inject = true)),
+    // json top-level extraction with Go %f stringification
+    ("graft_json_fields",
+      new ExpressionInfo(classOf[JsonToFieldsMap].getName, "graft_json_fields"),
+      (es: Seq[Expression]) => JsonToFieldsMap(es.head,
+        Literal(null, StringType), Literal(null, StringType), "", inject = false)),
+    // last-wins map merge
+    ("graft_map_union",
+      new ExpressionInfo(classOf[MapUnion].getName, "graft_map_union"),
+      (es: Seq[Expression]) => MapUnion(es.head, es(1)))
+  )
+
+  /** Register into an existing session's function registry. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+}

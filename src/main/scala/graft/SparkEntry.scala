@@ -19,10 +19,15 @@ object SparkEntry {
 
   private def eng(s: SparkSession, dir: String): QueryEngine = EventsAdapter.engine(s, dir)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
+    * full north-rule pipeline — tokens -> parse -> enrich -> per-sink
+    * aggregate with row-set signatures.
+    */
   def entry(spark: SparkSession): DataFrame =
-    eng(spark, "/root/testdata/sf0.001")
-      .run("error | table \"userid,eventtype,_time\"").df
+    graft.plans.LogPipeline.sinkSummary(
+      graft.plans.LogPipeline.run(spark,
+        EventsAdapter.sequences(spark, "/root/testdata/sf0.001"),
+        EventsAdapter.configs))
 
   def queries: Map[String, Q] = Map(
     // P4 fragment filter (word-boundary, case-insensitive)
@@ -158,6 +163,20 @@ object SparkEntry {
     // decode stub (metadata projection is the oracle-comparable part)
     "q_multimodal_meta" -> ((s, dir) =>
       graft.ml.Multimodal.mediaMeta(s, DocsAdapter.docs(s, dir))),
+    // Structured Streaming histogram: watermarked windowed agg through the
+    // streaming pipeline, trigger AvailableNow over a staged copy; the
+    // oracle is the equivalent batch SQL (streaming==batch parity)
+    "q_stream_histogram" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
+      EventsAdapter.sequences(s, dir).write.mode("overwrite").parquet(tmp)
+      val name = s"shq_${System.nanoTime()}"
+      val q = graft.streaming.StreamingPipeline.histogram(
+        s, tmp, EventsAdapter.configs, name)
+      q.awaitTermination()
+      s.table(name).select(
+        date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+        col("sink"), col("n"))
+    }),
     // rows-only checks (no SQL-expressible oracle): LSH-bucketed ANN and
     // SimHash near-dup pairs — recall asserted against the exact baselines
     // in ScalaTest instead
@@ -251,6 +270,8 @@ object SparkEntry {
     "q_fingerprint" ->
       graft.ml.TextAnalysis.fingerprintsSql("documents"),
     "q_multimodal_meta" ->
-      graft.ml.Multimodal.mediaMetaSql("documents")
+      graft.ml.Multimodal.mediaMetaSql("documents"),
+    "q_stream_histogram" ->
+      s"SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n FROM events GROUP BY 1, 2"
   )
 }

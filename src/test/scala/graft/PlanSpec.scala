@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.compile.QueryEngine
+import graft.data.SequenceGen
+import graft.plans.{LogPipeline, RouteJob}
+import graft.sources.EventsAdapter
+
+/** Physical-plan invariants — the scale properties the 100 TB deployment
+  * depends on. These assert the *plan*, not the result: a regression that
+  * silently de-optimizes (lost pushdown, broadcast flipped to shuffle join,
+  * extraction moved under the filter) fails here even though results stay
+  * correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("time bound reaches the parquet scan (predicate pushdown)") {
+    val e = EventsAdapter.engine(spark, dir)
+    val f = e.run("error", Some(Timestamp.valueOf("2024-01-02 00:00:00")), None)
+    val plan = f.df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"ts bound must be pushed to parquet:\n$plan")
+  }
+
+  test("fragment filter evaluates below the extraction projection") {
+    val e = EventsAdapter.engine(spark, dir)
+    val plan = e.run("error").df.queryExecution.executedPlan.toString
+    // the RLIKE filter must sit deeper in the tree than the extractevent
+    // projection — extraction only runs on rows that survive the fragments
+    val rlikePos = plan.indexOf("RLIKE")
+    val extractPos = plan.indexOf("extractevent")
+    assert(rlikePos > extractPos && extractPos >= 0,
+      s"filter should be below (printed after) the extraction project:\n$plan")
+  }
+
+  test("column pruning: scan reads only referenced columns") {
+    val e = EventsAdapter.engine(spark, dir)
+    // count of a fragment search needs ts? no — only raw inputs
+    val plan = e.run("error").df.select(col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("props"), "unused column 'props' must be pruned")
+    assert(plan.contains("ReadSchema"), plan)
+  }
+
+  test("enrich is a broadcast hash join, not a shuffle join") {
+    val seqs = SequenceGen.sequences(spark, 1000, 2)
+    val plan = LogPipeline.run(spark, seqs, SequenceGen.configs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"enrich must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join in enrich:\n$plan")
+  }
+
+  test("routed-sink query prunes sink partitions") {
+    val in = Files.createTempDirectory("graft-plan-in").toString
+    SequenceGen.sequences(spark, 800, 2).write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("graft-plan-out").toString
+    new RouteJob(spark, out, batches = 2).run(in, SequenceGen.configs)
+    val sinks = LogPipeline.openSinks(spark, out)
+    val plan = sinks.filter(col("sink") === "log-0_txt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(sink"),
+      s"sink filter must prune partitions:\n$plan")
+  }
+
+  test("parse stage is one whole-stage-codegen span (no mid-parse exchange)") {
+    val seqs = SequenceGen.sequences(spark, 1000, 2)
+    val parsed = LogPipeline.enrichStatic(LogPipeline.parse(seqs), SequenceGen.configs)
+    val plan = parsed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"static parse+enrich must not shuffle:\n$plan")
+    assert(plan.startsWith("*"), s"parse stage must be codegen'd:\n$plan")
+  }
+
+  test("ANN brute force broadcasts the query side") {
+    val plan = graft.ml.Similarity.bruteForceTopK(
+      graft.sources.DocsAdapter.embeddings(spark, dir), 5, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$plan")
+  }
+}
