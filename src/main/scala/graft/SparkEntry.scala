@@ -183,6 +183,10 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) =>
       graft.ml.Similarity.lshNearDupPairs(
         DocsAdapter.augmentedEmbeddings(s, dir), 0.999)),
+    // IVF-partitioned ANN (coarse quantizer + probed-cell exact rank);
+    // recall asserted vs the brute-force baseline in MlSpec
+    "q_ann_ivf" -> ((s, dir) =>
+      graft.ml.Similarity.ivfTopK(DocsAdapter.embeddings(s, dir), 5, 10)),
     "q_simhash_pairs" -> ((s, dir) =>
       graft.ml.TextDedup.simhashPairs(DocsAdapter.augmentedDocs(s, dir), 6))
   )

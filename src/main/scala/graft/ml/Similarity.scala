@@ -83,6 +83,82 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path beside LSH.
+  // Index build: one k-means (Lloyd) iteration over a deterministic sample
+  // seeds C centroids; every vector is then assigned to its nearest centroid
+  // by a pure map expression (centroids inlined as literals — the "model" is
+  // a dim-table-sized artifact, exactly like a broadcast dimension). At
+  // query time only the nProbe nearest cells are scanned, so per-query cost
+  // is |probed cells|, not |table|; the big side never cross-joins.
+  // ------------------------------------------------------------------
+
+  /** Nearest-centroid cell id for a vector column: argmax cosine over the
+    * inlined centroid literals (ties -> lowest cid). Pure projection — the
+    * 10^12-row assignment pass is map-only, no shuffle.
+    */
+  def ivfCell(v: Column, centroids: Array[Array[Float]]): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(v, typedLit(c.toSeq)).as("s"), lit(-i).as("ni"))
+    }: _*)
+    (array_max(scored)("ni") * -1).cast("int")
+  }
+
+  /** Top-`nProbe` cells for a query vector, nearest-first. */
+  def ivfProbes(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(v, typedLit(c.toSeq)).as("s"), lit(-i).as("ni"))
+    }: _*)
+    transform(slice(reverse(array_sort(scored)), 1, nProbe),
+      e => (e("ni") * -1).cast("int"))
+  }
+
+  /** Coarse quantizer: C centroids = one Lloyd iteration over a deterministic
+    * sample (`vec_id % sampleMod == 0`), seeded by the C lowest vec_ids.
+    * Cells that lose all sample members keep their seed. Driver-side result
+    * is C x dim floats (tiny); at 100 TB the sample keeps this one cheap
+    * aggregation pass bounded.
+    */
+  def ivfCentroids(emb: DataFrame, nCells: Int, sampleMod: Int = 1): Array[Array[Float]] = {
+    val sample =
+      if (sampleMod > 1) emb.filter(pmod(col("vec_id"), lit(sampleMod)) === 0) else emb
+    val seeds: Array[Array[Float]] = sample.orderBy("vec_id").limit(nCells)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    // one Lloyd step: assign sample to seed cells (map-only), then per-cell
+    // per-dim mean — a (cell, dim)-keyed partial-agg shuffle of tiny width
+    val means = sample.withColumn("cell", ivfCell(col("embedding"), seeds))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("cell", "d").agg(avg(col("x")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+      }
+    seeds.indices.map(i => means.getOrElse(i, seeds(i))).toArray
+  }
+
+  /** IVF top-k: exact cosine rank within the nProbe probed cells per query.
+    * The probe fan-out (queries x nProbe) stays on the tiny broadcast side;
+    * the indexed table joins on its map-derived `cell` key.
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, sampleMod: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = ivfCentroids(emb, nCells, sampleMod)
+    val indexed = emb.withColumn("cell", ivfCell(col("embedding"), cents))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("cell", explode(ivfProbes(col("qv"), cents, nProbe)))
+    val scored = indexed.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(cosine(col("embedding"), col("qv")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
+  }
+
   /** ANN via LSH: exact cosine only within same-signature-band buckets.
     * Scale path: shuffle cost is rows x bands, never a cross join.
     */

@@ -67,6 +67,41 @@ class MlSpec extends AnyFunSuite {
     assert(exact == lsh, s"identical vectors always collide in every LSH band: ${exact.diff(lsh)}")
   }
 
+  test("IVF ANN: planted identical vectors found at rank 1; recall vs brute force") {
+    val emb = DocsAdapter.augmentedEmbeddings(spark, dir)
+    // the augmented set keeps vec_id % 25 == 0, so ids below 75 are 0/25/50;
+    // each is % 5 == 0 and thus has a bit-identical planted copy at
+    // qid + VEC_SHIFT -> same IVF cell -> must surface at rank 1, sim 1.0
+    val nq = 75; val k = 5
+    val ivf = Similarity.ivfTopK(emb, nq, k, nCells = 8, nProbe = 3).collect()
+    val byQ = ivf.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 25L, 50L))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length == k)
+      assert(!rows.exists(r => r.getLong(2) == qid)) // no self
+      val top = rows.minBy(_.getInt(1))
+      assert(top.getLong(2) == qid + DocsAdapter.VEC_SHIFT && top.getDouble(3) == 1.0,
+        s"planted copy of query $qid must be its nearest neighbor, got $top")
+    }
+    // recall@k vs the exhaustive baseline with nProbe=3 of 8 cells
+    val brute = Similarity.bruteForceTopK(emb, nq, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = hits.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall@$k = $recall")
+  }
+
+  test("IVF cell assignment is a pure projection (no shuffle in the index build)") {
+    val emb = DocsAdapter.embeddings(spark, dir)
+    val cents = Similarity.ivfCentroids(emb, 8)
+    val indexed = emb.withColumn("cell", Similarity.ivfCell(col("embedding"), cents))
+    val physical = indexed.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"), s"index build must be map-only:\n$physical")
+    // every vector lands in a valid cell
+    val cells = indexed.select("cell").distinct().collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < 8))
+  }
+
   test("brute-force topk: self excluded, k rows per query, sims descending") {
     val topk = Similarity.bruteForceTopK(DocsAdapter.embeddings(spark, dir), 3, 5).collect()
     val byQ = topk.groupBy(_.getLong(0))
