@@ -177,14 +177,13 @@ object SparkEntry {
         date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
         col("sink"), col("n"))
     }),
-    // rows-only checks (no SQL-expressible oracle): LSH-bucketed ANN and
-    // SimHash near-dup pairs — recall asserted against the exact baselines
-    // in ScalaTest instead
+    // LSH-bucketed ANN pairs (signature + banding replicated in the oracle;
+    // recall additionally asserted against the exact baseline in MlSpec)
     "q_ann_lsh" -> ((s, dir) =>
       graft.ml.Similarity.lshNearDupPairs(
         DocsAdapter.augmentedEmbeddings(s, dir), 0.999)),
-    // IVF-partitioned ANN (coarse quantizer + probed-cell exact rank);
-    // recall asserted vs the brute-force baseline in MlSpec
+    // IVF-partitioned ANN (coarse quantizer + probed-cell exact rank); the
+    // oracle replicates the full index build; recall also vs brute force
     "q_ann_ivf" -> ((s, dir) =>
       graft.ml.Similarity.ivfTopK(DocsAdapter.embeddings(s, dir), 5, 10)),
     "q_simhash_pairs" -> ((s, dir) =>
@@ -276,6 +275,12 @@ object SparkEntry {
     "q_multimodal_meta" ->
       graft.ml.Multimodal.mediaMetaSql("documents"),
     "q_stream_histogram" ->
-      s"SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n FROM events GROUP BY 1, 2"
+      s"SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n FROM events GROUP BY 1, 2",
+    "q_ann_lsh" ->
+      graft.ml.Similarity.lshNearDupPairsSql(DocsAdapter.augmentedEmbeddingsSql(), 0.999),
+    "q_ann_ivf" ->
+      graft.ml.Similarity.ivfTopKSql("embeddings", 5, 10),
+    "q_simhash_pairs" ->
+      graft.ml.TextDedup.simhashPairsSql(DocsAdapter.augmentedDocsSql(), 6)
   )
 }

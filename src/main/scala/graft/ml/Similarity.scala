@@ -69,11 +69,19 @@ object Similarity {
     * is a deterministic +/-1 from a bit-mix of (j, d) — no stored model, so
     * executors recompute it for free and the signature is reproducible.
     * Near vectors collide in at least one band with high probability.
+    *
+    * The mix must be nonlinear mod 2: parity of `a*j + b*d` with odd a, b is
+    * just parity of j+d, which collapses all hyperplanes to two distinct
+    * ones (and LSH buckets to <=4 values — a near cross join at scale). An
+    * xor-shift + Lehmer step decorrelates the sign bits; all intermediates
+    * stay < 2^53 so the same arithmetic is exact in any engine's int64.
     */
   def lshSignature(v: Column, nBits: Int = 16): Column = {
     def hyper(j: Int, d: Column): Column = {
-      val mixed = (lit(j.toLong * 1315423911L) + d.cast("long") * lit(2654435761L)) % 2
-      when(pmod(mixed, lit(2L)) === 0, lit(1.0)).otherwise(lit(-1.0))
+      val a = lit(j.toLong * 1315423911L) + (d.cast("long") + 1L) * lit(2654435761L)
+      val b = pmod(a.bitwiseXOR(shiftright(a, 13)), lit(2147483647L))
+      val c = pmod(b * lit(48271L), lit(2147483647L))
+      when(pmod(c, lit(2L)) === 0, lit(1.0)).otherwise(lit(-1.0))
     }
     (0 until nBits).map { j =>
       val dot = aggregate(
@@ -81,6 +89,24 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[lshSignature]] over a DOUBLE[] expression. The sign of
+    * the per-plane dot product is fp-order-sensitive only when the dot is
+    * ~0 relative to the vector norm — not the case for the unit-ish
+    * synthetic embeddings — and both engines fold the products in index
+    * order.
+    */
+  def lshSignatureSql(vec: String, nBits: Int = 16): String = {
+    def hyper(j: Int): String = {
+      val a = s"(${j.toLong * 1315423911L} + (d + 1) * 2654435761)"
+      val b = s"(xor($a, $a >> 13) % 2147483647)"
+      s"(CASE WHEN ($b * 48271) % 2147483647 % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    }
+    val bits = (0 until nBits).map { j =>
+      s"(CASE WHEN list_sum(list_transform(range(len(v)), d -> v[d + 1] * ${hyper(j)})) > 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    s"(SELECT ${bits.mkString(" + ")} FROM (SELECT CAST($vec AS DOUBLE[]) AS v))"
   }
 
   // ------------------------------------------------------------------
@@ -95,19 +121,24 @@ object Similarity {
 
   /** Nearest-centroid cell id for a vector column: argmax cosine over the
     * inlined centroid literals (ties -> lowest cid). Pure projection — the
-    * 10^12-row assignment pass is map-only, no shuffle.
+    * 10^12-row assignment pass is map-only, no shuffle. The similarity is
+    * rounded to 9 dp before the argmax so the assignment is reproducible
+    * across engines (raw doubles differ in the last bits between fp fold
+    * orders; 9 dp absorbs that while real ties stay astronomically rare).
     */
   def ivfCell(v: Column, centroids: Array[Array[Float]]): Column = {
     val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(v, typedLit(c.toSeq)).as("s"), lit(-i).as("ni"))
+      struct(round(cosine(v, typedLit(c.toSeq)), 9).as("s"), lit(-i).as("ni"))
     }: _*)
     (array_max(scored)("ni") * -1).cast("int")
   }
 
-  /** Top-`nProbe` cells for a query vector, nearest-first. */
+  /** Top-`nProbe` cells for a query vector, nearest-first (ties -> lowest
+    * cid), same 9-dp rounding rule as [[ivfCell]].
+    */
   def ivfProbes(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column = {
     val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(v, typedLit(c.toSeq)).as("s"), lit(-i).as("ni"))
+      struct(round(cosine(v, typedLit(c.toSeq)), 9).as("s"), lit(-i).as("ni"))
     }: _*)
     transform(slice(reverse(array_sort(scored)), 1, nProbe),
       e => (e("ni") * -1).cast("int"))
@@ -157,6 +188,57 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
+  }
+
+  /** DuckDB twin of [[ivfTopK]] (sampleMod=1): replicates the seed choice,
+    * the one Lloyd step (argmax at 9 dp, per-dim mean truncated to float —
+    * matching Spark's Array[Float] centroid materialization), the probed
+    * cells, and the final 6-dp rank.
+    */
+  def ivfTopKSql(embRel: String, nQueries: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): String = {
+    def nearest(vec: String, rel: String, n: Int): String =
+      s"""(SELECT list(cid ORDER BY s DESC, cid ASC)[1 : $n] FROM
+         | (SELECT cid, round(list_cosine_similarity(CAST($vec AS DOUBLE[]), CAST(c AS DOUBLE[])), 9) AS s FROM $rel))""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, embedding FROM $embRel),
+       |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS c
+       |  FROM (SELECT vec_id, embedding FROM emb ORDER BY vec_id LIMIT $nCells)),
+       |assign AS (SELECT e.vec_id, e.embedding,
+       |    ${nearest("e.embedding", "seeds", 1)}[1] AS cell FROM emb e),
+       |means AS (SELECT cell, d, CAST(avg(x) AS REAL) AS m
+       |  FROM (SELECT cell, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS d
+       |        FROM assign) GROUP BY cell, d),
+       |cents AS (SELECT s.cid,
+       |    COALESCE((SELECT list(m.m ORDER BY m.d) FROM means m WHERE m.cell = s.cid), s.c) AS c
+       |  FROM seeds s),
+       |indexed AS (SELECT e.vec_id, e.embedding,
+       |    ${nearest("e.embedding", "cents", 1)}[1] AS cell FROM emb e),
+       |probes AS (SELECT q.vec_id AS qid, q.embedding AS qv, unnest(
+       |    ${nearest("q.embedding", "cents", nProbe)}) AS cell
+       |  FROM emb q WHERE q.vec_id < $nQueries),
+       |scored AS (SELECT p.qid, i.vec_id,
+       |    round(list_cosine_similarity(CAST(i.embedding AS DOUBLE[]), CAST(p.qv AS DOUBLE[])), 6) AS sim
+       |  FROM indexed i JOIN probes p ON i.cell = p.cell WHERE i.vec_id <> p.qid),
+       |ranked AS (SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM scored)
+       |SELECT qid, rank, vec_id, sim FROM ranked WHERE rank <= $k""".stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB twin of [[lshNearDupPairs]]: same signature bit-mix, banding,
+    * candidate join, and 6-dp cosine verification.
+    */
+  def lshNearDupPairsSql(embRel: String, threshold: Double,
+      nBits: Int = 16, bands: Int = 4): String = {
+    val rows = nBits / bands
+    s"""WITH sigs AS (SELECT vec_id, embedding, ${lshSignatureSql("embedding", nBits)} AS sig FROM $embRel),
+       |banded AS (SELECT vec_id, embedding, t.b AS band, (sig >> (t.b * $rows)) & ${(1L << rows) - 1} AS bs
+       |  FROM sigs, range($bands) t(b)),
+       |cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b, l.embedding AS e_a, r.embedding AS e_b
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.bs = r.bs AND l.vec_id < r.vec_id)
+       |SELECT id_a, id_b,
+       |  round(list_cosine_similarity(CAST(e_a AS DOUBLE[]), CAST(e_b AS DOUBLE[])), 6) AS sim
+       |FROM cand
+       |WHERE round(list_cosine_similarity(CAST(e_a AS DOUBLE[]), CAST(e_b AS DOUBLE[])), 6) >= $threshold""".stripMargin.replace("\n", " ")
   }
 
   /** ANN via LSH: exact cosine only within same-signature-band buckets.

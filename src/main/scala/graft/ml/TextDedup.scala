@@ -270,4 +270,14 @@ object TextDedup {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** DuckDB twin of [[simhashPairs]]: same byte-banding and Hamming verify. */
+  def simhashPairsSql(docsRel: String, maxDist: Int): String =
+    s"""WITH sigs AS (SELECT doc_id, ${simhashSqlExpr("text")} AS sh FROM $docsRel),
+       |bands AS (SELECT doc_id, sh, t.b AS band, (sh >> (t.b * 8)) & 255 AS sig
+       |  FROM sigs, range(4) t(b)),
+       |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    bit_count(xor(x.sh, y.sh)) AS dist
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= $maxDist""".stripMargin.replace("\n", " ")
 }
