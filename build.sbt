@@ -28,3 +28,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// local-cluster[...] masters (the N-vs-4N scaling bench) spawn executor JVMs
+// through the Spark launcher, which needs these to locate the distribution.
+run / envVars ++= Map(
+  "SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"),
+  "SPARK_SCALA_VERSION" -> "2.13",
+)
+// ...and a current app jar (spark.jars) so executors can load graft classes.
+Compile / run := (Compile / run).dependsOn(Compile / packageBin).evaluated
+Compile / runMain := (Compile / runMain).dependsOn(Compile / packageBin).evaluated

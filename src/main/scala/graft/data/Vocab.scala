@@ -55,6 +55,13 @@ object Vocab {
     t
   }
 
+  /** id -> lowercased piece. Parse-stage fast path: extraction runs on
+    * lowercased text (reference Fragments.go:95), so decoding straight to
+    * lowercase skips a whole-string toLowerCase copy per row.
+    */
+  val tableLower: Array[String] =
+    table.map(_.toLowerCase(java.util.Locale.ROOT))
+
   def decode(tokens: Array[Int]): String = {
     val sb = new java.lang.StringBuilder(tokens.length * 2)
     var i = 0

@@ -49,6 +49,25 @@ object F {
       configs.map(c => (globToRegex(c.source_glob), c.file_type, c.extractors, c.time_field)),
       graft.model.SourceConfig.defaultExtractors, "_time"))
 
+  /** [[extract_event]] straight from the tokens payload: decodes (lowercased)
+    * into a reused buffer — two fewer string copies per row on the parse hot
+    * path.
+    */
+  def extract_event_tokens(tokens: Column, host: Column, source: Column,
+      configs: Seq[graft.model.SourceConfig]): Column =
+    toCol(ExtractEvent(toExpr(tokens), toExpr(host), toExpr(source),
+      configs.map(c => (globToRegex(c.source_glob), c.file_type, c.extractors, c.time_field)),
+      graft.model.SourceConfig.defaultExtractors, "_time", rawIsTokens = true))
+
+  /** Time-field-only extraction from tokens (see ExtractTimeValue): yields
+    * the same string `fields["_time"]` would, without building the map.
+    */
+  def extract_time_tokens(tokens: Column, source: Column,
+      configs: Seq[graft.model.SourceConfig]): Column =
+    toCol(ExtractTimeValue(toExpr(tokens), toExpr(source),
+      configs.map(c => (globToRegex(c.source_glob), c.file_type, c.extractors, c.time_field)),
+      graft.model.SourceConfig.defaultExtractors, "_time"))
+
   /** Per-source event-time parse (see EventTime). */
   def event_time(timeStr: Column, source: Column,
       configs: Seq[graft.model.SourceConfig]): Column = {

@@ -30,6 +30,45 @@ object ExprRuntime {
     val ints = Vocab.encode(s.toString)
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(ints)
   }
+
+  /** Decode into a caller-owned (reused) builder — the parse hot path renders
+    * each row into a ThreadLocal buffer instead of allocating a String.
+    */
+  def decodeInto(arr: ArrayData, sb: java.lang.StringBuilder): java.lang.StringBuilder = {
+    sb.setLength(0)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val t = arr.getInt(i)
+      if (t >= 0 && t < Vocab.size) sb.append(Vocab.table(t)) else sb.append('�')
+      i += 1
+    }
+    sb
+  }
+
+  /** [[decodeInto]] straight to lowercase (what extraction consumes). */
+  def decodeLowerInto(arr: ArrayData, sb: java.lang.StringBuilder): java.lang.StringBuilder = {
+    sb.setLength(0)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val t = arr.getInt(i)
+      if (t >= 0 && t < Vocab.size) sb.append(Vocab.tableLower(t)) else sb.append('�')
+      i += 1
+    }
+    sb
+  }
+
+  /** JSON value stringification shared by the fields-map and time-only
+    * extraction paths (Go parity: numbers as %f, null as "<nil>").
+    */
+  def jsonValueToString(v: com.fasterxml.jackson.databind.JsonNode): String =
+    if (v == null) null
+    else if (v.isNumber) String.format(java.util.Locale.ROOT, "%.6f", Double.box(v.asDouble()))
+    else if (v.isTextual) v.asText()
+    else if (v.isBoolean) String.valueOf(v.asBoolean())
+    else if (v.isNull) "<nil>"
+    else v.toString
 }
 
 /** Render a pre-tokenized payload back to its log-line text through the fixed
@@ -97,11 +136,61 @@ final class CompiledExtractor(val original: String) extends Serializable {
   @transient private lazy val localMatcher =
     ThreadLocal.withInitial[java.util.regex.Matcher](() => pattern.matcher(""))
 
+  /** The reference's default extractor gets a hand-rolled scanner: the regex
+    * engine costs ~5x more than a linear scan for this fixed shape, and the
+    * default runs on every row of every kv-configured source.
+    */
+  val isDefaultKv: Boolean = original == "(\\w+)=(\\w+)"
+
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+
+  private def regionEquals(s: CharSequence, a: Int, b: Int, t: String): Boolean = {
+    if (t == null || b - a != t.length) return false
+    var i = 0
+    while (i < t.length) {
+      if (s.charAt(a + i) != t.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Scanner with the exact match set of `(\w+)=(\w+)`: a maximal word run
+    * immediately followed by '=' and a non-empty word run; the search resumes
+    * after the value (matches never overlap), like Matcher.find. Verified
+    * against the regex path by a ScalaCheck property (ExtractSpec).
+    */
+  private def kvScan(s: CharSequence,
+      into: java.util.LinkedHashMap[String, String],
+      timeField: String, timeOut: Array[String]): Unit = {
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      if (isWordChar(s.charAt(i))) {
+        var j = i + 1
+        while (j < n && isWordChar(s.charAt(j))) j += 1
+        if (j < n && s.charAt(j) == '=' && j + 1 < n && isWordChar(s.charAt(j + 1))) {
+          var k = j + 2
+          while (k < n && isWordChar(s.charAt(k))) k += 1
+          if (into != null) {
+            into.put(s.subSequence(i, j).toString, s.subSequence(j + 1, k).toString)
+          } else if (regionEquals(s, i, j, timeField)) {
+            timeOut(0) = s.subSequence(j + 1, k).toString
+          } else if (regionEquals(s, i, j, "_time")) {
+            timeOut(1) = s.subSequence(j + 1, k).toString
+          }
+          i = k
+        } else i = j // no '=' or empty value: regex would fail here too
+      } else i += 1
+    }
+  }
+
   /** Run against `s`, writing name->value into `into` (last-wins).
     * For named-only extractors, group numbers are assigned in paren order,
     * so the i-th recorded name IS group i+1 — indexed access, no name lookup.
     */
-  def extractInto(s: String, into: java.util.LinkedHashMap[String, String]): Unit = {
+  def extractInto(s: CharSequence, into: java.util.LinkedHashMap[String, String]): Unit = {
+    if (isDefaultKv) { kvScan(s, into, null, null); return }
     val m = localMatcher.get()
     m.reset(s)
     val gc = groupCount
@@ -121,6 +210,41 @@ final class CompiledExtractor(val original: String) extends Serializable {
         into.put(if (k == null) "" else k, if (v == null) "" else v)
       }
       // else: malformed extractor, skipped (reference logs a warning)
+    }
+  }
+
+  /** Time-only extraction: identical scan order, but records just the last
+    * values for keys `timeField` (timeOut(0)) and "_time" (timeOut(1)) —
+    * no map, no allocation for irrelevant pairs. The route path derives `ts`
+    * through this, letting Catalyst prune the full fields map away.
+    */
+  def extractTimeInto(s: CharSequence, timeField: String, timeOut: Array[String]): Unit = {
+    if (isDefaultKv) { kvScan(s, null, timeField, timeOut); return }
+    val m = localMatcher.get()
+    m.reset(s)
+    val gc = groupCount
+    val named = namedOnly
+    val names = groupNames
+    while (m.find()) {
+      if (named) {
+        var i = 0
+        while (i < names.length) {
+          val nm = names(i)
+          if (nm == timeField) {
+            val v = m.group(i + 1); timeOut(0) = if (v == null) "" else v
+          } else if (nm == "_time") {
+            val v = m.group(i + 1); timeOut(1) = if (v == null) "" else v
+          }
+          i += 1
+        }
+      } else if (gc == 2) {
+        val k = m.group(1)
+        if (k != null && k == timeField) {
+          val v = m.group(2); timeOut(0) = if (v == null) "" else v
+        } else if (k != null && k == "_time") {
+          val v = m.group(2); timeOut(1) = if (v == null) "" else v
+        }
+      }
     }
   }
 }
@@ -394,7 +518,8 @@ case class ExtractEvent(
     source: Expression,
     configs: Seq[(String, String, Seq[String], String)], // (globRegex, fileType, extractors, timeField)
     defaultExtractors: Seq[String],
-    defaultTimeField: String)
+    defaultTimeField: String,
+    rawIsTokens: Boolean = false) // raw child is the tokens array: decode (to lowercase) in-place, skipping 2 string copies/row
   extends TernaryExpression {
 
   override def first: Expression = raw
@@ -417,6 +542,8 @@ case class ExtractEvent(
   @transient private lazy val localMap =
     ThreadLocal.withInitial[java.util.LinkedHashMap[String, String]](
       () => new java.util.LinkedHashMap[String, String]())
+  @transient private lazy val localSb =
+    ThreadLocal.withInitial[java.lang.StringBuilder](() => new java.lang.StringBuilder(256))
 
   private def resolve(source: String): Int =
     memo.computeIfAbsent(source, s => {
@@ -428,39 +555,20 @@ case class ExtractEvent(
       Integer.valueOf(configs.length)
     }).intValue()
 
-  def doExtract(rawS: UTF8String, hostS: UTF8String, sourceS: UTF8String): MapData = {
-    val src = if (sourceS == null) "" else sourceS.toString
-    val idx = resolve(src)
-    val isJson = idx < configs.length && configs(idx)._2 == "json"
-    val timeField =
-      if (idx < configs.length) configs(idx)._4 else defaultTimeField
-    val m = localMap.get()
-    m.clear()
-    if (isJson) {
-      try {
-        val node = jsonMapper.readTree(rawS.toString)
-        if (node != null && node.isObject) {
-          val it = node.fields()
-          while (it.hasNext) {
-            val e = it.next()
-            val v = e.getValue
-            val s =
-              if (v.isNumber) String.format(java.util.Locale.ROOT, "%.6f", Double.box(v.asDouble()))
-              else if (v.isTextual) v.asText()
-              else if (v.isBoolean) String.valueOf(v.asBoolean())
-              else if (v.isNull) "<nil>"
-              else v.toString
-            m.put(e.getKey, s)
-          }
+  private def jsonInto(text: String, m: java.util.LinkedHashMap[String, String]): Unit =
+    try {
+      val node = jsonMapper.readTree(text)
+      if (node != null && node.isObject) {
+        val it = node.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          m.put(e.getKey, ExprRuntime.jsonValueToString(e.getValue))
         }
-      } catch { case _: Exception => () }
-    } else {
-      // search-time extraction runs on lowercased raw (Fragments.go:95)
-      val s = rawS.toString.toLowerCase(java.util.Locale.ROOT)
-      val exs = compiledExtractors(idx)
-      var i = 0
-      while (i < exs.length) { exs(i).extractInto(s, m); i += 1 }
-    }
+      }
+    } catch { case _: Exception => () }
+
+  private def finish(m: java.util.LinkedHashMap[String, String],
+      timeField: String, hostS: UTF8String, sourceS: UTF8String): MapData = {
     if (timeField != null && timeField.nonEmpty) {
       val tv = m.get(timeField)
       if (tv != null) m.put("_time", tv)
@@ -481,12 +589,55 @@ case class ExtractEvent(
     new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
   }
 
+  def doExtract(rawS: UTF8String, hostS: UTF8String, sourceS: UTF8String): MapData = {
+    val src = if (sourceS == null) "" else sourceS.toString
+    val idx = resolve(src)
+    val isJson = idx < configs.length && configs(idx)._2 == "json"
+    val timeField =
+      if (idx < configs.length) configs(idx)._4 else defaultTimeField
+    val m = localMap.get()
+    m.clear()
+    if (isJson) {
+      jsonInto(rawS.toString, m)
+    } else {
+      // search-time extraction runs on lowercased raw (Fragments.go:95)
+      val s = rawS.toString.toLowerCase(java.util.Locale.ROOT)
+      val exs = compiledExtractors(idx)
+      var i = 0
+      while (i < exs.length) { exs(i).extractInto(s, m); i += 1 }
+    }
+    finish(m, timeField, hostS, sourceS)
+  }
+
+  /** Tokens fast path: decode the payload straight into a reused buffer
+    * (lowercased for the regex path), no intermediate String/toLowerCase.
+    */
+  def doExtractTokens(arr: ArrayData, hostS: UTF8String, sourceS: UTF8String): MapData = {
+    val src = if (sourceS == null) "" else sourceS.toString
+    val idx = resolve(src)
+    val isJson = idx < configs.length && configs(idx)._2 == "json"
+    val timeField =
+      if (idx < configs.length) configs(idx)._4 else defaultTimeField
+    val m = localMap.get()
+    m.clear()
+    if (isJson) {
+      jsonInto(ExprRuntime.decodeInto(arr, localSb.get()).toString, m)
+    } else {
+      val sb = ExprRuntime.decodeLowerInto(arr, localSb.get())
+      val exs = compiledExtractors(idx)
+      var i = 0
+      while (i < exs.length) { exs(i).extractInto(sb, m); i += 1 }
+    }
+    finish(m, timeField, hostS, sourceS)
+  }
+
   override def eval(input: InternalRow): Any = {
     val r = raw.eval(input)
     if (r == null) return null
-    doExtract(r.asInstanceOf[UTF8String],
-      host.eval(input).asInstanceOf[UTF8String],
-      source.eval(input).asInstanceOf[UTF8String])
+    val h = host.eval(input).asInstanceOf[UTF8String]
+    val s = source.eval(input).asInstanceOf[UTF8String]
+    if (rawIsTokens) doExtractTokens(r.asInstanceOf[ArrayData], h, s)
+    else doExtract(r.asInstanceOf[UTF8String], h, s)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -496,6 +647,7 @@ case class ExtractEvent(
     val sourceC = source.genCode(ctx)
     val hostV = if (host.nullable) s"${hostC.isNull} ? null : ${hostC.value}" else hostC.value.toString
     val srcV = if (source.nullable) s"${sourceC.isNull} ? null : ${sourceC.value}" else sourceC.value.toString
+    val call = if (rawIsTokens) "doExtractTokens" else "doExtract"
     ev.copy(code =
       org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
         new StringContext(
@@ -506,7 +658,7 @@ case class ExtractEvent(
           boolean ${ev.isNull} = ${rawC.isNull};
           org.apache.spark.sql.catalyst.util.MapData ${ev.value} = null;
           if (!${ev.isNull}) {
-            ${ev.value} = $ref.doExtract(${rawC.value}, ($hostV), ($srcV));
+            ${ev.value} = $ref.$call(${rawC.value}, ($hostV), ($srcV));
           }
           """)).code())
   }
@@ -514,6 +666,106 @@ case class ExtractEvent(
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): ExtractEvent =
     copy(raw = f, host = s, source = t)
+}
+
+/** Time-field-only extraction from the tokens payload: same config dispatch
+  * and scan order as [[ExtractEvent]], but records just the `timeField` /
+  * `_time` values — no map, no per-field UTF8String churn. Deriving `ts`
+  * through this (instead of `fields["_time"]`) decouples the route path from
+  * the full fields map, so Catalyst prunes the map away from the fan-out
+  * write projection entirely.
+  */
+case class ExtractTimeValue(
+    tokens: Expression,
+    source: Expression,
+    configs: Seq[(String, String, Seq[String], String)], // (globRegex, fileType, extractors, timeField)
+    defaultExtractors: Seq[String],
+    defaultTimeField: String)
+  extends BinaryExpression {
+
+  override def left: Expression = tokens
+  override def right: Expression = source
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  @transient private lazy val compiledGlobs: Array[java.util.regex.Pattern] =
+    configs.map(c => java.util.regex.Pattern.compile(c._1)).toArray
+  @transient private lazy val compiledExtractors: Array[Array[CompiledExtractor]] =
+    configs.map(_._3.map(new CompiledExtractor(_)).toArray).toArray :+
+      defaultExtractors.map(new CompiledExtractor(_)).toArray
+  @transient private lazy val jsonMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  @transient private lazy val localSb =
+    ThreadLocal.withInitial[java.lang.StringBuilder](() => new java.lang.StringBuilder(256))
+  @transient private lazy val localOut =
+    ThreadLocal.withInitial[Array[String]](() => new Array[String](2))
+
+  private def resolve(source: String): Int =
+    memo.computeIfAbsent(source, s => {
+      var i = 0
+      while (i < compiledGlobs.length) {
+        if (compiledGlobs(i).matcher(s).matches()) return Integer.valueOf(i)
+        i += 1
+      }
+      Integer.valueOf(configs.length)
+    }).intValue()
+
+  def doExtract(arr: ArrayData, sourceS: UTF8String): UTF8String = {
+    val src = if (sourceS == null) "" else sourceS.toString
+    val idx = resolve(src)
+    val isJson = idx < configs.length && configs(idx)._2 == "json"
+    val timeField =
+      if (idx < configs.length) configs(idx)._4 else defaultTimeField
+    if (timeField == null || timeField.isEmpty) return null
+    if (isJson) {
+      try {
+        val node = jsonMapper.readTree(ExprRuntime.decodeInto(arr, localSb.get()).toString)
+        if (node == null || !node.isObject) return null
+        val v = ExprRuntime.jsonValueToString(node.get(timeField))
+        val r = if (v != null) v else ExprRuntime.jsonValueToString(node.get("_time"))
+        if (r == null) null else UTF8String.fromString(r)
+      } catch { case _: Exception => null }
+    } else {
+      val sb = ExprRuntime.decodeLowerInto(arr, localSb.get())
+      val out = localOut.get()
+      out(0) = null; out(1) = null
+      val exs = compiledExtractors(idx)
+      var i = 0
+      while (i < exs.length) { exs(i).extractTimeInto(sb, timeField, out); i += 1 }
+      val r = if (out(0) != null) out(0) else out(1)
+      if (r == null) null else UTF8String.fromString(r)
+    }
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val t = tokens.eval(input)
+    if (t == null) return null
+    doExtract(t.asInstanceOf[ArrayData], source.eval(input).asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("extractTime", this, classOf[ExtractTimeValue].getName)
+    val tC = tokens.genCode(ctx)
+    val sC = source.genCode(ctx)
+    val srcV = if (source.nullable) s"${sC.isNull} ? null : ${sC.value}" else sC.value.toString
+    ev.copy(code =
+      org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+        new StringContext(
+          s"""
+          ${tC.code}
+          ${sC.code}
+          org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;
+          if (!${tC.isNull}) {
+            ${ev.value} = $ref.doExtract(${tC.value}, ($srcV));
+          }
+          boolean ${ev.isNull} = (${ev.value} == null);
+          """)).code())
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ExtractTimeValue =
+    copy(tokens = l, source = r)
 }
 
 /** Per-config event-time parse in one compact expression (reference

@@ -67,18 +67,24 @@ object LogPipeline {
       .select(col("source"),
         coalesce(col("cfg.cfg_host"), lit("unknown-host")).as("host"),
         coalesce(col("cfg.host_type"), lit("unknown")).as("host_type"),
-        coalesce(col("cfg.file_type"), lit("kv")).as("file_type"))
+        coalesce(col("cfg.file_type"), lit("kv")).as("file_type"),
+        // sink is a pure function of `source`: computing it here (once per
+        // distinct source) instead of per row removes a regexp_replace from
+        // the 10^12-row side (measured 13s/8M rows — the single biggest
+        // map-side cost after the fix)
+        sinkCol.as("sink"))
 
     val withHost = parsed.join(broadcast(resolved), Seq("source"), "left")
 
     // fields + ts are per-config *plan constants* (extractor regexes and time
-    // layouts can't travel through a join), so they compile to a CASE chain
-    // keyed on the source glob — same first-match-wins order.
-    val fields = fieldsColumn(col("raw"), col("host"), col("source"), configs)
-    val ts = tsColumn(configs)
+    // layouts can't travel through a join), so they compile to expressions
+    // with the same first-match-wins glob dispatch. Both run straight off the
+    // tokens payload; ts goes through the time-only extraction so plans that
+    // never touch `fields` (the fan-out write) prune the map build entirely.
     withHost
-      .withColumn("fields", fields)
-      .withColumn("ts", ts)
+      .withColumn("fields",
+        F.extract_event_tokens(col("tokens"), col("host"), col("source"), configs))
+      .withColumn("ts", tsColumnTokens(configs))
   }
 
   /** enrich without the dimension join — host/host_type resolved through the
@@ -95,8 +101,9 @@ object LogPipeline {
       .withColumn("host", chain(_.host, "unknown-host"))
       .withColumn("host_type", chain(_.host_type, "unknown"))
       .withColumn("file_type", chain(_.file_type, "kv"))
-      .withColumn("fields", fieldsColumn(col("raw"), col("host"), col("source"), configs))
-      .withColumn("ts", tsColumn(configs))
+      .withColumn("fields",
+        F.extract_event_tokens(col("tokens"), col("host"), col("source"), configs))
+      .withColumn("ts", tsColumnTokens(configs))
   }
 
   /** Search-time field extraction per source config (first glob match wins,
@@ -114,6 +121,17 @@ object LogPipeline {
     */
   def tsColumn(configs: Seq[SourceConfig]): Column = {
     val timeStr = try_element_at(col("fields"), lit("_time"))
+    val fallbackTs = to_timestamp(lit("1970-01-01 00:00:00"))
+    coalesce(F.event_time(timeStr, col("source"), configs), fallbackTs)
+  }
+
+  /** [[tsColumn]] from tokens without touching `fields`: the time-only
+    * extraction yields the identical `_time` string, and not referencing
+    * `fields` lets Catalyst prune the whole map build out of plans that
+    * don't project it (the route write path).
+    */
+  def tsColumnTokens(configs: Seq[SourceConfig]): Column = {
+    val timeStr = F.extract_time_tokens(col("tokens"), col("source"), configs)
     val fallbackTs = to_timestamp(lit("1970-01-01 00:00:00"))
     coalesce(F.event_time(timeStr, col("source"), configs), fallbackTs)
   }
@@ -162,7 +180,8 @@ object LogPipeline {
     * token-array equality".
     */
   def sinkSummary(enriched: DataFrame): DataFrame =
-    enriched.withColumn("sink", sinkCol)
+    (if (enriched.columns.contains("sink")) enriched
+     else enriched.withColumn("sink", sinkCol))
       .groupBy("sink")
       .agg(
         count(lit(1)).as("n"),
@@ -180,8 +199,10 @@ object LogPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("bucket_start"), col("sink"), col("n"))
 
-  /** Full batch pipeline: returns the enriched frame (lazily) with sink col. */
+  /** Full batch pipeline: returns the enriched frame (lazily) with sink col
+    * (already provided by the enrich dimension — no per-row recompute).
+    */
   def run(spark: SparkSession, sequences: DataFrame,
       configs: Seq[SourceConfig]): DataFrame =
-    enrich(spark, parse(sequences), configs).withColumn("sink", sinkCol)
+    enrich(spark, parse(sequences), configs)
 }

@@ -106,4 +106,40 @@ class ExtractSpec extends AnyFunSuite {
     val got = df.filter(F.fragMatches(col("raw"), "error")).count()
     assert(got == 2) // word-boundary excludes 'terrors'; case-insensitive includes ERROR
   }
+
+  test("property: default kv scanner == regex engine; time tracker == map") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val fast = new graft.functions.CompiledExtractor("(\\w+)=(\\w+)")
+    // same language, different text -> takes the java.util.regex path
+    val slow = new graft.functions.CompiledExtractor("((?:\\w)+)=(\\w+)")
+    assert(fast.isDefaultKv && !slow.isDefaultKv)
+    val chars = Gen.frequency(6 -> Gen.alphaNumChar, 3 -> Gen.const('='),
+      2 -> Gen.const(' '), 1 -> Gen.const('_'), 1 -> Gen.const('.'),
+      1 -> Gen.const("_time=").flatMap(s => Gen.const(s.head))) // bias '=' runs
+    val strs = Gen.listOf(Gen.frequency(
+      12 -> chars, 1 -> Gen.const('k'), 1 -> Gen.const('1'))).map(_.mkString)
+    val withTime = strs.flatMap(s => Gen.oneOf(s, s"_time=20 $s", s"$s k1=v9"))
+    val prop = Prop.forAll(withTime) { s =>
+      val a = new java.util.LinkedHashMap[String, String]()
+      val b = new java.util.LinkedHashMap[String, String]()
+      fast.extractInto(s, a)
+      slow.extractInto(s, b)
+      val out = Array[String](null, null)
+      fast.extractTimeInto(s, "k1", out)
+      a.toString == b.toString && out(0) == a.get("k1") && out(1) == a.get("_time")
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ts via time-only extraction == ts via fields[_time] (pipeline parity)") {
+    import graft.data.SequenceGen
+    val seqs = SequenceGen.sequences(spark, 2000, 8)
+    val parsed = graft.plans.LogPipeline.parse(seqs)
+    val cfgs = SequenceGen.configs
+    val viaFields = graft.plans.LogPipeline.enrichStatic(parsed, cfgs)
+      .withColumn("ts2", graft.plans.LogPipeline.tsColumn(cfgs))
+    val diff = viaFields.filter(col("ts") =!= col("ts2")).count()
+    assert(diff == 0)
+  }
 }
