@@ -1,0 +1,376 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** One-pass replacements for the dedup/ANN signature columns.
+  *
+  * The composed built-in forms (16 `transform`+`array_min` branches for
+  * MinHash, 32 `filter`+`size` branches for SimHash, per-centroid
+  * `aggregate`/`zip_with` cosines for IVF/LSH) are semantically right but
+  * traverse the input array once per branch and generate enormous Janino
+  * methods (seconds of driver-side codegen per query). Each expression here
+  * does one pass in plain loops and produces bit-identical results — the
+  * DuckDB oracle twins are unchanged.
+  */
+
+/** MinHash signature over a non-null array<long> of element hashes:
+  * out[i] = min over x of (x*a(i) + b(i)) % mod. All inputs are < 2^31 and
+  * coefficients < 2^32, so the products stay inside int64 exactly like the
+  * SQL twin's checked BIGINT arithmetic.
+  */
+case class MinHashSig(child: Expression, coefA: Seq[Long], coefB: Seq[Long], mod: Long)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def doSig(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val k = coefA.length
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (x * coefA(j) + coefB(j)) % mod
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = doSig(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSig].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.doSig($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** SimHash over an array<long> of word hashes: bit j of the result is set
+  * iff more elements have bit j set than clear (strict majority).
+  */
+case class SimHashSig(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  def doSig(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val cnt = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < bits) {
+        cnt(j) += ((h >>> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (cnt(j) * 2 > n) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def nullSafeEval(v: Any): Any = doSig(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHashSig].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.doSig($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): SimHashSig = copy(child = c)
+}
+
+/** Random-hyperplane LSH signature over array<float>: bit j = sign of
+  * sum_d v[d] * h(j,d), h from the xor-shift + Lehmer mix (exact int64
+  * arithmetic, same as the SQL twin), products folded in index order.
+  */
+case class LshSig(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  @inline private def hyper(j: Int, d: Int): Double = {
+    val a = j.toLong * 1315423911L + (d.toLong + 1L) * 2654435761L
+    val b = (a ^ (a >> 13)) % 2147483647L
+    val c = (b * 48271L) % 2147483647L
+    if (c % 2L == 0L) 1.0 else -1.0
+  }
+
+  def doSig(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        dot += arr.getFloat(d).toDouble * hyper(j, d)
+        d += 1
+      }
+      if (dot > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def nullSafeEval(v: Any): Any = doSig(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshsig", this, classOf[LshSig].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.doSig($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): LshSig = copy(child = c)
+}
+
+/** Shared IVF scoring: cosine of v against each centroid, rounded to 9 dp
+  * with Spark round semantics (BigDecimal HALF_UP) so results stay
+  * bit-identical to the composed `round(cosine(...), 9)` form and the
+  * DuckDB twin. Folds products in index order (matches `aggregate`).
+  */
+object IvfScore {
+  def scores(arr: ArrayData, centroids: Array[Array[Float]]): Array[Double] = {
+    val n = arr.numElements()
+    var na = 0.0
+    var d = 0
+    while (d < n) { val x = arr.getFloat(d).toDouble; na += x * x; d += 1 }
+    val vnorm = math.sqrt(na)
+    val out = new Array[Double](centroids.length)
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      var dot = 0.0
+      var nb = 0.0
+      var k = 0
+      val m = math.min(n, c.length)
+      while (k < m) {
+        val x = arr.getFloat(k).toDouble
+        val y = c(k).toDouble
+        dot += x * y
+        nb += y * y
+        k += 1
+      }
+      // match aggregate-over-zip_with: zip stops at the shorter side, but
+      // norms run over each full vector
+      var k2 = m
+      while (k2 < c.length) { val y = c(k2).toDouble; nb += y * y; k2 += 1 }
+      val raw = dot / (vnorm * math.sqrt(nb))
+      // BigDecimal.valueOf (canonical string form) — what Spark's Round uses;
+      // new BigDecimal(double) would use the exact binary expansion and can
+      // round differently at the scale boundary
+      out(i) = java.math.BigDecimal.valueOf(raw)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      i += 1
+    }
+    out
+  }
+}
+
+/** First 60 bits of md5 as a non-negative long — the cross-engine shared
+  * hash (DuckDB twin: `('0x' || substr(md5(s),1,15))::BIGINT`). Computed
+  * straight from the digest bytes; the composed `conv(substring(md5(s),...))`
+  * form allocates a 32-char hex string + parses it per call.
+  */
+case class Md5Hash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val localMd5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](
+      () => java.security.MessageDigest.getInstance("MD5"))
+
+  def doHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = localMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    // first 15 hex chars = bytes 0..6 + the high nibble of byte 7
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    doHash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5h64", this, classOf[Md5Hash64].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.doHash($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Md5Hash64 = copy(child = c)
+}
+
+/** Shared helpers for the shingle expressions. */
+private[functions] object ShingleRuntime {
+  val localMd5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial[java.security.MessageDigest](
+      () => java.security.MessageDigest.getInstance("MD5"))
+
+  def md5Prefix64(s: String): Long = {
+    val md = localMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** Distinct k-word shingles in first-occurrence order; a words array
+    * shorter than k contributes the whole text (words re-joined) as one
+    * shingle — matching `array_distinct(transform(sequence(...), slice+
+    * array_join))` with the `when(n >= k)` fallback.
+    */
+  def shingles(words: ArrayData, k: Int): java.util.LinkedHashSet[String] = {
+    val n = words.numElements()
+    val out = new java.util.LinkedHashSet[String]()
+    if (n >= k) {
+      var i = 0
+      while (i <= n - k) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(words.getUTF8String(i + j).toString)
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+    } else {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < n) {
+        if (i > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i).toString)
+        i += 1
+      }
+      out.add(sb.toString)
+    }
+    out
+  }
+}
+
+/** Distinct k-word shingle strings from a words array (one compiled pass;
+  * the transform/slice/array_join lambda chain runs interpreted per
+  * element).
+  */
+case class ShingleJoin(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def doShingles(words: ArrayData): ArrayData = {
+    val set = ShingleRuntime.shingles(words, k)
+    val out = new Array[Any](set.size())
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = doShingles(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shjoin", this, classOf[ShingleJoin].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.doShingles($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleJoin = copy(child = c)
+}
+
+/** md5-prefix hashes of the distinct k-word shingles (optionally mod `mod`),
+  * one compiled pass from the words array to array<long>.
+  */
+case class ShingleHash(child: Expression, k: Int, mod: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def doHashes(words: ArrayData): ArrayData = {
+    val set = ShingleRuntime.shingles(words, k)
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val h = ShingleRuntime.md5Prefix64(it.next())
+      out(i) = if (mod > 0) h % mod else h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = doHashes(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shhash", this, classOf[ShingleHash].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.doHashes($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleHash = copy(child = c)
+}
+
+/** md5-prefix hashes of the distinct words (SimHash input), one pass. */
+case class WordHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def doHashes(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < n) { seen.add(words.getUTF8String(i).toString); i += 1 }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = ShingleRuntime.md5Prefix64(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = doHashes(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordhash", this, classOf[WordHash].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.doHashes($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): WordHash = copy(child = c)
+}
+
+/** Nearest-centroid id (argmax rounded cosine, ties -> lowest cid). */
+case class IvfCellExpr(child: Expression, centroids: Array[Array[Float]])
+  extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  def doCell(arr: ArrayData): Int = {
+    val s = IvfScore.scores(arr, centroids)
+    var best = 0
+    var i = 1
+    while (i < s.length) {
+      if (s(i) > s(best)) best = i
+      i += 1
+    }
+    best
+  }
+
+  override protected def nullSafeEval(v: Any): Any = doCell(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfcell", this, classOf[IvfCellExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.doCell($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): IvfCellExpr = copy(child = c)
+}
+
+/** Top-`nProbe` nearest centroid ids, best first (ties -> lowest cid). */
+case class IvfProbesExpr(child: Expression, centroids: Array[Array[Float]], nProbe: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  def doProbes(arr: ArrayData): ArrayData = {
+    val s = IvfScore.scores(arr, centroids)
+    val idx = s.indices.sortBy(i => (-s(i), i)).take(nProbe)
+    new GenericArrayData(idx.map(Int.box).toArray[Any])
+  }
+
+  override protected def nullSafeEval(v: Any): Any = doProbes(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfprobes", this, classOf[IvfProbesExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.doProbes($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): IvfProbesExpr = copy(child = c)
+}

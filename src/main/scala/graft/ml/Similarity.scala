@@ -75,21 +75,12 @@ object Similarity {
     * ones (and LSH buckets to <=4 values — a near cross join at scale). An
     * xor-shift + Lehmer step decorrelates the sign bits; all intermediates
     * stay < 2^53 so the same arithmetic is exact in any engine's int64.
+    * One-pass expression (graft.functions.LshSig); SQL twin below.
     */
-  def lshSignature(v: Column, nBits: Int = 16): Column = {
-    def hyper(j: Int, d: Column): Column = {
-      val a = lit(j.toLong * 1315423911L) + (d.cast("long") + 1L) * lit(2654435761L)
-      val b = pmod(a.bitwiseXOR(shiftright(a, 13)), lit(2147483647L))
-      val c = pmod(b * lit(48271L), lit(2147483647L))
-      when(pmod(c, lit(2L)) === 0, lit(1.0)).otherwise(lit(-1.0))
-    }
-    (0 until nBits).map { j =>
-      val dot = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x.cast("double") * hyper(j, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def lshSignature(v: Column, nBits: Int = 16): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.LshSig(
+        org.apache.spark.sql.graftbridge.Bridge.expression(v), nBits))
 
   /** DuckDB twin of [[lshSignature]] over a DOUBLE[] expression. The sign of
     * the per-plane dot product is fp-order-sensitive only when the dot is
@@ -126,23 +117,18 @@ object Similarity {
     * across engines (raw doubles differ in the last bits between fp fold
     * orders; 9 dp absorbs that while real ties stay astronomically rare).
     */
-  def ivfCell(v: Column, centroids: Array[Array[Float]]): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(round(cosine(v, typedLit(c.toSeq)), 9).as("s"), lit(-i).as("ni"))
-    }: _*)
-    (array_max(scored)("ni") * -1).cast("int")
-  }
+  def ivfCell(v: Column, centroids: Array[Array[Float]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.IvfCellExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(v), centroids))
 
   /** Top-`nProbe` cells for a query vector, nearest-first (ties -> lowest
     * cid), same 9-dp rounding rule as [[ivfCell]].
     */
-  def ivfProbes(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(round(cosine(v, typedLit(c.toSeq)), 9).as("s"), lit(-i).as("ni"))
-    }: _*)
-    transform(slice(reverse(array_sort(scored)), 1, nProbe),
-      e => (e("ni") * -1).cast("int"))
-  }
+  def ivfProbes(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.IvfProbesExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(v), centroids, nProbe))
 
   /** Coarse quantizer: C centroids = one Lloyd iteration over a deterministic
     * sample (`vec_id % sampleMod == 0`), seeded by the C lowest vec_ids.

@@ -2,7 +2,6 @@ package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Deduplication operators for training-data pipelines over the `documents`
   * table: exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash,
@@ -25,10 +24,13 @@ object TextDedup {
     s"trim(regexp_replace(regexp_replace(lower($text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   /** Cross-engine 64-bit hash: first 15 hex chars of md5 (60 bits, fits a
-    * signed long in both engines).
+    * signed long in both engines). One-pass expression straight off the
+    * digest bytes (graft.functions.Md5Hash64).
     */
   def hash64Col(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.Md5Hash64(
+        org.apache.spark.sql.graftbridge.Bridge.expression(s)))
 
   def hash64Sql(s: String): String =
     s"('0x' || substr(md5($s), 1, 15))::BIGINT"
@@ -38,15 +40,11 @@ object TextDedup {
     */
   val SHINGLE_K = 3
 
-  def shinglesCol(text: Column): Column = {
-    val words = split(normalizeCol(text), " ")
-    val n = size(words)
-    array_distinct(
-      when(n >= SHINGLE_K,
-        transform(sequence(lit(0), n - SHINGLE_K),
-          i => array_join(slice(words, i + 1, lit(SHINGLE_K)), " ")))
-        .otherwise(array(normalizeCol(text))))
-  }
+  def shinglesCol(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.ShingleJoin(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          split(normalizeCol(text), " ")), SHINGLE_K))
 
   def shinglesSql(text: String): String = {
     val words = s"string_split(${normalizeSql(text)}, ' ')"
@@ -117,20 +115,24 @@ object TextDedup {
   val COEF_B: Seq[Long] = (0 until NUM_HASHES).map(i => (134775813L * (i + 1) + 1L) % MOD)
 
   /** MinHash signature from an already-materialized shingle-hash array
-    * column. `xs` MUST be a plain column reference: passing the hash
-    * expression directly would clone the whole shingle+md5 subtree into all
-    * NUM_HASHES branches (observed 16x recompute before staging).
+    * column — one pass over the hashes for all NUM_HASHES permutations
+    * (graft.functions.MinHashSig; the composed transform+array_min form
+    * traversed the array 16x and generated seconds of Janino codegen).
     */
   def minhashFromHashes(xs: Column): Column =
-    array((0 until NUM_HASHES).map { i =>
-      array_min(transform(xs, x => pmod(x * lit(COEF_A(i)) + lit(COEF_B(i)), lit(MOD))))
-    }: _*)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.graftbridge.Bridge.expression(xs), COEF_A, COEF_B, MOD))
 
   /** 31-bit shingle hashes (31 bits so a*x+b stays inside int64 — DuckDB
-    * BIGINT arithmetic is checked, so wraparound must be avoided).
+    * BIGINT arithmetic is checked, so wraparound must be avoided). One
+    * compiled pass words -> distinct shingles -> md5-prefix hashes.
     */
   def shingleHashesCol(text: Column): Column =
-    transform(shinglesCol(text), s => pmod(hash64Col(s), lit(2147483647L)))
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.ShingleHash(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          split(normalizeCol(text), " ")), SHINGLE_K, 2147483647L))
 
   /** docs + `mh` minhash signature column, staged so shingling/hashing runs
     * once per row.
@@ -215,20 +217,20 @@ object TextDedup {
     */
   val SIMHASH_BITS = 32
 
-  /** SimHash from a materialized word-hash array column (same staging rule
-    * as [[minhashFromHashes]] — the hash subtree must not be cloned into all
-    * 32 bit branches).
+  /** SimHash from a materialized word-hash array column — one pass for all
+    * 32 bit-majority votes (graft.functions.SimHashSig; the composed form
+    * ran 32 filter+size traversals per row).
     */
-  def simhashFromHashes(hs: Column): Column = {
-    val total = size(hs)
-    (0 until SIMHASH_BITS).map { j =>
-      when(size(filter(hs, h => shiftright(h, j).bitwiseAND(lit(1L)) === lit(1L))) * 2 > total,
-        lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def simhashFromHashes(hs: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.SimHashSig(
+        org.apache.spark.sql.graftbridge.Bridge.expression(hs), SIMHASH_BITS))
 
   def wordHashesCol(text: Column): Column =
-    transform(array_distinct(split(normalizeCol(text), " ")), w => hash64Col(w))
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.WordHash(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          split(normalizeCol(text), " "))))
 
   /** docs + `simhash` column, staged. */
   def withSimhash(docs: DataFrame): DataFrame =

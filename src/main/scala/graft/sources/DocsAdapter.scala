@@ -16,9 +16,17 @@ object DocsAdapter {
   val NEAR_SHIFT = 2000000L
   val NEAR_SUFFIX = " extra trailing words appended here"
 
+  /** The sandbox tables arrive as ONE parquet file, so a few hundred docs
+    * land in 1-2 scan partitions and per-doc-heavy operators (shingling,
+    * embeddings math) run near-single-threaded. On a real cluster the input
+    * comes pre-split; redistributing tiny inputs restores that shape.
+    */
+  private def spread(df: DataFrame, spark: SparkSession): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
   /** Subset (1/`mod` of docs) + exact copies (ids % 7) + near copies (ids % 13). */
   def augmentedDocs(spark: SparkSession, sfDir: String, mod: Int = 10): DataFrame = {
-    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val d = spread(spark.read.parquet(s"$sfDir/documents.parquet"), spark)
       .filter(pmod(col("doc_id"), lit(mod)) === 0)
     val exact = d.filter(pmod(col("doc_id"), lit(7)) === 0)
       .withColumn("doc_id", col("doc_id") + EXACT_SHIFT)
@@ -38,7 +46,7 @@ object DocsAdapter {
 
   /** Embedding subset (1/`mod`) + exact copies of ids % 5 under shifted ids. */
   def augmentedEmbeddings(spark: SparkSession, sfDir: String, mod: Int = 25): DataFrame = {
-    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val e = spread(spark.read.parquet(s"$sfDir/embeddings.parquet"), spark)
       .filter(pmod(col("vec_id"), lit(mod)) === 0)
     val copies = e.filter(pmod(col("vec_id"), lit(5)) === 0)
       .withColumn("vec_id", col("vec_id") + VEC_SHIFT)
@@ -50,8 +58,8 @@ object DocsAdapter {
        | UNION ALL SELECT vec_id + $VEC_SHIFT, embedding, label FROM embeddings WHERE vec_id % $mod = 0 AND vec_id % 5 = 0)""".stripMargin.replace("\n", " ")
 
   def docs(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    spread(spark.read.parquet(s"$sfDir/documents.parquet"), spark)
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
+    spread(spark.read.parquet(s"$sfDir/embeddings.parquet"), spark)
 }

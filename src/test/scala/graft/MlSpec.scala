@@ -92,7 +92,10 @@ class MlSpec extends AnyFunSuite {
   }
 
   test("IVF cell assignment is a pure projection (no shuffle in the index build)") {
-    val emb = DocsAdapter.embeddings(spark, dir)
+    // read the table directly: DocsAdapter redistributes the single-file
+    // sandbox input (its own Exchange), which is input plumbing, not part
+    // of the index build being asserted here
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = Similarity.ivfCentroids(emb, 8)
     val indexed = emb.withColumn("cell", Similarity.ivfCell(col("embedding"), cents))
     val physical = indexed.queryExecution.executedPlan.toString
