@@ -113,6 +113,9 @@ object Bench {
     pipelineRun(spark, benchIn, benchOut + "/warm") // warmup
     val metrics = new PipelineMetrics
     spark.sparkContext.addSparkListener(metrics)
+    // flush the warmup's dirty pages outside the timed window (same hygiene
+    // as the scaling runs; writeback stalls showed +/-40% here)
+    new ProcessBuilder("sync").inheritIO().start().waitFor()
     val pipeSecs = pipelineRun(spark, benchIn, benchOut + "/timed")
     spark.sparkContext.removeSparkListener(metrics)
     val pipeThr = pipelineRows / pipeSecs

@@ -84,4 +84,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query side must broadcast:\n$plan")
   }
+
+  test("route write projection prunes the fields map (ts comes from time-only extraction)") {
+    val in = Files.createTempDirectory("plan-route-in").toString
+    SequenceGen.sequences(spark, 100, 2).write.mode("overwrite").parquet(in)
+    val enriched = LogPipeline.run(spark, spark.read.parquet(in), SequenceGen.configs)
+    val persisted = enriched.select(col("doc_id"), col("tokens"), col("n_tok"),
+      col("source"), col("host"), col("source_id"), col("ts"), col("offset"), col("sink"))
+    val plan = persisted.queryExecution.executedPlan.toString
+    // ExtractEvent builds the full per-row fields map; the write path must
+    // derive ts via ExtractTimeValue only, letting Catalyst prune the map
+    assert(!plan.toLowerCase.contains("extractevent"),
+      s"fields-map build must be pruned out of the write projection:\n$plan")
+    assert(plan.toLowerCase.contains("extracttimevalue"),
+      s"ts must come from the time-only extraction:\n$plan")
+  }
 }
