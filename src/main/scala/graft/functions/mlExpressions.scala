@@ -203,6 +203,64 @@ case class Md5Hash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Md5Hash64 = copy(child = c)
 }
 
+/** Cosine similarity of two float arrays in double precision, products and
+  * squares folded in index order — bit-identical to the composed
+  * `aggregate(zip_with(...))` form (which evaluated its lambdas interpreted
+  * per element: the dominant cost of every scored ANN join). Null if the
+  * lengths differ (the zip_with form nulls out there too).
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  def doCosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    doCosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cossim", this, classOf[CosineSim].getName)
+    val lC = left.genCode(ctx)
+    val rC = right.genCode(ctx)
+    val boxed = ctx.freshName("boxedCos")
+    ev.copy(code =
+      org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+        new StringContext(
+          s"""
+          ${lC.code}
+          ${rC.code}
+          java.lang.Double $boxed = (${lC.isNull} || ${rC.isNull})
+            ? null : $ref.doCosine(${lC.value}, ${rC.value});
+          boolean ${ev.isNull} = ($boxed == null);
+          double ${ev.value} = ${ev.isNull} ? 0.0 : $boxed.doubleValue();
+          """)).code())
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
 /** Shared helpers for the shingle expressions. */
 private[functions] object ShingleRuntime {
   val localMd5: ThreadLocal[java.security.MessageDigest] =

@@ -11,14 +11,15 @@ object Similarity {
 
   /** Cosine similarity between two float-array columns, computed in double
     * with sequential order (matches DuckDB's list_cosine_similarity).
+    * One-pass compiled expression (graft.functions.CosineSim) — the
+    * aggregate/zip_with form evaluated its lambdas interpreted per element,
+    * dominating every scored ANN join.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.CosineSim(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
 
   /** Brute-force top-k neighbors for the query vectors (vec_id < nQueries).
     * Broadcast the tiny query side; rank by rounded cosine then vec_id so
