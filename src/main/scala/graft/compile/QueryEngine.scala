@@ -50,10 +50,17 @@ class QueryEngine(val events: DataFrame, val configs: Seq[SourceConfig]) {
 
   /** Events frame with the `fields` map materialized as an expression
     * (schema-on-read: nothing stored, recomputed per query like the
-    * reference re-extracts per search).
+    * reference re-extracts per search). Frames carrying the tokens payload
+    * (routed sinks re-opened via LogPipeline.openSinks) take the decode-to-
+    * lowercase fast path instead of re-lowering the rendered string.
     */
-  def withFields(base: DataFrame): DataFrame =
-    base.withColumn("fields", fieldsColumn(col("raw"), col("host"), col("source")))
+  def withFields(base: DataFrame): DataFrame = {
+    val fields =
+      if (base.columns.contains("tokens"))
+        F.extract_event_tokens(col("tokens"), col("host"), col("source"), configs)
+      else fieldsColumn(col("raw"), col("host"), col("source"))
+    base.withColumn("fields", fields)
+  }
 
   // ---------------------------------------------------------------- search
 

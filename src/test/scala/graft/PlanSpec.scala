@@ -98,5 +98,10 @@ class PlanSpec extends AnyFunSuite {
       s"fields-map build must be pruned out of the write projection:\n$plan")
     assert(plan.toLowerCase.contains("extracttimevalue"),
       s"ts must come from the time-only extraction:\n$plan")
+    // sink sanitization must ride the broadcast dim (once per distinct
+    // source), never the 10^12-row side
+    val bigSide = plan.split("BroadcastExchange").head
+    assert(!bigSide.contains("regexp_replace"),
+      s"per-row regexp_replace on the big side (sink must come from the dim):\n$plan")
   }
 }
