@@ -78,6 +78,15 @@ object SparkEntry {
     // P10 surrounding context (two-sided top-k within source_id)
     "q_surrounding" -> ((s, dir) =>
       eng(s, dir).run("| surrounding count=6 eventId=50").df.select(col("doc_id"))),
+    // inverted full-text index (FTS4 EventRaws analog): build postings,
+    // multi-word AND prefilter through the index, full predicate re-check
+    "q_indexed_search" -> ((s, dir) => {
+      val e = eng(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft-ftidx-q").toString
+      graft.plans.FullTextIndex.build(e.events, idx)
+      graft.plans.FullTextIndex.search(s, e, idx, "performing error userid=13")
+        .select(col("doc_id"))
+    }),
     // O1 global sort newest-first + top-k
     "q_topk" -> ((s, dir) =>
       QueryEngine.newestFirst(eng(s, dir).run("eventtype=purchase")).limit(50)
@@ -233,6 +242,8 @@ object SparkEntry {
          |) SELECT key, count(*) AS n_values FROM (SELECT DISTINCT key, value FROM f) GROUP BY key""".stripMargin,
     "q_histogram" ->
       s"SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, $SRC AS source, count(*) AS n FROM events GROUP BY 1, 2",
+    "q_indexed_search" ->
+      s"SELECT $DOC AS doc_id FROM events WHERE event_type = 'error' AND user_id = 13",
     "q_surrounding" ->
       s"""WITH base AS (SELECT $SRC AS sid, event_id AS base_off FROM events WHERE event_id = 50),
          |up AS (SELECT e.event_id FROM events e, base b WHERE $SRC = b.sid AND e.event_id <= b.base_off ORDER BY e.event_id DESC LIMIT 3),
