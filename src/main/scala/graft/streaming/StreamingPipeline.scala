@@ -16,10 +16,17 @@ import graft.plans.LogPipeline
 object StreamingPipeline {
 
   /** Streaming ingest: watch `inputDir` for new sequence parquet files,
-    * parse -> enrich -> salted fan-out append per sink. The streaming
+    * parse -> enrich -> salted fan-out write per sink. The streaming
     * checkpoint tracks processed input files (the "offsets"); a restart with
     * the same checkpoint processes only new files — the streaming twin of
     * RouteJob's lineage manifests.
+    *
+    * Exactly-once: each micro-batch overwrites its OWN directory
+    * (`batch=<id>/sink=.../`), keyed by the checkpointed batchId — a batch
+    * replayed after a mid-write crash lands in the same place instead of
+    * appending duplicates. (A blind `append` here would only be
+    * at-least-once; the reference plays the same trick with its
+    * UNIQUE-constraint dedup insert, SqliteEventRepository.go:33-35.)
     */
   def ingest(spark: SparkSession, inputDir: String, outDir: String,
       checkpointDir: String, configs: Seq[SourceConfig],
@@ -31,9 +38,9 @@ object StreamingPipeline {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val enriched = LogPipeline.run(batch.sparkSession, batch, configs)
-        LogPipeline.routeWrite(enriched, outDir, saltBuckets, mode = "append")
+        LogPipeline.routeWrite(enriched, s"$outDir/batch=$batchId", saltBuckets)
       }
       .start()
   }

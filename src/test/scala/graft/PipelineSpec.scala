@@ -154,6 +154,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(c2 == 1500L, "restart must process only the new file (no dupes)")
   }
 
+  test("streaming route replay is idempotent (same batch id overwrites)") {
+    val out = Files.createTempDirectory("graft-replay").toString
+    val enriched = LogPipeline.run(spark,
+      SequenceGen.sequences(spark, 500, 2), SequenceGen.configs)
+    LogPipeline.routeWrite(enriched, s"$out/batch=7", 4)
+    LogPipeline.routeWrite(enriched, s"$out/batch=7", 4) // crash-replay of the same micro-batch
+    assert(spark.read.parquet(out).count() == 500,
+      "a replayed micro-batch must overwrite its own directory, not append")
+  }
+
   test("streaming histogram with watermark matches batch histogram") {
     val streamIn = Files.createTempDirectory("graft-hist-in").toString
     SequenceGen.sequences(spark, 800, 2).write.mode("overwrite").parquet(streamIn)
