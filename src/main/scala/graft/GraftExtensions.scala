@@ -55,7 +55,25 @@ object GraftExtensions {
     // last-wins map merge
     ("graft_map_union",
       new ExpressionInfo(classOf[MapUnion].getName, "graft_map_union"),
-      (es: Seq[Expression]) => MapUnion(es.head, es(1)))
+      (es: Seq[Expression]) => MapUnion(es.head, es(1))),
+    // cosine similarity of two float arrays (double precision, index order)
+    ("graft_cosine",
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (es: Seq[Expression]) => CosineSim(es.head, es(1))),
+    // dedup signatures over pre-hashed arrays / raw text pieces
+    ("graft_minhash",
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (es: Seq[Expression]) => MinHashSig(es.head,
+        graft.ml.TextDedup.COEF_A, graft.ml.TextDedup.COEF_B, graft.ml.TextDedup.MOD)),
+    ("graft_simhash",
+      new ExpressionInfo(classOf[SimHashSig].getName, "graft_simhash"),
+      (es: Seq[Expression]) => SimHashSig(es.head, graft.ml.TextDedup.SIMHASH_BITS)),
+    ("graft_lsh_sig",
+      new ExpressionInfo(classOf[LshSig].getName, "graft_lsh_sig"),
+      (es: Seq[Expression]) => LshSig(es.head, 16)),
+    ("graft_md5_64",
+      new ExpressionInfo(classOf[Md5Hash64].getName, "graft_md5_64"),
+      (es: Seq[Expression]) => Md5Hash64(es.head))
   )
 
   /** Register into an existing session's function registry. */

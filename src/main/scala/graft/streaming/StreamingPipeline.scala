@@ -31,7 +31,8 @@ object StreamingPipeline {
   def ingest(spark: SparkSession, inputDir: String, outDir: String,
       checkpointDir: String, configs: Seq[SourceConfig],
       saltBuckets: Int = 32,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      indexDir: Option[String] = None): StreamingQuery = {
     val stream = spark.readStream
       .schema(Schemas.sequences)
       .parquet(inputDir)
@@ -41,6 +42,12 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val enriched = LogPipeline.run(batch.sparkSession, batch, configs)
         LogPipeline.routeWrite(enriched, s"$outDir/batch=$batchId", saltBuckets)
+        // maintain the inverted full-text index at ingest time, like the
+        // reference inserts into FTS4 EventRaws alongside Events (S5);
+        // same per-batch-id idempotence as the row write
+        indexDir.foreach { d =>
+          graft.plans.FullTextIndex.build(enriched, s"$d/batch=$batchId", saltBuckets)
+        }
       }
       .start()
   }

@@ -64,4 +64,24 @@ class IndexSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), s"prefilter must be a left-semi join:\n$plan")
   }
+
+  test("streaming ingest maintains the index; indexed query over sinks == scan") {
+    import graft.data.SequenceGen
+    import graft.plans.LogPipeline
+    val in = Files.createTempDirectory("ftidx-stream-in").toString
+    val out = Files.createTempDirectory("ftidx-stream-out").toString
+    val ckpt = Files.createTempDirectory("ftidx-stream-ckpt").toString
+    val idx = Files.createTempDirectory("ftidx-stream-idx").toString
+    SequenceGen.sequences(spark, 1000, 2).write.mode("overwrite").parquet(in)
+    val q = graft.streaming.StreamingPipeline.ingest(
+      spark, in, out, ckpt, SequenceGen.configs, indexDir = Some(idx))
+    q.awaitTermination()
+    val sinks = LogPipeline.openSinks(spark, out)
+    val eng = new graft.compile.QueryEngine(sinks, SequenceGen.configs)
+    val query = "reticulated"
+    val scan = rows(eng.run(query).df)
+    val indexed = rows(FullTextIndex.search(spark, eng, idx, query))
+    assert(indexed == scan && scan.nonEmpty,
+      s"index built at ingest must answer like the scan: ${indexed.size} vs ${scan.size}")
+  }
 }

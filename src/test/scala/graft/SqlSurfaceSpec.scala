@@ -34,9 +34,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
   test("extensions class enumerates the same functions") {
     assert(GraftExtensions.functions.map(_._1).toSet ==
       Set("tokens_to_text", "text_to_tokens", "graft_rex", "graft_fields",
-        "graft_json_fields", "graft_map_union"))
+        "graft_json_fields", "graft_map_union", "graft_cosine",
+        "graft_minhash", "graft_simhash", "graft_lsh_sig", "graft_md5_64"))
     // builder sanity through the extensions path
     val ext = new GraftExtensions()
     assert(ext != null)
+  }
+
+  test("ml signature functions answer from SQL") {
+    val cos = spark.sql(
+      "SELECT round(graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 6)").head()
+    assert(cos.getDouble(0) == 1.0)
+    val mh = spark.sql("SELECT size(graft_minhash(array(CAST(7 AS BIGINT), CAST(11 AS BIGINT))))").head()
+    assert(mh.getInt(0) == graft.ml.TextDedup.NUM_HASHES)
+    val sh = spark.sql("SELECT graft_simhash(array(CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)))").head()
+    assert(sh.getLong(0) == 3L) // bits 0 and 1 carried by majority {3,3}
+    val h = spark.sql("SELECT graft_md5_64('a')").head()
+    assert(h.getLong(0) > 0L)
   }
 }
