@@ -172,6 +172,15 @@ object SparkEntry {
     // decode stub (metadata projection is the oracle-comparable part)
     "q_multimodal_meta" -> ((s, dir) =>
       graft.ml.Multimodal.mediaMeta(s, DocsAdapter.docs(s, dir))),
+    // deterministic stratified sampling (data-mixing weights per language)
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.ml.Sampling.stratified(DocsAdapter.docs(s, dir), "lang",
+        Map("en" -> 0.5, "zh" -> 1.0), 0.25).select(col("doc_id"))),
+    // benchmark decontamination: n-gram overlap with the holdout set
+    "q_contamination" -> ((s, dir) => {
+      val docs = DocsAdapter.docs(s, dir)
+      graft.ml.Contamination.flag(docs, graft.ml.Contamination.holdout(docs))
+    }),
     // Structured Streaming histogram: watermarked windowed agg through the
     // streaming pipeline, trigger AvailableNow over a staged copy; the
     // oracle is the equivalent batch SQL (streaming==batch parity)
@@ -285,6 +294,13 @@ object SparkEntry {
       graft.ml.TextAnalysis.fingerprintsSql("documents"),
     "q_multimodal_meta" ->
       graft.ml.Multimodal.mediaMetaSql("documents"),
+    "q_sample_stratified" ->
+      ("SELECT doc_id FROM (" +
+        graft.ml.Sampling.stratifiedSql("documents", "lang",
+          Map("en" -> 0.5, "zh" -> 1.0), 0.25) + ")"),
+    "q_contamination" ->
+      graft.ml.Contamination.flagSql("documents",
+        graft.ml.Contamination.holdoutSql("documents")),
     "q_stream_histogram" ->
       s"SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n FROM events GROUP BY 1, 2",
     "q_ann_lsh" ->

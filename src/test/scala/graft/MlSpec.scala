@@ -132,4 +132,39 @@ class MlSpec extends AnyFunSuite {
     assert(rows.sortBy(_.doc_id).map(_.entropy).toSeq ==
       again.sortBy(_.doc_id).map(_.entropy).toSeq)
   }
+
+  test("stratified sampling: deterministic, per-stratum rates, nested under weight increase") {
+    import graft.ml.Sampling
+    val docs = DocsAdapter.docs(spark, dir)
+    val fr = Map("en" -> 0.5, "zh" -> 1.0)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = ids(Sampling.stratified(docs, "lang", fr, 0.25))
+    val s2 = ids(Sampling.stratified(docs, "lang", fr, 0.25))
+    assert(s1 == s2, "sampling must be a pure function of (doc_id, salt)")
+    // zh weight 1.0 keeps every zh doc
+    val zh = docs.filter(col("lang") === "zh").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(zh.subsetOf(s1))
+    // nested: raising en 0.5 -> 0.8 only ADDS documents
+    val bigger = ids(Sampling.stratified(docs, "lang", fr + ("en" -> 0.8), 0.25))
+    assert(s1.subsetOf(bigger), "raising a stratum weight must not drop kept docs")
+    // rough rate check on the default strata (~25% +/- wide tolerance)
+    val rest = docs.filter(!col("lang").isin("en", "zh")).count().toDouble
+    val restKept = s1.size - docs.filter(col("lang").isin("en", "zh"))
+      .select("doc_id").collect().map(_.getLong(0)).count(s1.contains)
+    assert(math.abs(restKept / rest - 0.25) < 0.15, s"default rate ${restKept / rest}")
+  }
+
+  test("contamination: every holdout doc flags itself; counts positive") {
+    import graft.ml.Contamination
+    val docs = DocsAdapter.docs(spark, dir)
+    val bench = Contamination.holdout(docs)
+    val flagged = Contamination.flag(docs, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val benchIds = bench.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(benchIds.nonEmpty && benchIds.forall(flagged.contains),
+      "a holdout doc shares all its n-grams with itself")
+    assert(flagged.values.forall(_ > 0))
+  }
 }
