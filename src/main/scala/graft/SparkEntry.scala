@@ -181,6 +181,9 @@ object SparkEntry {
       val docs = DocsAdapter.docs(s, dir)
       graft.ml.Contamination.flag(docs, graft.ml.Contamination.holdout(docs))
     }),
+    // sequence packing: concat-then-chunk into fixed context windows
+    "q_packing" -> ((s, dir) =>
+      graft.ml.Packing.packWords(DocsAdapter.docs(s, dir), 512)),
     // Structured Streaming histogram: watermarked windowed agg through the
     // streaming pipeline, trigger AvailableNow over a staged copy; the
     // oracle is the equivalent batch SQL (streaming==batch parity)
@@ -301,6 +304,8 @@ object SparkEntry {
     "q_contamination" ->
       graft.ml.Contamination.flagSql("documents",
         graft.ml.Contamination.holdoutSql("documents")),
+    "q_packing" ->
+      graft.ml.Packing.packWordsSql("documents", 512),
     "q_stream_histogram" ->
       s"SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n FROM events GROUP BY 1, 2",
     "q_ann_lsh" ->

@@ -156,6 +156,27 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(restKept / rest - 0.25) < 0.15, s"default rate ${restKept / rest}")
   }
 
+  test("packing: exact stream equality, full windows, block-size invariance") {
+    import graft.ml.Packing
+    import graft.sources.EventsAdapter
+    val seqs = EventsAdapter.sequences(spark, dir)
+    val cap = 256
+    def windows(blockSize: Long) =
+      Packing.pack(seqs, cap, blockSize = blockSize)
+        .orderBy("window_id")
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toVector)).toVector
+    val packed = windows(100000L)
+    // the concatenated windows ARE the token stream in doc order
+    val stream = seqs.select(col("doc_id").cast("long").as("d"), col("tokens"))
+      .orderBy("d").collect().flatMap(_.getSeq[Int](1)).toVector
+    assert(packed.flatMap(_._2) == stream, "window concat must equal the doc-order token stream")
+    // every window except the last is exactly cap
+    packed.dropRight(1).foreach { case (id, t) => assert(t.size == cap, s"window $id: ${t.size}") }
+    assert(packed.last._2.size <= cap && packed.last._2.nonEmpty)
+    // the two-phase prefix sum gives identical output at any block size
+    assert(windows(100L) == packed, "block size must not change the packing")
+  }
+
   test("contamination: every holdout doc flags itself; counts positive") {
     import graft.ml.Contamination
     val docs = DocsAdapter.docs(spark, dir)
