@@ -135,7 +135,9 @@ object Bench {
       val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
       val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "4").toInt
       val execMemMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEM_MB", "8192").toInt
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+      // 2 reps (plus warmup) keeps the whole bench under the driver's
+      // command budget; the sync hygiene makes run-to-run spread small
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
       val nLarge = nSmall * 4
       val scaleIn = Files.createTempDirectory("graft-scale-in").toString
       locally {
