@@ -106,19 +106,26 @@ object Bench {
     }
 
     // ---- full-pipeline throughput with stage metrics ----
+    // A failure below must still emit the one-line JSON (the driver's only
+    // signal), so the pipeline and scaling blocks degrade to error strings.
     val benchIn = Files.createTempDirectory("graft-bench-in").toString
     val benchOut = Files.createTempDirectory("graft-bench-out").toString
-    SequenceGen.sequences(spark, pipelineRows, cpus * 2)
-      .write.mode("overwrite").parquet(benchIn)
-    pipelineRun(spark, benchIn, benchOut + "/warm") // warmup
     val metrics = new PipelineMetrics
-    spark.sparkContext.addSparkListener(metrics)
-    // flush the warmup's dirty pages outside the timed window (same hygiene
-    // as the scaling runs; writeback stalls showed +/-40% here)
-    new ProcessBuilder("sync").inheritIO().start().waitFor()
-    val pipeSecs = pipelineRun(spark, benchIn, benchOut + "/timed")
-    spark.sparkContext.removeSparkListener(metrics)
-    val pipeThr = pipelineRows / pipeSecs
+    val pipelineJson = try {
+      SequenceGen.sequences(spark, pipelineRows, cpus * 2)
+        .write.mode("overwrite").parquet(benchIn)
+      pipelineRun(spark, benchIn, benchOut + "/warm") // warmup
+      spark.sparkContext.addSparkListener(metrics)
+      // flush the warmup's dirty pages outside the timed window (same hygiene
+      // as the scaling runs; writeback stalls showed +/-40% here)
+      new ProcessBuilder("sync").inheritIO().start().waitFor()
+      val pipeSecs = pipelineRun(spark, benchIn, benchOut + "/timed")
+      spark.sparkContext.removeSparkListener(metrics)
+      val pipeThr = pipelineRows / pipeSecs
+      f""""pipeline":{"rows":$pipelineRows,"secs":$pipeSecs%.2f,"seqs_per_sec":$pipeThr%.1f,"stages":${metrics.toJson}},"""
+    } catch { case e: Throwable =>
+      s""""pipeline":{"error":"${e.getClass.getSimpleName}"},"""
+    }
     spark.stop()
 
     // ---- scaling efficiency: N vs 4N executor processes, same input ----
@@ -130,7 +137,7 @@ object Bench {
     // random (+/-15s observed), so each rep starts with a sync, outside the
     // timed window, identically for both sizes; best-of-reps estimates
     // capacity.
-    val scaling = if (doScaling) {
+    val scaling = if (doScaling) try {
       val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "16000000").toLong
       val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
       val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "4").toInt
@@ -166,13 +173,15 @@ object Bench {
         .getOrElse(measure(n => Some(session(n * coresPerExec))).get) // thread fallback
       val eff = thr(nLarge) / (4.0 * thr(nSmall))
       f""""scaling":{"rows":$scaleRows,"n_small":$nSmall,"n_large":$nLarge,"cores_per_executor":$coresPerExec,"throughput_n":${thr(nSmall)}%.1f,"throughput_4n":${thr(nLarge)}%.1f,"efficiency":$eff%.3f},"""
+    } catch { case e: Throwable =>
+      s""""scaling":{"error":"${e.getClass.getSimpleName}"},"""
     } else ""
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      f""""pipeline":{"rows":$pipelineRows,"secs":$pipeSecs%.2f,"seqs_per_sec":$pipeThr%.1f,"stages":${metrics.toJson}},""" +
+      pipelineJson +
       scaling +
       s""""sf":"$sfDir"}""")
   }
