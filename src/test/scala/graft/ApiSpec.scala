@@ -20,6 +20,14 @@ class ApiSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("driver contract: SparkEntry.entry returns per-sink rows with signatures") {
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "driver smoke-checks rows > 0")
+    assert(df.columns.toSet == Set("sink", "n", "rowset_sig", "total_tokens"))
+    assert(rows.map(_.getLong(1)).sum > 0)
+  }
+
   test("startJob/jobStats/jobResults/jobFieldStats (Web.go:163-276)") {
     val api = new JobsApi(EventsAdapter.engine(spark, dir))
     val job = api.startJob("error")
