@@ -164,6 +164,30 @@ class PipelineSpec extends AnyFunSuite {
       "a replayed micro-batch must overwrite its own directory, not append")
   }
 
+  test("compaction: fewer files, identical per-sink row sets (signature-gated)") {
+    val streamIn = Files.createTempDirectory("graft-cmp-in").toString
+    val routed = Files.createTempDirectory("graft-cmp-routed").toString
+    val ckpt = Files.createTempDirectory("graft-cmp-ckpt").toString
+    val compacted = Files.createTempDirectory("graft-cmp-out").toString
+    // two streaming batches -> many small per-batch files
+    SequenceGen.sequences(spark, 1000, 2).write.mode("overwrite").parquet(streamIn)
+    graft.streaming.StreamingPipeline.ingest(
+      spark, streamIn, routed, ckpt, SequenceGen.configs).awaitTermination()
+    SequenceGen.sequences(spark, 1500, 2).filter(col("doc_id") >= "doc-000000001000")
+      .write.mode("append").parquet(streamIn)
+    graft.streaming.StreamingPipeline.ingest(
+      spark, streamIn, routed, ckpt, SequenceGen.configs).awaitTermination()
+
+    val res = graft.plans.CompactionJob.compact(spark, routed, compacted, targetRows = 1000L)
+    assert(res.rows == 1500L)
+    assert(res.filesAfter < res.filesBefore,
+      s"compaction must reduce files: ${res.filesBefore} -> ${res.filesAfter}")
+    // compacted output still answers queries identically
+    val a = LogPipeline.openSinks(spark, routed).select("doc_id").collect().map(_.getString(0)).toSet
+    val b = LogPipeline.openSinks(spark, compacted).select("doc_id").collect().map(_.getString(0)).toSet
+    assert(a == b)
+  }
+
   test("streaming histogram with watermark matches batch histogram") {
     val streamIn = Files.createTempDirectory("graft-hist-in").toString
     SequenceGen.sequences(spark, 800, 2).write.mode("overwrite").parquet(streamIn)
