@@ -33,7 +33,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 run / envVars ++= Map(
   "SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"),
   "SPARK_SCALA_VERSION" -> "2.13",
-)
+) ++ {
+  // Shuffle/local dirs on tmpfs: executor JVMs spawned by local-cluster
+  // workers read SPARK_LOCAL_DIRS from the worker env (Spark mkdirs the
+  // roots itself). Disk writeback of shuffle files was the round-1 scaling
+  // bench's main noise source.
+  val shm = new java.io.File("/dev/shm")
+  if (shm.isDirectory && shm.canWrite)
+    Map("SPARK_LOCAL_DIRS" -> "/dev/shm/graft-spark-local") else Map.empty[String, String]
+}
 // ...and a current app jar (spark.jars) so executors can load graft classes.
 Compile / run := (Compile / run).dependsOn(Compile / packageBin).evaluated
 Compile / runMain := (Compile / runMain).dependsOn(Compile / packageBin).evaluated

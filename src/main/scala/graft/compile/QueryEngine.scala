@@ -186,17 +186,20 @@ class QueryEngine(val events: DataFrame, val configs: Seq[SourceConfig]) {
     val inputType = PipeType.None
     val outputType = PipeType.Events
     def apply(in: Frame): Frame = {
+      // fully lazy: the one base row rides a broadcast equi-join on
+      // source_id (no driver collect — compiling a query is not an action);
+      // each side is a TakeOrderedAndProject, never a global sort
       val base = events.filter(col("doc_id") === lit(eventId))
-        .select(col("source_id"), col("offset")).limit(1).collect()
-      if (base.isEmpty) return EventsFrame(withFields(events).limit(0))
-      val sid = base(0).getString(0)
-      val off = base(0).getLong(1)
+        .select(col("source_id").as("_b_sid"), col("offset").as("_b_off"))
+        .limit(1)
+      val joined = events.join(broadcast(base), col("source_id") === col("_b_sid"))
       val half = count / 2
-      val up = events.filter(col("source_id") === lit(sid) && col("offset") <= lit(off))
+      val up = joined.filter(col("offset") <= col("_b_off"))
         .orderBy(col("offset").desc).limit(half)
-      val down = events.filter(col("source_id") === lit(sid) && col("offset") > lit(off))
+      val down = joined.filter(col("offset") > col("_b_off"))
         .orderBy(col("offset").asc).limit(half)
-      EventsFrame(withFields(up.unionByName(down)).orderBy(col("offset").desc))
+      EventsFrame(withFields(up.unionByName(down).drop("_b_sid", "_b_off"))
+        .orderBy(col("offset").desc))
     }
   }
 
@@ -208,8 +211,16 @@ class QueryEngine(val events: DataFrame, val configs: Seq[SourceConfig]) {
   def compileStep(p: Lang.PipelineStep,
       start: Option[Timestamp], end: Option[Timestamp]): Step = p.stepType match {
     case "search" =>
+      // per-step time options (SearchPipelineStep.go:103-121): a
+      // mid-pipeline `| search startTime=… endTime=…` carries its own
+      // bounds, overriding the API-level ones for that step
+      def timeArg(key: String): Option[Timestamp] = p.args.get(key).map { v =>
+        QueryEngine.parseTimeArg(v, java.time.Instant.now()).getOrElse(
+          throw QueryError(s"failed to compile search: error parsing $key: $v"))
+      }
       Lang.parseSearch(p.value) match {
-        case Right(s) => SearchStep(s, start, end)
+        case Right(s) => SearchStep(s, timeArg("startTime").orElse(start),
+          timeArg("endTime").orElse(end))
         case Left(e) => throw QueryError(s"failed to compile search: $e")
       }
     case "rex" =>
@@ -259,14 +270,17 @@ class QueryEngine(val events: DataFrame, val configs: Seq[SourceConfig]) {
     kept
   }
 
-  /** Execute a query end-to-end, returning the final frame. */
-  def run(query: String,
-      start: Option[Timestamp] = None, end: Option[Timestamp] = None): Frame = {
-    val steps = compile(query, start, end)
+  /** Execute pre-compiled steps, returning the final frame. */
+  def runSteps(steps: Seq[Step]): Frame = {
     var frame: Frame = EventsFrame(withFields(events).limit(0))
     steps.foreach(s => frame = s(frame))
     frame
   }
+
+  /** Execute a query end-to-end, returning the final frame. */
+  def run(query: String,
+      start: Option[Timestamp] = None, end: Option[Timestamp] = None): Frame =
+    runSteps(compile(query, start, end))
 
   // ------------------------------------------------------------- aggregates
 
@@ -314,4 +328,39 @@ object QueryEngine {
     */
   def newestFirst(frame: Frame): DataFrame =
     frame.df.orderBy(col("ts").desc, col("doc_id"))
+
+  private val goDuration =
+    """([-+]?)((?:\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h))+)""".r
+  private val goDurationUnit = """(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)""".r
+  private val unitNanos: Map[String, Double] = Map(
+    "ns" -> 1d, "us" -> 1e3, "µs" -> 1e3, "ms" -> 1e6,
+    "s" -> 1e9, "m" -> 6e10, "h" -> 3.6e12)
+
+  /** Parse a search-step time option. Accepted forms mirror what the
+    * reference's web layer + dateparse take (Web.go:343-383,
+    * SearchPipelineStep.go:103-121):
+    *   - RFC3339: `2024-01-02T15:04:05Z` / with offset;
+    *   - plain date(-time): `2024-01-02` / `2024-01-02 15:04:05` (read as
+    *     UTC, the engine's session zone);
+    *   - Go-style relative duration: `-15m`, `1h30m`, `-1.5h` — applied to
+    *     `now` (Web.go:348-358 relativeTime semantics).
+    */
+  def parseTimeArg(v: String, now: java.time.Instant): Option[Timestamp] = {
+    import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+    def attempt[A](f: => A): Option[A] = try Some(f) catch { case _: Exception => None }
+    val t = v.trim
+    attempt(Instant.parse(t))
+      .orElse(attempt(java.time.OffsetDateTime.parse(t).toInstant))
+      .orElse(attempt(LocalDateTime.parse(t.replace(' ', 'T')).toInstant(ZoneOffset.UTC)))
+      .orElse(attempt(LocalDate.parse(t).atStartOfDay.toInstant(ZoneOffset.UTC)))
+      .orElse(t match {
+        case goDuration(sign, units) =>
+          val nanos = goDurationUnit.findAllMatchIn(units)
+            .map(m => m.group(1).toDouble * unitNanos(m.group(2))).sum
+          val signed = if (sign == "-") -nanos else nanos
+          Some(now.plusNanos(signed.toLong))
+        case _ => None
+      })
+      .map(Timestamp.from)
+  }
 }

@@ -69,6 +69,75 @@ object ExprRuntime {
     else if (v.isBoolean) String.valueOf(v.asBoolean())
     else if (v.isNull) "<nil>"
     else v.toString
+
+  /** UTF8String straight from a char-buffer region — the extraction hot path
+    * encodes each field key/value ONCE (buffer chars -> utf8 bytes) instead
+    * of the String detour (subSequence String + fromString re-encode).
+    * ASCII fast path; the rare non-ASCII region falls back to String.
+    */
+  def utf8FromChars(s: CharSequence, from: Int, to: Int): UTF8String = {
+    var i = from
+    while (i < to && s.charAt(i) < 0x80) i += 1
+    if (i == to) {
+      val b = new Array[Byte](to - from)
+      var j = from
+      while (j < to) { b(j - from) = s.charAt(j).toByte; j += 1 }
+      UTF8String.fromBytes(b)
+    } else UTF8String.fromString(s.subSequence(from, to).toString)
+  }
+
+  val TIME_KEY: UTF8String = UTF8String.fromString("_time")
+  val HOST_KEY: UTF8String = UTF8String.fromString("host")
+  val SOURCE_KEY: UTF8String = UTF8String.fromString("source")
+}
+
+/** Reusable flat fields builder: UTF8String keys/values in first-insertion
+  * order with last-wins overwrite — LinkedHashMap semantics without the
+  * per-row node + String + re-encode churn (the former hot-path cost: 2
+  * String allocs + 2 UTF8String re-encodes per extracted pair). Events
+  * carry a handful of fields, so the overwrite probe is a linear scan.
+  */
+final class FieldsBuffer {
+  private var ks = new Array[UTF8String](16)
+  private var vs = new Array[UTF8String](16)
+  private var n = 0
+
+  def clear(): Unit = n = 0
+  def size: Int = n
+
+  private def indexOf(k: UTF8String): Int = {
+    var i = 0
+    while (i < n) { if (ks(i).equals(k)) return i; i += 1 }
+    -1
+  }
+
+  private def grow(): Unit = {
+    ks = java.util.Arrays.copyOf(ks, ks.length * 2)
+    vs = java.util.Arrays.copyOf(vs, vs.length * 2)
+  }
+
+  def put(k: UTF8String, v: UTF8String): Unit = {
+    val i = indexOf(k)
+    if (i >= 0) { vs(i) = v; return }
+    if (n == ks.length) grow()
+    ks(n) = k; vs(n) = v; n += 1
+  }
+
+  def put(k: String, v: String): Unit =
+    put(UTF8String.fromString(k), UTF8String.fromString(if (v == null) "" else v))
+
+  def get(k: UTF8String): UTF8String = {
+    val i = indexOf(k)
+    if (i < 0) null else vs(i)
+  }
+
+  def build(): MapData = {
+    val kk = new Array[Any](n)
+    val vv = new Array[Any](n)
+    var i = 0
+    while (i < n) { kk(i) = ks(i); vv(i) = vs(i); i += 1 }
+    new ArrayBasedMapData(new GenericArrayData(kk), new GenericArrayData(vv))
+  }
 }
 
 /** Render a pre-tokenized payload back to its log-line text through the fixed
@@ -161,7 +230,7 @@ final class CompiledExtractor(val original: String) extends Serializable {
     * against the regex path by a ScalaCheck property (ExtractSpec).
     */
   private def kvScan(s: CharSequence,
-      into: java.util.LinkedHashMap[String, String],
+      into: FieldsBuffer,
       timeField: String, timeOut: Array[String]): Unit = {
     val n = s.length
     var i = 0
@@ -173,7 +242,8 @@ final class CompiledExtractor(val original: String) extends Serializable {
           var k = j + 2
           while (k < n && isWordChar(s.charAt(k))) k += 1
           if (into != null) {
-            into.put(s.subSequence(i, j).toString, s.subSequence(j + 1, k).toString)
+            into.put(ExprRuntime.utf8FromChars(s, i, j),
+              ExprRuntime.utf8FromChars(s, j + 1, k))
           } else if (regionEquals(s, i, j, timeField)) {
             timeOut(0) = s.subSequence(j + 1, k).toString
           } else if (regionEquals(s, i, j, "_time")) {
@@ -185,29 +255,37 @@ final class CompiledExtractor(val original: String) extends Serializable {
     }
   }
 
+  // Named-group keys pre-encoded once (they repeat every row).
+  @transient lazy val groupNamesU8: Array[UTF8String] =
+    groupNames.map(UTF8String.fromString)
+  @transient private lazy val EMPTY = UTF8String.fromString("")
+
   /** Run against `s`, writing name->value into `into` (last-wins).
     * For named-only extractors, group numbers are assigned in paren order,
     * so the i-th recorded name IS group i+1 — indexed access, no name lookup.
     */
-  def extractInto(s: CharSequence, into: java.util.LinkedHashMap[String, String]): Unit = {
+  def extractInto(s: CharSequence, into: FieldsBuffer): Unit = {
     if (isDefaultKv) { kvScan(s, into, null, null); return }
     val m = localMatcher.get()
     m.reset(s)
     val gc = groupCount
     val named = namedOnly
-    val names = groupNames
+    val names = groupNamesU8
     while (m.find()) {
       if (named) {
         var i = 0
         while (i < names.length) {
-          val v = m.group(i + 1)
-          into.put(names(i), if (v == null) "" else v) // Go yields "" for non-participating groups
+          val a = m.start(i + 1)
+          // Go yields "" for non-participating groups
+          val v = if (a < 0) EMPTY else ExprRuntime.utf8FromChars(s, a, m.end(i + 1))
+          into.put(names(i), v)
           i += 1
         }
       } else if (gc == 2) {
-        val k = m.group(1)
-        val v = m.group(2)
-        into.put(if (k == null) "" else k, if (v == null) "" else v)
+        val ka = m.start(1)
+        val va = m.start(2)
+        into.put(if (ka < 0) EMPTY else ExprRuntime.utf8FromChars(s, ka, m.end(1)),
+          if (va < 0) EMPTY else ExprRuntime.utf8FromChars(s, va, m.end(2)))
       }
       // else: malformed extractor, skipped (reference logs a warning)
     }
@@ -274,32 +352,26 @@ case class RegexExtractToMap(
 
   @transient private lazy val compiled: Array[CompiledExtractor] =
     extractors.map(new CompiledExtractor(_)).toArray
+  @transient private lazy val timeFieldU8: UTF8String =
+    if (timeField != null && timeField.nonEmpty) UTF8String.fromString(timeField) else null
+  @transient private lazy val localFields =
+    ThreadLocal.withInitial[FieldsBuffer](() => new FieldsBuffer)
 
   def doExtract(rawS: UTF8String, hostS: UTF8String, sourceS: UTF8String): MapData = {
     val s = rawS.toString
-    val m = new java.util.LinkedHashMap[String, String]()
+    val m = localFields.get()
+    m.clear()
     var i = 0
     while (i < compiled.length) { compiled(i).extractInto(s, m); i += 1 }
-    if (timeField != null && timeField.nonEmpty) {
-      val tv = m.get(timeField)
-      if (tv != null) m.put("_time", tv)
+    if (timeFieldU8 != null) {
+      val tv = m.get(timeFieldU8)
+      if (tv != null) m.put(ExprRuntime.TIME_KEY, tv)
     }
     if (inject) {
-      if (hostS != null) m.put("host", hostS.toString)
-      if (sourceS != null) m.put("source", sourceS.toString)
+      if (hostS != null) m.put(ExprRuntime.HOST_KEY, hostS.clone())
+      if (sourceS != null) m.put(ExprRuntime.SOURCE_KEY, sourceS.clone())
     }
-    val n = m.size()
-    val keys = new Array[Any](n)
-    val vals = new Array[Any](n)
-    val it = m.entrySet().iterator()
-    var j = 0
-    while (it.hasNext) {
-      val e = it.next()
-      keys(j) = UTF8String.fromString(e.getKey)
-      vals(j) = UTF8String.fromString(e.getValue)
-      j += 1
-    }
-    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+    m.build()
   }
 
   override def eval(input: InternalRow): Any = {
@@ -423,42 +495,30 @@ case class JsonToFieldsMap(
 
   @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  @transient private lazy val timeFieldU8: UTF8String =
+    if (timeField != null && timeField.nonEmpty) UTF8String.fromString(timeField) else null
+  @transient private lazy val localFields =
+    ThreadLocal.withInitial[FieldsBuffer](() => new FieldsBuffer)
+
   def doExtract(rawS: UTF8String, hostS: UTF8String, sourceS: UTF8String): MapData = {
     val node = try mapper.readTree(rawS.toString) catch { case _: Exception => return null }
     if (node == null || !node.isObject) return null
-    val m = new java.util.LinkedHashMap[String, String]()
+    val m = localFields.get()
+    m.clear()
     val it = node.fields()
     while (it.hasNext) {
       val e = it.next()
-      val v = e.getValue
-      val s =
-        if (v.isNumber) String.format(java.util.Locale.ROOT, "%.6f", Double.box(v.asDouble()))
-        else if (v.isTextual) v.asText()
-        else if (v.isBoolean) String.valueOf(v.asBoolean())
-        else if (v.isNull) "<nil>"
-        else v.toString
-      m.put(e.getKey, s)
+      m.put(e.getKey, ExprRuntime.jsonValueToString(e.getValue))
     }
-    if (timeField != null && timeField.nonEmpty) {
-      val tv = m.get(timeField)
-      if (tv != null) m.put("_time", tv)
+    if (timeFieldU8 != null) {
+      val tv = m.get(timeFieldU8)
+      if (tv != null) m.put(ExprRuntime.TIME_KEY, tv)
     }
     if (inject) {
-      if (hostS != null) m.put("host", hostS.toString)
-      if (sourceS != null) m.put("source", sourceS.toString)
+      if (hostS != null) m.put(ExprRuntime.HOST_KEY, hostS.clone())
+      if (sourceS != null) m.put(ExprRuntime.SOURCE_KEY, sourceS.clone())
     }
-    val n = m.size()
-    val keys = new Array[Any](n)
-    val vals = new Array[Any](n)
-    val it2 = m.entrySet().iterator()
-    var j = 0
-    while (it2.hasNext) {
-      val e = it2.next()
-      keys(j) = UTF8String.fromString(e.getKey)
-      vals(j) = UTF8String.fromString(e.getValue)
-      j += 1
-    }
-    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+    m.build()
   }
 
   override def eval(input: InternalRow): Any = {
@@ -538,12 +598,14 @@ case class ExtractEvent(
   // memo: source -> config index (configs.length = default fallback)
   @transient private lazy val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  // reused per-row field map (ThreadLocal: driver may share instances)
-  @transient private lazy val localMap =
-    ThreadLocal.withInitial[java.util.LinkedHashMap[String, String]](
-      () => new java.util.LinkedHashMap[String, String]())
+  // reused per-row fields buffer (ThreadLocal: driver may share instances)
+  @transient private lazy val localFields =
+    ThreadLocal.withInitial[FieldsBuffer](() => new FieldsBuffer)
   @transient private lazy val localSb =
     ThreadLocal.withInitial[java.lang.StringBuilder](() => new java.lang.StringBuilder(256))
+  @transient private lazy val timeFieldsU8: Array[UTF8String] =
+    (configs.map(_._4) :+ defaultTimeField).map(tf =>
+      if (tf != null && tf.nonEmpty) UTF8String.fromString(tf) else null).toArray
 
   private def resolve(source: String): Int =
     memo.computeIfAbsent(source, s => {
@@ -555,7 +617,7 @@ case class ExtractEvent(
       Integer.valueOf(configs.length)
     }).intValue()
 
-  private def jsonInto(text: String, m: java.util.LinkedHashMap[String, String]): Unit =
+  private def jsonInto(text: String, m: FieldsBuffer): Unit =
     try {
       val node = jsonMapper.readTree(text)
       if (node != null && node.isObject) {
@@ -567,35 +629,22 @@ case class ExtractEvent(
       }
     } catch { case _: Exception => () }
 
-  private def finish(m: java.util.LinkedHashMap[String, String],
-      timeField: String, hostS: UTF8String, sourceS: UTF8String): MapData = {
-    if (timeField != null && timeField.nonEmpty) {
-      val tv = m.get(timeField)
-      if (tv != null) m.put("_time", tv)
+  private def finish(m: FieldsBuffer,
+      timeFieldU8: UTF8String, hostS: UTF8String, sourceS: UTF8String): MapData = {
+    if (timeFieldU8 != null) {
+      val tv = m.get(timeFieldU8)
+      if (tv != null) m.put(ExprRuntime.TIME_KEY, tv)
     }
-    if (hostS != null) m.put("host", hostS.toString)
-    if (sourceS != null) m.put("source", sourceS.toString)
-    val n = m.size()
-    val keys = new Array[Any](n)
-    val vals = new Array[Any](n)
-    val it = m.entrySet().iterator()
-    var j = 0
-    while (it.hasNext) {
-      val e = it.next()
-      keys(j) = UTF8String.fromString(e.getKey)
-      vals(j) = UTF8String.fromString(e.getValue)
-      j += 1
-    }
-    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+    if (hostS != null) m.put(ExprRuntime.HOST_KEY, hostS.clone())
+    if (sourceS != null) m.put(ExprRuntime.SOURCE_KEY, sourceS.clone())
+    m.build()
   }
 
   def doExtract(rawS: UTF8String, hostS: UTF8String, sourceS: UTF8String): MapData = {
     val src = if (sourceS == null) "" else sourceS.toString
     val idx = resolve(src)
     val isJson = idx < configs.length && configs(idx)._2 == "json"
-    val timeField =
-      if (idx < configs.length) configs(idx)._4 else defaultTimeField
-    val m = localMap.get()
+    val m = localFields.get()
     m.clear()
     if (isJson) {
       jsonInto(rawS.toString, m)
@@ -606,7 +655,7 @@ case class ExtractEvent(
       var i = 0
       while (i < exs.length) { exs(i).extractInto(s, m); i += 1 }
     }
-    finish(m, timeField, hostS, sourceS)
+    finish(m, timeFieldsU8(idx), hostS, sourceS)
   }
 
   /** Tokens fast path: decode the payload straight into a reused buffer
@@ -616,9 +665,7 @@ case class ExtractEvent(
     val src = if (sourceS == null) "" else sourceS.toString
     val idx = resolve(src)
     val isJson = idx < configs.length && configs(idx)._2 == "json"
-    val timeField =
-      if (idx < configs.length) configs(idx)._4 else defaultTimeField
-    val m = localMap.get()
+    val m = localFields.get()
     m.clear()
     if (isJson) {
       jsonInto(ExprRuntime.decodeInto(arr, localSb.get()).toString, m)
@@ -628,7 +675,7 @@ case class ExtractEvent(
       var i = 0
       while (i < exs.length) { exs(i).extractInto(sb, m); i += 1 }
     }
-    finish(m, timeField, hostS, sourceS)
+    finish(m, timeFieldsU8(idx), hostS, sourceS)
   }
 
   override def eval(input: InternalRow): Any = {
@@ -716,9 +763,13 @@ case class ExtractTimeValue(
     val src = if (sourceS == null) "" else sourceS.toString
     val idx = resolve(src)
     val isJson = idx < configs.length && configs(idx)._2 == "json"
-    val timeField =
+    val cfgField =
       if (idx < configs.length) configs(idx)._4 else defaultTimeField
-    if (timeField == null || timeField.isEmpty) return null
+    // an empty time_field config only disables the timeField OVERRIDE — a
+    // directly-extracted "_time" key still names the event time (matches
+    // ExtractEvent.finish, which always keeps the map entry)
+    val timeField =
+      if (cfgField == null || cfgField.isEmpty) "_time" else cfgField
     if (isJson) {
       try {
         val node = jsonMapper.readTree(ExprRuntime.decodeInto(arr, localSb.get()).toString)

@@ -25,9 +25,15 @@ import org.apache.spark.sql.types._
 case class MinHashSig(child: Expression, coefA: Seq[Long], coefB: Seq[Long], mod: Long)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
 
   def doSig(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
+    // empty input -> null, matching the composed array_min(transform(...))
+    // form (array_min of an empty array is null); a MaxValue-sentinel
+    // signature would silently band empty docs together
+    if (n == 0) return null
+
     val k = coefA.length
     val out = new Array[Long](k)
     java.util.Arrays.fill(out, Long.MaxValue)
@@ -48,7 +54,10 @@ case class MinHashSig(child: Expression, coefA: Seq[Long], coefB: Seq[Long], mod
   override protected def nullSafeEval(v: Any): Any = doSig(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSig].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.doSig($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.doSig($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
   }
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
@@ -162,9 +171,13 @@ object IvfScore {
       val raw = dot / (vnorm * math.sqrt(nb))
       // BigDecimal.valueOf (canonical string form) — what Spark's Round uses;
       // new BigDecimal(double) would use the exact binary expansion and can
-      // round differently at the scale boundary
-      out(i) = java.math.BigDecimal.valueOf(raw)
-        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      // round differently at the scale boundary. NaN/Inf (zero-norm or empty
+      // vectors) must pass through like round(cosine(...), 9) did —
+      // BigDecimal.valueOf would throw on them
+      out(i) = if (java.lang.Double.isFinite(raw))
+        java.math.BigDecimal.valueOf(raw)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      else raw
       i += 1
     }
     out

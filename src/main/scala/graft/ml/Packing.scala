@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
   * sum `off`, so the result is deterministic at any parallelism.
   *
   * Scale shape — the prefix sum is TWO-PHASE, never a global-window sort:
-  *   1. per-block token totals (block = doc_id / blockSize), aggregated and
-  *      prefix-summed on the driver (tiny: one row per block), broadcast
-  *      back as each block's stream base;
+  *   1. per-block token totals (block = doc_id / blockSize), exclusive
+  *      prefix-summed over the TINY per-block frame (one row per blockSize
+  *      docs; a single-partition window there is 100k× smaller than the
+  *      data), broadcast-joined back as each block's stream base;
   *   2. intra-block running sum over a window PARTITIONED by block —
   *      parallel across blocks, sorted only within.
   * A single `Window.orderBy(doc_id)` (no partitioning) would pull the
-  * whole table through one task.
+  * whole table through one task. The whole plan is lazy: no collect, no
+  * per-block literal expressions (a 10^7-block `when`-chain is unplannable).
   */
 object Packing {
 
@@ -29,27 +31,26 @@ object Packing {
     */
   def pack(seqs: DataFrame, cap: Int, tokensCol: String = "tokens",
       ordCol: String = "doc_id", blockSize: Long = 100000L): DataFrame = {
-    val spark = seqs.sparkSession
     val withBlock = seqs
       .withColumn("_n", size(col(tokensCol)).cast("long"))
       .withColumn("_ord", col(ordCol).cast("long")) // numeric stream order (strings would sort lexicographically)
       .withColumn("_block", (col("_ord") / blockSize).cast("long"))
 
-    // phase 1: per-block totals -> exclusive prefix on the driver (tiny)
-    val totals = withBlock.groupBy("_block").agg(sum("_n").as("t"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val bases = totals.scanLeft((Long.MinValue, 0L)) {
-      case ((_, acc), (b, t)) => (b, acc + t)
-    }.tail.map { case (b, cum) => b -> (cum - totals.find(_._1 == b).get._2) }.toMap
-    val baseCol = totals.map(_._1).foldRight(lit(0L): Column) { (b, acc) =>
-      when(col("_block") === b, lit(bases(b))).otherwise(acc)
-    }
+    // phase 1: per-block totals -> exclusive prefix over the tiny per-block
+    // frame. The unpartitioned window runs in one task, but over 1 row per
+    // blockSize docs — the shape survives 10^12 rows (10^7 block rows).
+    val wBase = Window.orderBy("_block").rowsBetween(Window.unboundedPreceding, -1)
+    val bases = withBlock.groupBy("_block").agg(sum("_n").as("_t"))
+      .withColumn("_base", coalesce(sum("_t").over(wBase), lit(0L)))
+      .drop("_t")
 
-    // phase 2: block-local running sum (parallel across blocks)
+    // phase 2: block-local running sum (parallel across blocks), stream base
+    // attached via broadcast equi-join — the big side never reshuffles for it
     val w = Window.partitionBy("_block").orderBy("_ord")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = withBlock
-      .withColumn("_off", baseCol + coalesce(sum(col("_n")).over(w), lit(0L)))
+      .join(broadcast(bases), "_block")
+      .withColumn("_off", col("_base") + coalesce(sum(col("_n")).over(w), lit(0L)))
 
     // explode each doc into the windows it overlaps; slice the overlap
     val winStart = col("_win") * cap

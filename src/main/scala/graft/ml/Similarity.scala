@@ -48,8 +48,11 @@ object Similarity {
        |  FROM scored)
        |SELECT qid, rank, vec_id, sim FROM ranked WHERE rank <= $k""".stripMargin.replace("\n", " ")
 
-  /** Embedding near-duplicate pairs: cosine >= threshold within a candidate
-    * set. Exact O(n^2) within LSH buckets; see [[lshSignature]].
+  /** EXACT all-pairs cosine near-dup — TEST-ONLY oracle baseline. The
+    * `id_a < id_b` join is a BroadcastNestedLoopJoin/cartesian: O(n^2),
+    * unplannable at table scale. Shipped dedup goes through
+    * [[embeddingDedup]]/[[lshNearDupPairs]]; this form exists to assert
+    * LSH recall in MlSpec.
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
@@ -227,6 +230,26 @@ object Similarity {
        |FROM cand
        |WHERE round(list_cosine_similarity(CAST(e_a AS DOUBLE[]), CAST(e_b AS DOUBLE[])), 6) >= $threshold""".stripMargin.replace("\n", " ")
   }
+
+  /** Embedding near-dup DEDUP: keep-first survivor list. A vector survives
+    * unless an LSH-verified near-duplicate with a smaller vec_id exists —
+    * the greedy keep-first rule over [[lshNearDupPairs]] candidates
+    * (rows x bands shuffle + bucket joins + left-anti, never all-pairs).
+    * Returns the surviving (vec_id) set.
+    */
+  def embeddingDedup(emb: DataFrame, threshold: Double,
+      nBits: Int = 16, bands: Int = 4): DataFrame =
+    emb.join(
+      lshNearDupPairs(emb, threshold, nBits, bands)
+        .select(col("id_b").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+      .select(col("vec_id"))
+
+  /** DuckDB twin of [[embeddingDedup]] (same LSH candidates + keep-first). */
+  def embeddingDedupSql(embRel: String, threshold: Double,
+      nBits: Int = 16, bands: Int = 4): String =
+    s"""SELECT vec_id FROM $embRel WHERE vec_id NOT IN
+       |(SELECT id_b FROM (${lshNearDupPairsSql(embRel, threshold, nBits, bands)}))""".stripMargin.replace("\n", " ")
 
   /** ANN via LSH: exact cosine only within same-signature-band buckets.
     * Scale path: shuffle cost is rows x bands, never a cross join.

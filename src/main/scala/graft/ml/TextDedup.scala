@@ -74,18 +74,44 @@ object TextDedup {
 
   // ------------------------------------------------------------- jaccard
 
-  /** Pairwise n-gram Jaccard within a blocking key (`source`) — the exact
-    * quadratic baseline. At cluster scale this is only viable inside small
-    * blocks; MinHash+LSH below is the scale path. Returns (doc_a, doc_b,
-    * jac) for pairs with Jaccard >= threshold.
+  /** Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin
+    * family; Vernica et al., "Efficient parallel set-similarity joins using
+    * MapReduce", SIGMOD'10) — lossless, never all-pairs:
+    *
+    *   1. global shingle frequencies (one agg over exploded shingles);
+    *   2. order each doc's shingles rare-first; keep the first
+    *      n - ceil(t*n) + 1 (the PREFIX — any pair with Jaccard >= t must
+    *      share a prefix token, since J >= t implies overlap >= ceil(t*max)
+    *      and both prefixes reach past the last possible shared run);
+    *   3. equi-join on prefix tokens -> candidates (rare-first ordering
+    *      makes hot tokens fall outside most prefixes, bounding bucket
+    *      sizes);
+    *   4. verify candidates with the exact Jaccard.
+    *
+    * Completeness holds for ANY total token order, so the result is the
+    * exact pair set — the DuckDB oracle recomputes it as a plain quadratic
+    * join (fine at oracle scale) and must match row-for-row.
+    * Returns (doc_a, doc_b, jac) with jac >= threshold, across all sources.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val withSh = docs.select(col("doc_id"), col("source"),
-      shinglesCol(col("text")).as("sh"))
-    val a = withSh.select(col("doc_id").as("doc_a"), col("source"), col("sh").as("sh_a"))
-    val b = withSh.select(col("doc_id").as("doc_b"), col("source"), col("sh").as("sh_b"))
-    a.join(b, Seq("source"))
-      .filter(col("doc_a") < col("doc_b"))
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col("doc_id"), shinglesCol(col("text")).as("sh"))
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val freq = ex.groupBy("s").agg(count(lit(1)).as("f"))
+    // rare-first total order (f, s); shingles are distinct within a doc so
+    // the order is strict
+    val w = Window.partitionBy("doc_id").orderBy(col("f"), col("s"))
+    val prefix = ex.join(freq, Seq("s"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("s"))
+    val cand = prefix.as("x").join(prefix.as("y"), Seq("s"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jac", round(col("inter").cast("double") / col("uni"), 4))
@@ -93,12 +119,16 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** Oracle twin of [[ngramJaccardPairs]]: the algorithm is exact, so the
+    * independent recomputation is the straight quadratic join (viable at
+    * oracle scale only — the Spark side must never plan this shape).
+    */
   def ngramJaccardPairsSql(docsRel: String, threshold: Double): String =
-    s"""WITH sh AS (SELECT doc_id, source, ${shinglesSql("text")} AS sh FROM $docsRel)
+    s"""WITH sh AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM $docsRel)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac
-       |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $threshold""".stripMargin.replace("\n", " ")
 

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,9 +16,10 @@ import org.apache.spark.sql.functions._
   * Safety: the order-independent row-set signature (count + bit_xor of
   * xxhash64(doc_id, tokens), the same invariant the north rule uses for
   * routed-row equality) is computed per sink on both sides and the job
-  * REFUSES to commit a mismatch — a compaction can never silently drop or
-  * duplicate a row. The reference has no compaction (SQLite is one file);
-  * this is pure scale machinery.
+  * REFUSES to commit a mismatch — the rewrite lands in a staging dir and
+  * is renamed into `outDir` only after the signatures match, so a failed
+  * verification leaves no partial output behind. The reference has no
+  * compaction (SQLite is one file); this is pure scale machinery.
   */
 object CompactionJob {
 
@@ -32,23 +34,42 @@ object CompactionJob {
   /** Compact `inDir` (any batch/sink partition layout) into `outDir` (per sink). */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetRows: Long = 2000000L): Result = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val outPath = new Path(outDir)
+    val fs = outPath.getFileSystem(hconf) // works for local, hdfs, s3a alike
+    val staging = new Path(outPath.getParent,
+      s".${outPath.getName}.compact-staging-${System.nanoTime()}")
+
     val in = spark.read.parquet(inDir)
       .select("doc_id", "tokens", "n_tok", "source", "host", "source_id",
         "ts", "offset", "sink")
     val before = summarize(in)
     val rows = before.values.map(_._1).sum
     val parts = math.max(1, math.min(Int.MaxValue.toLong, (rows + targetRows - 1) / targetRows)).toInt
-    in.repartition(parts, col("sink"), pmod(hash(col("doc_id")), lit(parts * 8)))
-      .sortWithinPartitions(col("sink"), col("ts"))
-      .write.mode("overwrite").partitionBy("sink").parquet(outDir)
-    val after = summarize(spark.read.parquet(outDir))
-    require(before == after,
-      s"compaction changed the routed row set: before=$before after=$after")
+    try {
+      in.repartition(parts, col("sink"), pmod(hash(col("doc_id")), lit(parts * 8)))
+        .sortWithinPartitions(col("sink"), col("ts"))
+        .write.mode("overwrite").partitionBy("sink").parquet(staging.toString)
+      val after = summarize(spark.read.parquet(staging.toString))
+      require(before == after,
+        s"compaction changed the routed row set: before=$before after=$after")
+      // verified: swap the staging dir in (rename is atomic-enough on HDFS/
+      // local; on object stores it is a copy, but still happens only after
+      // the signature check)
+      if (fs.exists(outPath)) fs.delete(outPath, true)
+      if (!fs.rename(staging, outPath))
+        throw new java.io.IOException(s"failed to rename $staging to $outPath")
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, true): Unit
+    }
     def fileCount(dir: String): Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-        else if (f.getName.endsWith(".parquet")) 1L else 0L
-      walk(new java.io.File(dir))
+      val p = new Path(dir)
+      val dfs = p.getFileSystem(hconf)
+      if (!dfs.exists(p)) return 0L
+      val it = dfs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
     }
     Result(before.size, rows, fileCount(inDir), fileCount(outDir))
   }

@@ -58,13 +58,14 @@ object StreamingPipeline {
     */
   def histogram(spark: SparkSession, inputDir: String, configs: Seq[SourceConfig],
       queryName: String, bucket: String = "1 hour",
-      watermark: String = "2 hours"): StreamingQuery = {
+      watermark: String = "2 hours",
+      checkpointDir: Option[String] = None): StreamingQuery = {
     val stream = spark.readStream
       .schema(Schemas.sequences)
       .parquet(inputDir)
     val enriched = LogPipeline.enrichStatic(LogPipeline.parse(stream), configs)
       .withColumn("sink", LogPipeline.sinkCol)
-    enriched
+    val writer = enriched
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), bucket), col("sink"))
       .agg(count(lit(1)).as("n"))
@@ -74,6 +75,10 @@ object StreamingPipeline {
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
-      .start()
+    // an explicit (e.g. tmpfs-backed) checkpoint skips the default
+    // disk-temp-dir state-store/commit-log churn — a fixed per-query cost
+    // that dwarfs the actual aggregation on small-batch benches
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 }

@@ -47,6 +47,43 @@ class ApiSpec extends AnyFunSuite {
     assert(api.abortJob(job.id))
   }
 
+  test("sort mode comes from compiled steps, not query text") {
+    val api = new JobsApi(EventsAdapter.engine(spark, dir))
+    // the WORD "surrounding" as a search fragment must not flip the mode
+    assert(api.startJob("surrounding").sortMode == "timestampDesc")
+    assert(api.startJob("| surrounding count=2 eventId=50").sortMode == "preserveArgOrder")
+    assert(api.startJob("error | table \"userid\"").sortMode == "none")
+  }
+
+  test("abortJob cancels in-flight stages; states follow Job.go:24-40") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // an events frame expensive enough that its stats can't finish before
+    // the abort lands: 2e9 synthetic rows through per-row field extraction
+    val big = spark.range(2000000000L).select(
+      col("id").cast("string").as("doc_id"), lit("events-0.log").as("source"),
+      lit("h").as("host"), lit("sid").as("source_id"),
+      lit(Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+      col("id").as("offset"),
+      concat(lit("2024/01/01 00:00:00.000000 userid="), col("id")).as("raw"))
+    val api = new JobsApi(new QueryEngine(big, EventsAdapter.configs))
+    val job = api.startJob("userid=1")
+    assert(job.state == "running")
+    val fut = Future(api.jobStats(job.id))
+    Thread.sleep(1500) // let stages launch
+    assert(api.abortJob(job.id))
+    intercept[Exception](Await.result(fut, scala.concurrent.duration.Duration(120, "s")))
+    assert(job.state == "aborted")
+    assert(api.jobStats(job.id).state == "aborted")
+    // aborting a finished job is accepted but leaves it finished
+    val small = new JobsApi(EventsAdapter.engine(spark, dir))
+    val done = small.startJob("error")
+    small.jobStats(done.id)
+    assert(done.state == "finished")
+    assert(small.abortJob(done.id))
+    assert(done.state == "finished")
+  }
+
   test("relativeTime: Go duration (Web.go:348-358)") {
     val api = new JobsApi(EventsAdapter.engine(spark, dir))
     assert(api.parseGoDuration("-15m") == -900000L)

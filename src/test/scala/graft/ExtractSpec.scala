@@ -119,14 +119,20 @@ class ExtractSpec extends AnyFunSuite {
     val strs = Gen.listOf(Gen.frequency(
       12 -> chars, 1 -> Gen.const('k'), 1 -> Gen.const('1'))).map(_.mkString)
     val withTime = strs.flatMap(s => Gen.oneOf(s, s"_time=20 $s", s"$s k1=v9"))
+    def pairs(fb: graft.functions.FieldsBuffer): Seq[(String, String)] = {
+      val md = fb.build()
+      (0 until md.numElements()).map(i =>
+        md.keyArray().getUTF8String(i).toString -> md.valueArray().getUTF8String(i).toString)
+    }
     val prop = Prop.forAll(withTime) { s =>
-      val a = new java.util.LinkedHashMap[String, String]()
-      val b = new java.util.LinkedHashMap[String, String]()
+      val a = new graft.functions.FieldsBuffer
+      val b = new graft.functions.FieldsBuffer
       fast.extractInto(s, a)
       slow.extractInto(s, b)
       val out = Array[String](null, null)
       fast.extractTimeInto(s, "k1", out)
-      a.toString == b.toString && out(0) == a.get("k1") && out(1) == a.get("_time")
+      val am = pairs(a).toMap
+      pairs(a) == pairs(b) && out(0) == am.get("k1").orNull && out(1) == am.get("_time").orNull
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
     assert(res.passed, res.status.toString)

@@ -173,8 +173,11 @@ class MlSpec extends AnyFunSuite {
     // every window except the last is exactly cap
     packed.dropRight(1).foreach { case (id, t) => assert(t.size == cap, s"window $id: ${t.size}") }
     assert(packed.last._2.size <= cap && packed.last._2.nonEmpty)
-    // the two-phase prefix sum gives identical output at any block size
-    assert(windows(100L) == packed, "block size must not change the packing")
+    // the two-phase prefix sum gives identical output at any block size —
+    // blockSize=4 puts the corpus across >100 blocks (the broadcast-join
+    // base-attach path, not a degenerate single block)
+    assert(seqs.count() / 4 >= 100, "corpus too small for the many-block case")
+    assert(windows(4L) == packed, "block size must not change the packing")
   }
 
   test("contamination: every holdout doc flags itself; counts positive") {

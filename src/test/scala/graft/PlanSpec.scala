@@ -85,6 +85,35 @@ class PlanSpec extends AnyFunSuite {
       s"query side must broadcast:\n$plan")
   }
 
+  test("packing attaches block bases via broadcast join, not per-block literals") {
+    val seqs = SequenceGen.sequences(spark, 2000, 2)
+    val plan = graft.ml.Packing.pack(seqs, 256, blockSize = 4L)
+      .queryExecution.executedPlan.toString
+    // phase-1 bases must arrive by broadcast equi-join; a literal CASE WHEN
+    // chain (one branch per block, `CASE WHEN (_block = <k>) THEN <base>`)
+    // is unplannable at 10^7 blocks. The corpus-rendering CASE WHENs from
+    // SequenceGen are fine — only block-keyed literal dispatch is banned.
+    assert(plan.contains("BroadcastHashJoin"), s"bases must broadcast-join:\n$plan")
+    assert(!plan.contains("CASE WHEN (_block"), s"no per-block literal chain:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no non-equi join in packing:\n$plan")
+  }
+
+  test("no shipped dedup/ANN query plans a cartesian or big-big nested-loop join") {
+    // q_ann_topk is the documented exact BASELINE: its BroadcastNestedLoopJoin
+    // carries a bounded query frame (nQueries rows) — linear scan, fine at
+    // scale. Every other pair/dedup operator must bucket (LSH bands, prefix
+    // filter, simhash bytes) — an all-pairs plan is the 100-TB failure mode.
+    val spark0 = spark
+    val checks = Seq("q_dedup_ngram", "q_dedup_minhash", "q_dedup_embedding",
+      "q_ann_lsh", "q_ann_ivf", "q_simhash_pairs", "q_packing", "q_contamination")
+    checks.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark0, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop:\n$plan")
+    }
+  }
+
   test("route write projection prunes the fields map (ts comes from time-only extraction)") {
     val in = Files.createTempDirectory("plan-route-in").toString
     SequenceGen.sequences(spark, 100, 2).write.mode("overwrite").parquet(in)

@@ -118,6 +118,23 @@ class StepsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).toSeq == Seq(100L, 50L, 0L))
   }
 
+  test("surrounding compiles lazily: no Spark job runs at plan time") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = counter.incrementAndGet()
+    }
+    val e = engine(frame(
+      ("1", "my-log.txt", "my-host", SID, T0, 0L, "a"),
+      ("2", "my-log.txt", "my-host", SID, T0, 1L, "b")))
+    spark.sparkContext.addSparkListener(l)
+    try {
+      e.run("| surrounding count=2 eventId=1") // build only, no action
+      Thread.sleep(1000) // listener bus is async
+      assert(counter.get() == 0, "building a surrounding plan must not trigger a job")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("table: empty fields is a compile error (TablePipelineStep_test.go:19-24)") {
     val e = engine(frame(("1", "my-log.txt", "my-host", SID, T0, 0L, "x")))
     intercept[QueryError] { e.compile("| table \"\"") }
@@ -134,6 +151,39 @@ class StepsSpec extends AnyFunSuite {
         assert(r.getString(0) == "123" && r.getString(1) == "" && r.getString(2) == "my-host")
       case _ => fail("expected table frame")
     }
+  }
+
+  test("search step time options bound the step itself (SearchPipelineStep.go:103-121)") {
+    val e = engine(frame(
+      ("1", "my-log.txt", "my-host", SID, Timestamp.valueOf("2021-01-20 10:00:00"), 0L, "x early"),
+      ("2", "my-log.txt", "my-host", SID, Timestamp.valueOf("2021-01-20 12:00:00"), 1L, "x mid"),
+      ("3", "my-log.txt", "my-host", SID, Timestamp.valueOf("2021-01-20 14:00:00"), 2L, "x late")))
+    val ids = e.run(
+      "| search startTime=\"2021-01-20T11:00:00Z\" endTime=\"2021-01-20T13:00:00Z\" x")
+      .df.select("doc_id").as[String].collect().toSet
+    assert(ids == Set("2"), "step-level bounds must filter (bounds inclusive)")
+    // step options override API-level bounds; absent options inherit them
+    val inherit = e.run("| search endTime=\"2021-01-20T13:00:00Z\" x",
+      start = Some(Timestamp.valueOf("2021-01-20 11:00:00")))
+      .df.select("doc_id").as[String].collect().toSet
+    assert(inherit == Set("2"))
+    val err = intercept[QueryError](e.run("| search startTime=nonsense x"))
+    assert(err.msg.contains("error parsing startTime"))
+  }
+
+  test("time arg forms: RFC3339, plain, Go relative durations (Web.go:343-383)") {
+    import java.time.Instant
+    val now = Instant.parse("2021-01-20T12:00:00Z")
+    def p(s: String) = QueryEngine.parseTimeArg(s, now).map(_.toInstant.toString)
+    assert(p("2021-01-20T11:22:33Z") == Some("2021-01-20T11:22:33Z"))
+    assert(p("2021-01-20T11:22:33+02:00") == Some("2021-01-20T09:22:33Z"))
+    assert(p("2021-01-20 11:22:33") == Some("2021-01-20T11:22:33Z"))
+    assert(p("2021-01-20") == Some("2021-01-20T00:00:00Z"))
+    assert(p("-15m") == Some("2021-01-20T11:45:00Z"))
+    assert(p("-1h30m") == Some("2021-01-20T10:30:00Z"))
+    assert(p("90s") == Some("2021-01-20T12:01:30Z"))
+    assert(p("-1.5h") == Some("2021-01-20T10:30:00Z"))
+    assert(p("gibberish").isEmpty)
   }
 
   test("generator elision: '… | search X' discards prior steps (Pipeline.go:89-95)") {
