@@ -23,6 +23,8 @@ object SparkEntry {
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // staged streaming-input copy, once per scale dir
   private val stagedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // staged raw log-text files (S2/S3 ingestion surface), once per scale dir
+  private val ingestCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
     * full north-rule pipeline — tokens -> parse -> enrich -> per-sink
@@ -149,6 +151,29 @@ object SparkEntry {
       enriched.select(col("doc_id"),
         try_element_at(col("fields"), lit("userid")).as("userid"),
         try_element_at(col("fields"), lit("eventtype")).as("eventtype"))
+    }),
+
+    // S2 glob discovery + S3 event split over raw log FILES: the staged
+    // files are rendered from the events table (one file per source, lines
+    // in event_id order, trailing newline), so the DuckDB oracle recomputes
+    // doc ids, raws, and byte offsets purely from the structured columns.
+    // Staging is driver-side test plumbing; the operator under test is
+    // TextIngest.readLogFiles (glob -> wholetext -> delimiter split).
+    "q_ingest_split" -> ((s, dir) => {
+      val staged = ingestCache.computeIfAbsent(dir, _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-ingest-q").toString
+        EventsAdapter.events(s, dir).select(col("source"), col("raw"), col("offset"))
+          .orderBy("offset").collect()
+          .groupBy(_.getString(0))
+          .foreach { case (src, rows) =>
+            val content = rows.map(_.getString(1)).mkString("", "\n", "\n")
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(d, src), content.getBytes("UTF-8"))
+          }
+        d
+      })
+      graft.sources.TextIngest.readLogFiles(s, s"$staged/events-*.log")
+        .select(col("doc_id"), col("raw"), col("source"), col("offset"))
     }),
 
     // mixed-shape corpus (kv + access-combined + json): routing/enrich per
@@ -338,6 +363,12 @@ object SparkEntry {
       s"SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n FROM events GROUP BY 1, 2",
     "q_pipeline_fields" ->
       s"SELECT $DOC AS doc_id, CAST(user_id AS VARCHAR) AS userid, event_type AS eventtype FROM events",
+    "q_ingest_split" ->
+      s"""SELECT $SRC || '-' || (row_number() OVER (PARTITION BY $SRC ORDER BY event_id) - 1) AS doc_id,
+         | $RAW AS raw, $SRC AS source,
+         | CAST(COALESCE(SUM(len($RAW) + 1) OVER (PARTITION BY $SRC ORDER BY event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
+         | FROM events""".stripMargin.replace("\n", " "),
     "q_pipeline_mixed_sinkcounts" ->
       s"""SELECT ${EventsAdapter.MIXED_SINK_SQL} AS sink, ${EventsAdapter.MIXED_HOST_SQL} AS host,
          | count(*) AS n FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
