@@ -193,6 +193,11 @@ object Bench {
               System.err.println(f"[bench] scale n=$n warmup ${tw}%.2f s")
               val secs = (1 to reps).map { r =>
                 new ProcessBuilder("sync").inheritIO().start().waitFor()
+                // prior reps' shuffle files sit in the (tmpfs) local dirs
+                // until the ContextCleaner collects the shuffle objects —
+                // force it so reps don't inherit a growing RAM footprint
+                System.gc()
+                Thread.sleep(1000)
                 val out = benchOut + s"/scale-$n-$r"
                 val t = pipelineRun(s, scaleIn, out)
                 deleteRecursively(new File(out)) // bound tmpfs usage

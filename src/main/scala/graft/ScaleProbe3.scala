@@ -43,14 +43,42 @@ object ScaleProbe3 {
 
   private def run(spark: SparkSession, in: String, out: String): Double = time {
     val enriched = LogPipeline.run(spark, spark.read.parquet(in), SequenceGen.configs)
-    LogPipeline.routeWrite(enriched, out, spark.sparkContext.defaultParallelism)
-    spark.read.parquet(out).groupBy("sink").count().collect()
+    val parts = sys.env.get("PROBE_ROUTE_PARTS").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    // PROBE_MODE: full (default) | count (parse+enrich map only) |
+    // shuffle (+salted repartition, no write) — phase isolation at scale
+    sys.env.getOrElse("PROBE_MODE", "full") match {
+      case "count" =>
+        enriched.agg(org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("ts")),
+          org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("n_tok"))).collect(): Unit
+      case "shuffle" =>
+        import org.apache.spark.sql.functions._
+        enriched.select(col("doc_id"), col("tokens"), col("n_tok"), col("source"),
+            col("host"), col("source_id"), col("ts"), col("offset"), col("sink"))
+          .withColumn("_salt", pmod(hash(col("doc_id")), lit(parts * 8)))
+          .repartition(parts, col("sink"), col("_salt"))
+          .agg(max(col("ts")), sum(col("n_tok"))).collect(): Unit
+      case _ =>
+        LogPipeline.routeWrite(enriched, out, parts)
+        spark.read.parquet(out).groupBy("sink").count().collect(): Unit
+    }
   }
 
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("PROBE_ROWS", "8000000").toLong
-    val in = Files.createTempDirectory("probe3-in").toString
-    val out = Files.createTempDirectory("probe3-out").toString
+    val base = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    }
+    // sweep leftovers of prior probe invocations — accumulated tmpfs steals
+    // RAM from the page cache and poisons later measurements
+    base.toFile.listFiles((_, n) => n.startsWith("probe3-")) match {
+      case null => ()
+      case old => old.foreach(graft.util.Dirs.deleteRecursively)
+    }
+    val in = Files.createTempDirectory(base, "probe3-in").toString
+    val out = Files.createTempDirectory(base, "probe3-out").toString
     locally {
       val s = SparkSession.builder().master("local[32]")
         .config("spark.ui.enabled", "false").getOrCreate()
@@ -64,7 +92,11 @@ object ScaleProbe3 {
     val reps = sys.env.getOrElse("PROBE_REPS", "3").toInt
     val nLarge = nSmall * 4
     val memMb = sys.env.getOrElse("PROBE_MEM_MB", "3072").toInt
-    val results = Seq(nSmall, nLarge).flatMap { w =>
+    // PROBE_SIZES=4 -> single-config run (e.g. data-scale headroom probes)
+    val sizes = sys.env.get("PROBE_SIZES")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(nSmall, nLarge))
+    val results = sizes.flatMap { w =>
       val s = session(w, cores, memMb)
       run(s, in, s"$out/warm-$w-${System.nanoTime()}")
       val secs = (1 to reps).map { _ =>
@@ -73,7 +105,13 @@ object ScaleProbe3 {
         // random (observed +/-15s on identical runs)
         val od = s"$out/t-$w-${System.nanoTime()}"
         new ProcessBuilder("sync").inheritIO().start().waitFor()
+        // prior reps' shuffle files live in (tmpfs) local dirs until the
+        // ContextCleaner notices the shuffle objects are garbage — force the
+        // driver GC so each rep starts with a clean shuffle footprint
+        System.gc()
+        Thread.sleep(2000)
         val t = run(s, in, od)
+        graft.util.Dirs.deleteRecursively(new java.io.File(od)) // bound tmpfs
         println(f"PROBE3 workers=$w%2d x$cores secs=$t%7.2f thr=${rows / t}%9.0f")
         t
       }
@@ -81,6 +119,7 @@ object ScaleProbe3 {
       secs.map(t => w -> (rows / t))
     }
     val byW = results.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).max }
-    println(f"PROBE3 efficiency=${byW(nLarge) / (4 * byW(nSmall))}%.3f")
+    if (byW.contains(nSmall) && byW.contains(nLarge))
+      println(f"PROBE3 efficiency=${byW(nLarge) / (4 * byW(nSmall))}%.3f")
   }
 }

@@ -251,6 +251,15 @@ object SparkEntry {
     // sequence packing: concat-then-chunk into fixed context windows
     "q_packing" -> ((s, dir) =>
       graft.ml.Packing.packWords(DocsAdapter.docs(s, dir), 512)),
+    // PII redaction (emails/IPv4/phones) over the pii-injected corpus
+    "q_pii_scrub" -> ((s, dir) =>
+      graft.ml.TextCleaning.piiScrub(DocsAdapter.piiDocs(s, dir))),
+    // Gopher-style repetition metrics (distinct ratio, top uni/bigram share)
+    "q_repetition" -> ((s, dir) =>
+      graft.ml.TextCleaning.repetitionMetrics(DocsAdapter.docs(s, dir))),
+    // URL domain frequency (blocklist/provenance stats)
+    "q_url_domains" -> ((s, dir) =>
+      graft.ml.TextCleaning.domainStats(DocsAdapter.piiDocs(s, dir))),
     // Structured Streaming histogram: watermarked windowed agg through the
     // streaming pipeline, trigger AvailableNow over a staged copy; the
     // oracle is the equivalent batch SQL (streaming==batch parity).
@@ -414,6 +423,12 @@ object SparkEntry {
         graft.ml.Contamination.holdoutSql("documents")),
     "q_packing" ->
       graft.ml.Packing.packWordsSql("documents", 512),
+    "q_pii_scrub" ->
+      graft.ml.TextCleaning.piiScrubSql(DocsAdapter.piiDocsSql()),
+    "q_repetition" ->
+      graft.ml.TextCleaning.repetitionMetricsSql("documents"),
+    "q_url_domains" ->
+      graft.ml.TextCleaning.domainStatsSql(DocsAdapter.piiDocsSql()),
     "q_stream_histogram" ->
       s"SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n FROM events GROUP BY 1, 2",
     "q_ann_lsh" ->

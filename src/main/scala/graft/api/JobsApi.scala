@@ -141,6 +141,24 @@ class JobsApi(engine: QueryEngine) {
 
   def job(id: Long): Option[Job] = Option(jobs.get(id))
 
+  /** EstimatedProgress (reference jobs.Stats, pkg/logsuck/jobs/Job.go:42-47):
+    * completed / total tasks across the job group's Spark jobs via the
+    * status tracker — live while a stats/results action runs on another
+    * thread. 1 once the job left the Running state; 0 before any stage.
+    */
+  def estimatedProgress(id: Long): Float = {
+    val job = jobs.get(id)
+    if (job == null) return 0f
+    if (job.stateRef != JobsApi.Running) return 1f
+    val t = sc.statusTracker
+    val stages = t.getJobIdsForGroup(groupId(id))
+      .flatMap(j => t.getJobInfo(j).map(_.stageIds).getOrElse(Array.empty[Int]))
+      .flatMap(sid => t.getStageInfo(sid))
+    val total = stages.map(_.numTasks).sum
+    if (total <= 0) 0f
+    else math.min(1f, stages.map(_.numCompletedTasks).sum.toFloat / total)
+  }
+
   /** jobStats (Web.go:192-218): state + A3 matched count + A2 distinct-value
     * count per field key. A job whose full stats pass completed is Finished
     * (the lazy-frame analog of the reference's pump draining); an aborted

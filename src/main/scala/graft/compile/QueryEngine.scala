@@ -64,6 +64,38 @@ class QueryEngine(val events: DataFrame, val configs: Seq[SourceConfig]) {
 
   // ---------------------------------------------------------------- search
 
+  /** Raw-substring prefilter gate for positive field predicates. When every
+    * config (and the no-glob-match default) is plain-kv — extractors are
+    * either the default `(\w+)=(\w+)` or all-named — a dynamic key k can
+    * only enter `fields` as a literal `k=<\w+>` substring of the lowercased
+    * raw. A cheap Contains conjunct then short-circuits the per-row
+    * extraction for non-candidate rows: the same role the reference's FTS
+    * MATCH prefilter plays for fragments (SqliteEventRepository.go:327-352),
+    * re-expressed as Catalyst short-circuit AND. `None` when any config
+    * could populate fields another way (json, access, custom separators).
+    */
+  private lazy val kvPrefilterExcluded: Option[Set[String]] = {
+    val all = configs.map(c => (c.file_type, c.extractors)) :+
+      (("kv", graft.model.SourceConfig.defaultExtractors))
+    val exs = all.flatMap(_._2).map(new graft.functions.CompiledExtractor(_))
+    if (all.forall(_._1 == "kv") && exs.forall(e => e.isDefaultKv || e.namedOnly))
+      Some(exs.flatMap(_.groupNames).toSet ++ Set("host", "source"))
+    else None
+  }
+
+  @inline private def isKvWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+
+  private def fieldPrefilter(k: String, vs: Vector[String]): Option[Column] =
+    kvPrefilterExcluded match {
+      case Some(excluded) if !excluded.contains(k) && k.nonEmpty && k.forall(isKvWordChar) =>
+        // value prefix up to the first non-word char (wildcards etc.) keeps
+        // the needle a necessary condition; distinct needles OR together
+        val needles = vs.map(v => k + "=" + v.toLowerCase.takeWhile(isKvWordChar)).distinct
+        Some(needles.map(n => lower(col("raw")).contains(lit(n))).reduce(_ || _))
+      case _ => None
+    }
+
   /** Compile a Search IR + time bounds to a single Column predicate.
     * Fragments match raw (case-insensitive, wildcard, word-boundary —
     * Fragments.go:74-89); field predicates AND across keys, OR across values,
@@ -87,7 +119,13 @@ class QueryEngine(val events: DataFrame, val configs: Seq[SourceConfig]) {
     s.fields.foreach { case (k, vs) =>
       val v = fieldVal(k)
       val any = vs.map(x => v.rlike(F.compileFrag(x))).reduce(_ || _)
-      preds += coalesce(any, lit(false))
+      val full = coalesce(any, lit(false))
+      // positive predicates only: a missing "k=" substring proves the field
+      // is absent, so the conjunct preserves missing-field-excludes exactly
+      preds += (fieldPrefilter(k, vs) match {
+        case Some(pf) => pf && full
+        case None => full
+      })
     }
     s.notFields.foreach { case (k, vs) =>
       val v = fieldVal(k)

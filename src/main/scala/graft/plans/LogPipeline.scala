@@ -139,6 +139,37 @@ object LogPipeline {
   /** Sink key for the fan-out write: filesystem-safe source name. */
   def sinkCol: Column = regexp_replace(col("source"), "[^A-Za-z0-9_-]", "_")
 
+  /** Route-shuffle width from DATA volume, not cluster width. At a fixed
+    * width the per-task volume grows linearly with input, and the write
+    * stage falls off a memory cliff once sort buffers + parquet encoders
+    * outgrow their share of the executor heap (measured on the scaling rig:
+    * 64M rows over 16 tasks = 160 s vs 79 s over 64 tasks — BASELINE.md
+    * headroom notes). A real cluster sizes tasks by bytes; so do we: exact
+    * input-file byte sum (driver metadata, no job), `floor` = writer
+    * parallelism for small inputs, ~96 MB of input parquet per writer task,
+    * rounded UP to a whole multiple of the writer slots — a ragged last
+    * wave (e.g. 19 tasks on 16 slots) costs a full extra wave of wall time
+    * for 3 tasks' worth of work (measured: 20.3 s vs 14.9 s at 16M rows).
+    * Non-file-backed inputs (tests, streaming micro-batches) keep the floor.
+    */
+  private def routeParts(df: DataFrame, floor: Int,
+      targetBytes: Long = 192L << 20): Int = {
+    val bytes = try {
+      val files = df.inputFiles
+      if (files.isEmpty) 0L
+      else {
+        val conf = df.sparkSession.sparkContext.hadoopConfiguration
+        files.iterator.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum
+      }
+    } catch { case _: Exception => 0L }
+    val byParts = math.min(1 << 24, (bytes + targetBytes - 1) / targetBytes).toInt
+    val waves = (byParts + floor - 1) / floor
+    math.max(floor, math.max(1, waves) * floor)
+  }
+
   /** route: salted repartition + fan-out write, one directory per sink.
     *
     * The salt spreads each (possibly huge) source across all writer tasks so
@@ -149,7 +180,8 @@ object LogPipeline {
     * leave some writers with 3-4x the median load (observed skew 3.8); an
     * oversized domain evens the per-partition combo count (observed < 1.3).
     * The explicit partition count also stops AQE coalescing the salt away
-    * on small inputs.
+    * on small inputs. `numPartitions` is the writer-parallelism floor; the
+    * actual width scales with input bytes via [[routeParts]].
     */
   def routeWrite(enriched: DataFrame, outDir: String, numPartitions: Int,
       mode: String = "overwrite"): Unit = {
@@ -160,9 +192,10 @@ object LogPipeline {
     val persisted = enriched.select(
       col("doc_id"), col("tokens"), col("n_tok"), col("source"),
       col("host"), col("source_id"), col("ts"), col("offset"), col("sink"))
+    val parts = routeParts(persisted, numPartitions)
     val salted = persisted
-      .withColumn("_salt", pmod(hash(col("doc_id")), lit(numPartitions * 8)))
-    salted.repartition(numPartitions, col("sink"), col("_salt")).drop("_salt")
+      .withColumn("_salt", pmod(hash(col("doc_id")), lit(parts * 8)))
+    salted.repartition(parts, col("sink"), col("_salt")).drop("_salt")
       // cluster each output file by event time: the dynamic-partition writer
       // must sort by `sink` anyway, and adding `ts` gives parquet row-group
       // min/max stats that prune time-bounded queries (logsuck queries are

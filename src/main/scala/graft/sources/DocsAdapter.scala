@@ -60,6 +60,32 @@ object DocsAdapter {
   def docs(spark: SparkSession, sfDir: String): DataFrame =
     spread(spark.read.parquet(s"$sfDir/documents.parquet"), spark)
 
+  /** Docs with deterministic PII/URL tails (the raw corpus is clean word
+    * soup, so the cleaning operators would otherwise scrub nothing):
+    * doc_id % 4 appends an email / IPv4 / phone / URL. Pure column
+    * arithmetic — the DuckDB twin derives the identical text.
+    */
+  def piiDocs(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).withColumn("text", concat(col("text"),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(lit(" from 10."), pmod(col("doc_id"), lit(256)), lit(".0."),
+          pmod(col("doc_id"), lit(100)), lit(" logged")))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        concat(lit(" call 555-"), format_string("%03d", pmod(col("doc_id"), lit(1000))),
+          lit("-"), format_string("%04d", pmod(col("doc_id"), lit(10000)))))
+      .otherwise(concat(lit(" see https://site"), pmod(col("doc_id"), lit(20)),
+        lit(".example.org/page"), col("doc_id")))))
+
+  def piiDocsSql(): String =
+    s"""(SELECT doc_id, text || CASE
+       | WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id || '@example.com now'
+       | WHEN doc_id % 4 = 1 THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) || ' logged'
+       | WHEN doc_id % 4 = 2 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       | ELSE ' see https://site' || (doc_id % 20) || '.example.org/page' || doc_id END AS text,
+       | lang, source, n_chars FROM documents)""".stripMargin.replace("\n", " ")
+
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spread(spark.read.parquet(s"$sfDir/embeddings.parquet"), spark)
 }

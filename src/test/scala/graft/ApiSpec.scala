@@ -71,6 +71,8 @@ class ApiSpec extends AnyFunSuite {
     assert(job.state == "running")
     val fut = Future(api.jobStats(job.id))
     Thread.sleep(1500) // let stages launch
+    val p = api.estimatedProgress(job.id)
+    assert(p >= 0f && p < 1f, s"progress of a just-started huge job: $p")
     assert(api.abortJob(job.id))
     intercept[Exception](Await.result(fut, scala.concurrent.duration.Duration(120, "s")))
     assert(job.state == "aborted")
@@ -80,6 +82,7 @@ class ApiSpec extends AnyFunSuite {
     val done = small.startJob("error")
     small.jobStats(done.id)
     assert(done.state == "finished")
+    assert(small.estimatedProgress(done.id) == 1f)
     assert(small.abortJob(done.id))
     assert(done.state == "finished")
   }

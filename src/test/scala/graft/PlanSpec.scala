@@ -49,6 +49,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema"), plan)
   }
 
+  test("kv field predicates gain a raw-substring prefilter ahead of extraction") {
+    val e = EventsAdapter.engine(spark, dir)
+    val plan = e.run("userid=13").df.queryExecution.executedPlan.toString
+    // all-kv configs: Contains(lower(raw), "userid=13") short-circuits the
+    // per-row ExtractEvent for non-candidate rows
+    assert(plan.contains("Contains(lower("), s"kv prefilter missing:\n$plan")
+    // mixed configs (json/access present): prefilter must NOT be applied
+    val mixed = new graft.compile.QueryEngine(
+      EventsAdapter.events(spark, dir), EventsAdapter.mixedConfigs)
+    val mplan = mixed.run("userid=13").df.queryExecution.executedPlan.toString
+    assert(!mplan.contains("Contains(lower("),
+      s"prefilter is unsound for non-kv configs:\n$mplan")
+  }
+
   test("enrich is a broadcast hash join, not a shuffle join") {
     val seqs = SequenceGen.sequences(spark, 1000, 2)
     val plan = LogPipeline.run(spark, seqs, SequenceGen.configs)

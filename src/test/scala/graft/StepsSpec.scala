@@ -153,6 +153,22 @@ class StepsSpec extends AnyFunSuite {
     }
   }
 
+  test("kv prefilter keeps exact field-match semantics on substring traps") {
+    val e = engine(frame(
+      // key as a SUFFIX of another key: zzuserid=13 must not match userid=13
+      ("1", "my-log.txt", "my-host", SID, T0, 0L, "x zzuserid=13"),
+      // value prefix trap: userid=139 must not match userid=13
+      ("2", "my-log.txt", "my-host", SID, T0, 1L, "x userid=139"),
+      ("3", "my-log.txt", "my-host", SID, T0, 2L, "x userid=13"),
+      // wildcard value: userid=13* matches 13 and 139
+      ("4", "my-log.txt", "my-host", SID, T0, 3L, "x none here")))
+    import spark.implicits._
+    def ids(q: String) = e.run(q).df.select("doc_id").as[String].collect().toSet
+    assert(ids("userid=13") == Set("3"))
+    assert(ids("userid=13*") == Set("2", "3"))
+    assert(ids("userid!=13") == Set("1", "2", "4"), "negated predicate is never prefiltered")
+  }
+
   test("search step time options bound the step itself (SearchPipelineStep.go:103-121)") {
     val e = engine(frame(
       ("1", "my-log.txt", "my-host", SID, Timestamp.valueOf("2021-01-20 10:00:00"), 0L, "x early"),
