@@ -43,9 +43,17 @@ object FullTextIndex {
     frag.nonEmpty && frag.matches("[a-z0-9_]+")
 
   /** Build the postings table from an event frame (needs doc_id + raw).
-    * One shuffle (repartition by word) + sorted write: at 10^12 rows the
-    * postings are append-only per ingest batch, like the reference inserts
-    * into EventRaws alongside Events.
+    * One shuffle + sorted write: at 10^12 rows the postings are append-only
+    * per ingest batch, like the reference inserts into EventRaws alongside
+    * Events.
+    *
+    * Range partitioning on (word, doc_id) — NOT a hash repartition on
+    * word — because posting lists are Zipf-skewed: a stop word that appears
+    * in every event would pull the whole corpus into one hash partition.
+    * The range partitioner's sampler splits a hot word's postings across
+    * consecutive partitions, while the output stays globally word-ordered,
+    * so parquet row-group min/max stats still prune a word lookup to a few
+    * pages.
     */
   def build(events: DataFrame, outDir: String, numPartitions: Int = 0): Unit = {
     val parts =
@@ -55,8 +63,8 @@ object FullTextIndex {
       .select(col("doc_id"),
         explode(array_distinct(split(lower(col("raw")), SPLIT))).as("word"))
       .filter(length(col("word")) > 0)
-      .repartition(parts, col("word"))
-      .sortWithinPartitions("word")
+      .repartitionByRange(parts, col("word"), col("doc_id"))
+      .sortWithinPartitions("word", "doc_id")
       .write.mode("overwrite").parquet(outDir)
   }
 

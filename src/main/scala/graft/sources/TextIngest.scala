@@ -41,6 +41,14 @@ object TextIngest {
     * wholetext per file — the batch analog of the reference's tail-with-
     * remainder loop (a streaming deployment uses the Structured Streaming
     * file source instead, see graft.streaming.StreamingPipeline).
+    *
+    * Scale note: wholetext materializes each FILE as one row, so this path
+    * is for the reference's deployment shape (many modest log files; the
+    * reference reads 4 KiB chunks of living files). Huge archival inputs
+    * should arrive as the pre-tokenized sequences table — the engine's
+    * canonical input — or through the streaming file source; per-event byte
+    * offsets are the only thing a line-based `spark.read.text` cannot
+    * reproduce, and they are part of the reference's event identity.
     */
   def readLogFiles(spark: SparkSession, glob: String,
       delimiter: String = "\n"): DataFrame = {
