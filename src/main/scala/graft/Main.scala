@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.compile.QueryEngine
+import graft.config.ConfigJson
+import graft.plans.LogPipeline
+import graft.sources.TextIngest
+
+/** CLI entry point — the spark-submit face of the engine, playing the role
+  * of the reference's `logsuck [flags] files...` binary (cmd/logsuck):
+  *
+  *   spark-submit --class graft.Main graft.jar \
+  *     [--config logsuck.json]                \  reference-format config
+  *     --input <sequences parquet dir | raw log glob> \
+  *     [--text]                               \  input is raw log files
+  *     [--out <dir>]                          \  routed fan-out output
+  *     [--stream --checkpoint <dir>]          \  streaming ingest (file source)
+  *     [--query "<search string>"]            \  run a search, print results
+  *
+  * Batch: parse -> enrich -> route write -> per-sink summary on stdout.
+  * With --query (and no --out): query the input directly. With both: route
+  * first, then query the routed sinks.
+  */
+object Main {
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case flag @ ("--text" | "--stream") => m += flag.drop(2) -> "true"; i += 1
+        case flag if flag.startsWith("--") && i + 1 < args.length =>
+          m += flag.drop(2) -> args(i + 1); i += 2
+        case other => throw new IllegalArgumentException(s"unexpected argument: $other")
+      }
+    }
+    m.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val input = opts.getOrElse("input",
+      throw new IllegalArgumentException("--input is required"))
+
+    val spark = SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, opts, input)
+    finally if (sys.env.contains("GRAFT_KEEP_SESSION")) () else spark.stop()
+  }
+
+  /** Testable body (session injected). */
+  def run(spark: SparkSession, opts: Map[String, String], input: String): Unit = {
+    val parsedCfg = opts.get("config").map(ConfigJson.parseFile)
+    val configs = parsedCfg.map(_.configs).getOrElse(graft.data.SequenceGen.configs)
+
+    val sequences =
+      if (opts.contains("text"))
+        TextIngest.readLogFiles(spark, input)
+          .select("doc_id", "tokens", "n_tok", "source")
+      else spark.read.parquet(input)
+
+    if (opts.contains("stream")) {
+      val out = opts.getOrElse("out",
+        throw new IllegalArgumentException("--stream requires --out"))
+      val ckpt = opts.getOrElse("checkpoint",
+        throw new IllegalArgumentException("--stream requires --checkpoint"))
+      val q = graft.streaming.StreamingPipeline.ingest(
+        spark, input, out, ckpt, configs)
+      q.awaitTermination()
+      println(s"streamed into $out")
+      return
+    }
+
+    val queried = opts.get("out") match {
+      case Some(out) =>
+        val enriched = LogPipeline.run(spark, sequences, configs)
+        LogPipeline.routeWrite(enriched, out,
+          spark.sparkContext.defaultParallelism)
+        println(s"routed sinks -> $out")
+        LogPipeline.sinkSummary(LogPipeline.openSinks(spark, out)
+          .withColumn("sink", LogPipeline.sinkCol))
+          .orderBy("sink").collect()
+          .foreach(r => println(s"  sink=${r.get(0)} n=${r.get(1)} sig=${r.get(2)} tokens=${r.get(3)}"))
+        LogPipeline.openSinks(spark, out)
+      case None =>
+        LogPipeline.run(spark, sequences, configs)
+          .withColumn("raw", graft.functions.F.tokens_to_text(
+            org.apache.spark.sql.functions.col("tokens")))
+    }
+
+    opts.get("query").foreach { q =>
+      val engine = new QueryEngine(queried, configs)
+      val frame = engine.run(q)
+      val n = engine.matchedCount(frame)
+      println(s"query: $q -> $n events")
+      QueryEngine.newestFirst(frame).show(10, truncate = 120)
+    }
+  }
+}

@@ -1,0 +1,130 @@
+package graft.config
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.model.SourceConfig
+
+/** Reader for the reference's `logsuck.json` configuration format
+  * (logsuck-config.schema.json; converters at
+  * pkg/logsuck/config/JsonConverter.go:100-176 and
+  * JsonFileTypeConfigConverter.go:24-157) — a user of the reference points
+  * this at their existing config and gets the engine's `SourceConfig`
+  * dimension.
+  *
+  * Mapping, mirroring `indexedfiles.ReadFileConfig` merge semantics
+  * (internal: first listed fileType's parser wins; the special DEFAULT
+  * fileType applies to every file; built-in defaults when absent):
+  *   - files[].fileName (glob)            -> source_glob
+  *   - parser.type Regex                  -> file_type "kv" (+fieldExtractors)
+  *   - parser.type JSON                   -> file_type "json"
+  *   - regexConfig.timeField / jsonConfig.timeField -> time_field
+  *     (defaults "_time" / "ts" per the schema)
+  *   - fileType.timeLayout                -> time_layout
+  *     (default "2006/01/02 15:04:05")
+  *   - host.name / host.type              -> host, host_type
+  *     (defaults "localhost" / "DEFAULT")
+  * Watcher-level knobs with no batch meaning (readInterval,
+  * eventDelimiter beyond splitting, forwarder/recipient/web blocks) are
+  * intentionally ignored — SURVEY §2.1 maps them to Spark machinery.
+  */
+object ConfigJson {
+
+  final case class Parsed(hostName: String, hostType: String,
+      configs: Seq[SourceConfig], eventDelimiters: Map[String, String])
+
+  val DEFAULT_TIME_LAYOUT = "2006/01/02 15:04:05"
+
+  private final case class FileType(
+      name: String,
+      timeLayout: String,
+      parserType: String, // "Regex" | "JSON"
+      extractors: Seq[String],
+      timeField: String,
+      eventDelimiter: String)
+
+  private def text(n: JsonNode, field: String, dflt: String = ""): String = {
+    val v = if (n == null) null else n.get(field)
+    if (v == null || v.isNull) dflt else v.asText()
+  }
+
+  private def defaultFileType(name: String) = FileType(
+    name, DEFAULT_TIME_LAYOUT, "Regex",
+    SourceConfig.defaultExtractors, "_time", "\n")
+
+  def parse(json: String): Parsed = {
+    val root = new ObjectMapper().readTree(json)
+
+    val hostName = text(root.get("host"), "name", "localhost") match {
+      case "" => "localhost"
+      case h => h
+    }
+    val hostType = text(root.get("host"), "type", "DEFAULT") match {
+      case "" => "DEFAULT"
+      case t => t
+    }
+
+    val fileTypes: Map[String, FileType] = {
+      val declared = Option(root.get("fileTypes")).toSeq
+        .flatMap(_.elements().asScala)
+        .map { ft =>
+          val name = text(ft, "name")
+          val timeLayout = text(ft, "timeLayout", DEFAULT_TIME_LAYOUT) match {
+            case "" => DEFAULT_TIME_LAYOUT
+            case l => l
+          }
+          val parser = ft.get("parser")
+          val ptype = text(parser, "type", "Regex") match {
+            case "" => "Regex"
+            case t => t
+          }
+          val (extractors, timeField, delim) =
+            if (ptype == "JSON") {
+              val jc = if (parser == null) null else parser.get("jsonConfig")
+              (Seq.empty[String],
+                text(jc, "timeField", "ts") match { case "" => "ts"; case f => f },
+                text(jc, "eventDelimiter", "\n") match { case "" => "\n"; case d => d })
+            } else {
+              val rc = if (parser == null) null else parser.get("regexConfig")
+              val exs = Option(rc).flatMap(r => Option(r.get("fieldExtractors")))
+                .map(_.elements().asScala.map(_.asText()).toSeq)
+                .filter(_.nonEmpty)
+                .getOrElse(SourceConfig.defaultExtractors)
+              (exs,
+                text(rc, "timeField", "_time") match { case "" => "_time"; case f => f },
+                text(rc, "eventDelimiter", "\n") match { case "" => "\n"; case d => d })
+            }
+          name -> FileType(name, timeLayout, ptype, extractors, timeField, delim)
+        }.toMap
+      declared.updatedWith("DEFAULT")(_.orElse(Some(defaultFileType("DEFAULT"))))
+    }
+
+    val files = Option(root.get("files")).toSeq.flatMap(_.elements().asScala)
+    val configs = files.map { f =>
+      val glob = text(f, "fileName")
+      val listed = Option(f.get("fileTypes")).toSeq
+        .flatMap(_.elements().asScala).map(_.asText())
+        .filter(fileTypes.contains)
+      // first listed type wins; DEFAULT backs every file
+      val merged = (listed.map(fileTypes) :+ fileTypes("DEFAULT")).head
+      val fileType = if (merged.parserType == "JSON") "json" else "kv"
+      SourceConfig(glob, fileType, merged.extractors, merged.timeField,
+        merged.timeLayout, hostName, hostType)
+    }
+
+    val delims = files.map { f =>
+      val glob = text(f, "fileName")
+      val listed = Option(f.get("fileTypes")).toSeq
+        .flatMap(_.elements().asScala).map(_.asText())
+        .filter(fileTypes.contains)
+      glob -> (listed.map(fileTypes) :+ fileTypes("DEFAULT")).head.eventDelimiter
+    }.toMap
+
+    Parsed(hostName, hostType, configs, delims)
+  }
+
+  def parseFile(path: String): Parsed =
+    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.ConfigJson
+import graft.model.SourceConfig
+
+/** Reference-format config reader (logsuck-config.schema.json;
+  * JsonConverter.go:100-176, JsonFileTypeConfigConverter.go:24-157) and the
+  * CLI entry point.
+  */
+class ConfigSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sample =
+    """{
+      |  "host": { "name": "web-42", "type": "webserver" },
+      |  "files": [
+      |    { "fileName": "log-*.txt" },
+      |    { "fileName": "svc-*.json", "fileTypes": ["svc_json"] },
+      |    { "fileName": "access-*.log", "fileTypes": ["access_log"] }
+      |  ],
+      |  "fileTypes": [
+      |    { "name": "svc_json", "timeLayout": "UNIX_DECIMAL_NANOS",
+      |      "parser": { "type": "JSON", "jsonConfig": { "timeField": "ts" } } },
+      |    { "name": "access_log", "timeLayout": "02/Jan/2006:15:04:05 -0700",
+      |      "parser": { "type": "Regex", "regexConfig": {
+      |        "fieldExtractors": ["^(?P<ip>[\\d.]+) (?P<rest>.*)$"],
+      |        "timeField": "_time" } } }
+      |  ]
+      |}""".stripMargin
+
+  test("logsuck.json parse: fileTypes, defaults, host block (JsonConverter.go)") {
+    val p = ConfigJson.parse(sample)
+    assert(p.hostName == "web-42" && p.hostType == "webserver")
+    val byGlob = p.configs.map(c => c.source_glob -> c).toMap
+    // unlisted file -> DEFAULT fileType: kv parser, default extractors,
+    // default layout (JsonFileTypeConfigConverter.go:148-156)
+    val dflt = byGlob("log-*.txt")
+    assert(dflt.file_type == "kv")
+    assert(dflt.extractors == SourceConfig.defaultExtractors)
+    assert(dflt.time_field == "_time")
+    assert(dflt.time_layout == ConfigJson.DEFAULT_TIME_LAYOUT)
+    // JSON parser: json file_type, schema-default time field kept
+    val js = byGlob("svc-*.json")
+    assert(js.file_type == "json" && js.time_field == "ts")
+    assert(js.time_layout == "UNIX_DECIMAL_NANOS" && js.extractors.isEmpty)
+    // custom regex parser
+    val acc = byGlob("access-*.log")
+    assert(acc.file_type == "kv")
+    assert(acc.extractors == Seq("^(?P<ip>[\\d.]+) (?P<rest>.*)$"))
+    assert(acc.time_layout == "02/Jan/2006:15:04:05 -0700")
+    // every config stamps the host block
+    assert(p.configs.forall(c => c.host == "web-42" && c.host_type == "webserver"))
+  }
+
+  test("empty config falls back to defaults everywhere") {
+    val p = ConfigJson.parse("""{ "files": [ { "fileName": "x.log" } ] }""")
+    assert(p.hostName == "localhost" && p.hostType == "DEFAULT")
+    assert(p.configs.head.extractors == SourceConfig.defaultExtractors)
+  }
+
+  test("CLI batch route + query over a reference-format config") {
+    // stage raw log files matching a config, run the Main body end-to-end
+    val dir = Files.createTempDirectory("graft-cli-in").toString
+    val out = Files.createTempDirectory("graft-cli-out").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "log-0.txt"),
+      ("2021/01/20 19:37:00.000000 doing eventType=error userId=7\n" +
+        "2021/01/20 19:38:00.000000 doing eventType=view userId=8\n").getBytes("UTF-8"))
+    val cfgPath = Files.createTempDirectory("graft-cli-cfg").resolve("logsuck.json")
+    java.nio.file.Files.write(cfgPath,
+      """{ "host": {"name": "h1"}, "files": [ { "fileName": "log-*.txt" } ] }""".getBytes("UTF-8"))
+    Main.run(spark, Map(
+      "config" -> cfgPath.toString,
+      "text" -> "true",
+      "out" -> out,
+      "query" -> "error"), s"$dir/log-*.txt")
+    val routed = spark.read.parquet(out)
+    assert(routed.count() == 2)
+    import org.apache.spark.sql.functions.col
+    assert(routed.filter(col("host") === "h1").count() == 2)
+  }
+}
