@@ -174,7 +174,7 @@ object Bench {
       val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
       val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "4").toInt
       val execMemMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEM_MB", "8192").toInt
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
       val nLarge = nSmall * 4
       val scaleIn = s"$benchRoot/scale-in"
       locally {

@@ -57,7 +57,7 @@ object Main {
     val parsedCfg = opts.get("config").map(ConfigJson.parseFile)
     val configs = parsedCfg.map(_.configs).getOrElse(graft.data.SequenceGen.configs)
 
-    val sequences =
+    def sequences =
       if (opts.contains("text"))
         TextIngest.readLogFiles(spark, input)
           .select("doc_id", "tokens", "n_tok", "source")

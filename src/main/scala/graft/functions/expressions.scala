@@ -101,11 +101,20 @@ final class FieldsBuffer {
   private var ks = new Array[UTF8String](16)
   private var vs = new Array[UTF8String](16)
   private var n = 0
+  // events carry a handful of fields (linear probe), but a pathological
+  // JSON doc can carry thousands of keys — switch to a hash index past a
+  // threshold so put() stays O(1) instead of going quadratic
+  private var idx: java.util.HashMap[UTF8String, Integer] = null
+  private val IndexAt = 32
 
-  def clear(): Unit = n = 0
+  def clear(): Unit = { n = 0; idx = null }
   def size: Int = n
 
   private def indexOf(k: UTF8String): Int = {
+    if (idx != null) {
+      val i = idx.get(k)
+      return if (i == null) -1 else i.intValue()
+    }
     var i = 0
     while (i < n) { if (ks(i).equals(k)) return i; i += 1 }
     -1
@@ -120,7 +129,14 @@ final class FieldsBuffer {
     val i = indexOf(k)
     if (i >= 0) { vs(i) = v; return }
     if (n == ks.length) grow()
-    ks(n) = k; vs(n) = v; n += 1
+    ks(n) = k; vs(n) = v
+    if (idx != null) idx.put(k, n)
+    else if (n + 1 >= IndexAt) {
+      idx = new java.util.HashMap[UTF8String, Integer](64)
+      var j = 0
+      while (j <= n) { idx.put(ks(j), j); j += 1 }
+    }
+    n += 1
   }
 
   def put(k: String, v: String): Unit =

@@ -138,6 +138,23 @@ class ExtractSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("FieldsBuffer: hash-index path beyond 32 keys keeps insertion-order/overwrite semantics") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val fb = new graft.functions.FieldsBuffer
+    (0 until 100).foreach(i =>
+      fb.put(UTF8String.fromString("k" + i), UTF8String.fromString("v" + i)))
+    fb.put(UTF8String.fromString("k5"), UTF8String.fromString("OVERWRITE"))
+    val md = fb.build()
+    assert(md.numElements() == 100)
+    assert(md.keyArray().getUTF8String(5).toString == "k5")
+    assert(md.valueArray().getUTF8String(5).toString == "OVERWRITE")
+    assert(fb.get(UTF8String.fromString("k99")).toString == "v99")
+    assert(fb.get(UTF8String.fromString("missing")) == null)
+    fb.clear()
+    fb.put(UTF8String.fromString("a"), UTF8String.fromString("1"))
+    assert(fb.size == 1 && fb.build().numElements() == 1)
+  }
+
   test("ts via time-only extraction == ts via fields[_time] (pipeline parity)") {
     import graft.data.SequenceGen
     val seqs = SequenceGen.sequences(spark, 2000, 8)
