@@ -31,8 +31,12 @@ object Bench {
     val shm = new File("/dev/shm")
     val base = if (shm.isDirectory && shm.canWrite) "/dev/shm" else System.getProperty("java.io.tmpdir")
     // sweep leftovers from crashed prior invocations so repeated driver runs
-    // can't fill the tmpfs (graft-spark-local = SPARK_LOCAL_DIRS shuffle root)
-    new File(base).listFiles((_, n) => n.startsWith("graft-bench-") || n == "graft-spark-local") match {
+    // can't fill the tmpfs (graft-spark-local = SPARK_LOCAL_DIRS shuffle
+    // root; probe3-/graft- prefixes = scaling-probe staging)
+    new File(base).listFiles((_, n) =>
+      n.startsWith("graft-bench-") || n.startsWith("probe3-") ||
+        n.startsWith("graft-stream-") || n.startsWith("graft-ckpt-") ||
+        n == "graft-spark-local") match {
       case null => ()
       case old => old.foreach(deleteRecursively)
     }
