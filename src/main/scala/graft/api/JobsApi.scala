@@ -20,7 +20,7 @@ import graft.compile.{EventsFrame, Frame, QueryEngine, TableFrame}
   * with interruptOnCancel, and abortJob cancels that group — in-flight
   * stages stop, not just the bookkeeping entry.
   */
-class JobsApi(engine: QueryEngine) {
+class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
 
   final class Job private[JobsApi] (val id: Long, val query: String,
       val frame: Frame, val sortMode: String, val columnOrder: Seq[String]) {
@@ -112,7 +112,15 @@ class JobsApi(engine: QueryEngine) {
       case None => (startTime, endTime)
     }
     val steps = engine.compile(query.trim, s, e)
-    val frame = engine.runSteps(steps)
+    // fragment searches route through the inverted index when one is
+    // attached — the reference serves every search via its FTS MATCH
+    // prefilter (SqliteEventRepository.go:327-352); non-indexable shapes
+    // fall back to the scan transparently inside searchFrame
+    val frame = indexDir match {
+      case Some(d) => graft.plans.FullTextIndex.searchFrame(
+        engine.events.sparkSession, engine, d, query.trim, s, e)
+      case None => engine.runSteps(steps)
+    }
     val (sortMode, cols) = frame match {
       case TableFrame(_, order) => ("none", order)
       case _: EventsFrame =>

@@ -80,12 +80,14 @@ object FullTextIndex {
   }
 
   /** Run a search through the index when its positive fragments allow it;
-    * identical results to `engine.run(query, ...)` either way.
+    * identical results (and frame type) to `engine.run(query, ...)` either
+    * way — the narrowed engine compiles the FULL pipeline, so steps, time
+    * bounds and table projections all behave normally.
     */
-  def search(spark: SparkSession, engine: QueryEngine, indexDir: String,
+  def searchFrame(spark: SparkSession, engine: QueryEngine, indexDir: String,
       query: String,
       start: Option[java.sql.Timestamp] = None,
-      end: Option[java.sql.Timestamp] = None): DataFrame = {
+      end: Option[java.sql.Timestamp] = None): graft.compile.Frame = {
     val frags: Vector[String] = (for {
       steps <- Lang.parsePipeline(query).toOption
       first <- steps.headOption
@@ -96,9 +98,15 @@ object FullTextIndex {
       val cand = candidates(spark, indexDir, frags.toSeq)
       val narrowed = engine.events.join(cand, Seq("doc_id"), "left_semi")
       val sub = new QueryEngine(narrowed, engine.configs)
-      sub.run(query, start, end).df
+      sub.run(query, start, end)
     } else {
-      engine.run(query, start, end).df // transparent fallback: full scan
+      engine.run(query, start, end) // transparent fallback: full scan
     }
   }
+
+  def search(spark: SparkSession, engine: QueryEngine, indexDir: String,
+      query: String,
+      start: Option[java.sql.Timestamp] = None,
+      end: Option[java.sql.Timestamp] = None): DataFrame =
+    searchFrame(spark, engine, indexDir, query, start, end).df
 }

@@ -47,6 +47,19 @@ class ApiSpec extends AnyFunSuite {
     assert(api.abortJob(job.id))
   }
 
+  test("JobsApi routes fragment searches through an attached index (FTS parity)") {
+    val e = EventsAdapter.engine(spark, dir)
+    val idx = Files.createTempDirectory("graft-api-idx").toString
+    graft.plans.FullTextIndex.build(e.events, idx)
+    val indexed = new JobsApi(e, Some(idx))
+    val scan = new JobsApi(e)
+    assert(indexed.jobStats(indexed.startJob("error").id).numMatchedEvents ==
+      scan.jobStats(scan.startJob("error").id).numMatchedEvents)
+    // non-indexable shape (wildcard fragment) falls back to the scan path
+    assert(indexed.jobStats(indexed.startJob("eventtype=p*").id).numMatchedEvents ==
+      scan.jobStats(scan.startJob("eventtype=p*").id).numMatchedEvents)
+  }
+
   test("sort mode comes from compiled steps, not query text") {
     val api = new JobsApi(EventsAdapter.engine(spark, dir))
     // the WORD "surrounding" as a search fragment must not flip the mode
