@@ -211,6 +211,10 @@ object SparkEntry {
     // MinHash + LSH banding -> bucket join -> verified Jaccard (scale path)
     "q_dedup_minhash" -> ((s, dir) =>
       graft.ml.TextDedup.minhashLshPairs(DocsAdapter.augmentedDocs(s, dir), 0.5)),
+    // near-dup CLUSTERS: connected components over the verified pair graph
+    // (label propagation; oracle = recursive-CTE transitive closure)
+    "q_dedup_clusters" -> ((s, dir) =>
+      graft.ml.TextDedup.nearDupClusters(DocsAdapter.augmentedDocs(s, dir), 0.5)),
     // SimHash signatures (32-bit, bit-parallel vote)
     "q_simhash" -> ((s, dir) =>
       graft.ml.TextDedup.withSimhash(DocsAdapter.augmentedDocs(s, dir))
@@ -398,6 +402,8 @@ object SparkEntry {
       graft.ml.TextDedup.ngramJaccardPairsSql(DocsAdapter.augmentedDocsSql(), 0.5),
     "q_dedup_minhash" ->
       graft.ml.TextDedup.minhashLshPairsSql(DocsAdapter.augmentedDocsSql(), 0.5),
+    "q_dedup_clusters" ->
+      graft.ml.TextDedup.nearDupClustersSql(DocsAdapter.augmentedDocsSql(), 0.5),
     "q_simhash" ->
       s"SELECT doc_id, ${graft.ml.TextDedup.simhashSqlExpr("text")} AS simhash FROM ${DocsAdapter.augmentedDocsSql()}",
     "q_dedup_embedding" ->

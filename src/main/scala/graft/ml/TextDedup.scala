@@ -239,6 +239,69 @@ object TextDedup {
        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $threshold""".stripMargin.replace("\n", " ")
   }
 
+  /** Near-duplicate CLUSTERS over the verified MinHash+LSH pair graph:
+    * smallest-doc_id label propagation to a fixpoint (the GraphX-style
+    * connected-components loop as plain DataFrame joins). Returns
+    * (doc_id, cluster_id, is_canonical) where cluster_id = min doc_id of
+    * the component and the canonical doc is the keep-one-per-cluster
+    * survivor.
+    *
+    * Scale shape: each iteration is one equi-join shuffle on doc_id; the
+    * iteration count is the component DIAMETER, and dup components are
+    * near-cliques from banding (2-3 hops in practice). Labels are
+    * persisted per iteration so lineage stays flat; at 10^12 rows swap
+    * persist for checkpoint. The driver-side loop carries only the
+    * converged? count — never data.
+    */
+  def nearDupClusters(docs: DataFrame, threshold: Double,
+      maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val pairs = minhashLshPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+      .persist()
+    var labels: DataFrame = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("nl")), Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min("nl").as("nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      val changed = updated
+        .join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
+  /** DuckDB twin of [[nearDupClusters]]: transitive closure by recursive
+    * CTE over the same bidirectional pair graph; min reachable label =
+    * component id.
+    */
+  def nearDupClustersSql(docsRel: String, threshold: Double): String =
+    s"""WITH RECURSIVE pairsq AS (SELECT doc_a, doc_b FROM (${minhashLshPairsSql(docsRel, threshold)})),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairsq
+       |  UNION SELECT doc_b, doc_a FROM pairsq),
+       |reach(node, label) AS (
+       |  SELECT doc_id, doc_id FROM $docsRel
+       |  UNION
+       |  SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a)
+       |SELECT node AS doc_id, min(label) AS cluster_id,
+       |  (node = min(label)) AS is_canonical
+       |FROM reach GROUP BY node""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------- simhash
 
   /** 32-bit SimHash over the distinct word set: bit j set iff more word

@@ -180,6 +180,28 @@ class MlSpec extends AnyFunSuite {
     assert(windows(4L) == packed, "block size must not change the packing")
   }
 
+  test("near-dup clusters: transitive closure of the pair graph, canonical = min id") {
+    import graft.ml.TextDedup
+    val docs = DocsAdapter.augmentedDocs(spark, dir)
+    val labels = TextDedup.nearDupClusters(docs, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = TextDedup.minhashLshPairs(docs, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "augmented corpus must contain near-dups")
+    // every linked pair shares a cluster; the canonical id is in the cluster
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    labels.foreach { case (d, c) =>
+      assert(c <= d, "cluster id must be the component minimum")
+      assert(labels(c) == c, "the canonical doc labels itself")
+    }
+    // transitivity: base ~ exact copy ~ near copy collapse to one cluster
+    val base = pairs.map(_._1).min
+    val cluster = labels.filter(_._2 == labels(base)).keys.toSet
+    assert(cluster.size >= 3, s"expected a chained cluster around $base: $cluster")
+  }
+
   test("contamination: every holdout doc flags itself; counts positive") {
     import graft.ml.Contamination
     val docs = DocsAdapter.docs(spark, dir)
