@@ -254,36 +254,74 @@ object TextDedup {
     * converged? count — never data.
     */
   def nearDupClusters(docs: DataFrame, threshold: Double,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, smallGraphEdges: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.DataFrame
-    val pairs = minhashLshPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .distinct()
+    val spark = docs.sparkSession
+    val pairs = minhashLshPairs(docs, threshold)
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .persist()
-    var labels: DataFrame = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("nl")), Seq("doc_b"))
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min("nl").as("nmin"))
-      val updated = labels
-        .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+    val nEdges = pairs.count()
+
+    // size switch, same philosophy as a broadcast-join threshold: the PAIR
+    // graph is tiny relative to the corpus (only near-dups appear in it),
+    // so up to `smallGraphEdges` edges a driver union-find + broadcast map
+    // replaces the whole iterative fixpoint with one map-side join. Beyond
+    // it, distributed label propagation takes over.
+    val result = if (nEdges <= smallGraphEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val comp = parent.keys.map(k => k -> find(k)).toSeq
+      if (comp.isEmpty)
+        docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      else {
+        import spark.implicits._
+        val compDf = comp.toDF("doc_id", "_comp")
+        docs.select(col("doc_id"))
+          .join(org.apache.spark.sql.functions.broadcast(compDf), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("_comp"), col("doc_id")).as("cluster_id"))
+      }
+    } else {
+      val edges = pairs
+        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .distinct()
         .persist()
-      val changed = updated
-        .join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
-      labels = updated
-      converged = changed == 0
-      i += 1
+      var labels: DataFrame = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIters) {
+        val neighborMin = edges
+          .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("nl")), Seq("doc_b"))
+          .groupBy(col("doc_a").as("doc_id"))
+          .agg(min("nl").as("nmin"))
+        val updated = labels
+          .join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+          .persist()
+        val changed = updated
+          .join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+          .filter(col("cluster_id") =!= col("old")).count()
+        labels.unpersist()
+        labels = updated
+        converged = changed == 0
+        i += 1
+      }
+      edges.unpersist()
+      labels
     }
-    edges.unpersist()
-    labels.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    pairs.unpersist()
+    result.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
   /** DuckDB twin of [[nearDupClusters]]: transitive closure by recursive

@@ -200,6 +200,11 @@ class MlSpec extends AnyFunSuite {
     val base = pairs.map(_._1).min
     val cluster = labels.filter(_._2 == labels(base)).keys.toSet
     assert(cluster.size >= 3, s"expected a chained cluster around $base: $cluster")
+    // the driver union-find (small-graph path) and the distributed label
+    // propagation must produce identical components
+    val iterative = TextDedup.nearDupClusters(docs, 0.5, smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iterative == labels, "small-graph and iterative paths must agree")
   }
 
   test("contamination: every holdout doc flags itself; counts positive") {
