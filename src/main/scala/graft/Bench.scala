@@ -178,12 +178,17 @@ object Bench {
       val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
       val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "4").toInt
       val execMemMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEM_MB", "8192").toInt
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
       val nLarge = nSmall * 4
       val scaleIn = s"$benchRoot/scale-in"
+      val warmIn = s"$benchRoot/scale-warm-in"
       locally {
         val s = session(cpus)
         SequenceGen.sequences(s, scaleRows, 64).write.mode("overwrite").parquet(scaleIn)
+        // quarter-size warmup input: the warmup exists to JIT the code
+        // paths and spin executors, not to measure — a full-size warmup
+        // was ~25% of the whole bench's wall budget
+        SequenceGen.sequences(s, scaleRows / 4, 16).write.mode("overwrite").parquet(warmIn)
         s.stop()
       }
       def measure(mkSession: Int => Option[SparkSession]): Option[Map[Int, Double]] = {
@@ -192,7 +197,7 @@ object Bench {
             case None => n -> None
             case Some(s) =>
               val warm = benchOut + s"/scale-warm-$n"
-              val tw = pipelineRun(s, scaleIn, warm)
+              val tw = pipelineRun(s, warmIn, warm)
               deleteRecursively(new File(warm))
               System.err.println(f"[bench] scale n=$n warmup ${tw}%.2f s")
               val secs = (1 to reps).map { r =>
