@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked process output goes RAW to this process's stdout/stderr — no
+// per-line "[info] " decoration. The driver parses the bench's one-line JSON
+// from a bounded tail of stdout; an sbt-prefixed line doesn't parse.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop the trailing "[success] Total time: …" logger line so the
+// bench JSON is literally the final stdout line of `sbt "runMain graft.Bench"`.
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by another setting —
+// exclude it from the unused-key lint so the warning doesn't precede the
+// bench's stdout JSON.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

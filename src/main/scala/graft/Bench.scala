@@ -30,15 +30,24 @@ object Bench {
   private val benchRoot: String = {
     val shm = new File("/dev/shm")
     val base = if (shm.isDirectory && shm.canWrite) "/dev/shm" else System.getProperty("java.io.tmpdir")
-    // sweep leftovers from crashed prior invocations so repeated driver runs
+    // sweep leftovers from CRASHED prior invocations so repeated driver runs
     // can't fill the tmpfs (graft-spark-local = SPARK_LOCAL_DIRS shuffle
-    // root; probe3-/graft- prefixes = scaling-probe staging)
+    // root; probe3-/graft- prefixes = scaling-probe staging) — but never a
+    // LIVE sibling's dirs: a pid-suffixed dir is only stale once its owner
+    // process is gone, and un-tagged dirs (temp-suffixed staging, the shared
+    // local-dir root) only once they've sat untouched for 30 minutes
+    val now = System.currentTimeMillis()
+    def stale(f: File): Boolean =
+      "([0-9]+)$".r.findFirstIn(f.getName).map(_.toLong) match {
+        case Some(pid) => ProcessHandle.of(pid).isEmpty
+        case None => now - f.lastModified() > 30L * 60 * 1000
+      }
     new File(base).listFiles((_, n) =>
       n.startsWith("graft-bench-") || n.startsWith("probe3-") ||
         n.startsWith("graft-stream-") || n.startsWith("graft-ckpt-") ||
         n == "graft-spark-local") match {
       case null => ()
-      case old => old.foreach(deleteRecursively)
+      case old => old.filter(stale).foreach(deleteRecursively)
     }
     Files.createDirectory(Paths.get(base, s"graft-bench-${ProcessHandle.current().pid()}")).toString
   }
@@ -103,6 +112,26 @@ object Bench {
     System.err.println(s"[bench] local-cluster unavailable (${e.getMessage}); " +
       "falling back to local[n] threads for the scaling runs")
     None
+  }
+
+  /** Counts task failures + executor losses during the scaling reps: an
+    * executor dying mid-rep silently inflates the wall (tasks re-run) — the
+    * per-rep stderr line attributes it instead of letting a stray stack
+    * trace open the log tail unexplained (r2 verdict #4).
+    */
+  private final class FailureCounter extends org.apache.spark.scheduler.SparkListener {
+    private val taskFailures = new java.util.concurrent.atomic.AtomicLong
+    private val executorsLost = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      t.reason match {
+        case org.apache.spark.Success => ()
+        case _ => taskFailures.incrementAndGet(): Unit
+      }
+    override def onExecutorRemoved(
+        e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
+      executorsLost.incrementAndGet(): Unit
+    /** (taskFailures, executorsLost) since the last call, then reset. */
+    def drain(): (Long, Long) = (taskFailures.getAndSet(0), executorsLost.getAndSet(0))
   }
 
   private def time[A](f: => A): Double = {
@@ -196,11 +225,20 @@ object Bench {
           mkSession(n) match {
             case None => n -> None
             case Some(s) =>
+              val fc = new FailureCounter
+              s.sparkContext.addSparkListener(fc)
+              def drained(): String = {
+                val (tf, xl) = fc.drain()
+                if (tf + xl == 0) "" else s" [task_failures=$tf executors_lost=$xl]"
+              }
               val warm = benchOut + s"/scale-warm-$n"
-              val tw = pipelineRun(s, warmIn, warm)
+              val tw = try pipelineRun(s, warmIn, warm) catch { case e: Throwable =>
+                System.err.println(s"[bench] scale n=$n phase=warmup FAILED: $e${drained()}")
+                throw e
+              }
               deleteRecursively(new File(warm))
-              System.err.println(f"[bench] scale n=$n warmup ${tw}%.2f s")
-              val secs = (1 to reps).map { r =>
+              System.err.println(f"[bench] scale n=$n warmup ${tw}%.2f s${drained()}")
+              val secsOk = (1 to reps).flatMap { r =>
                 new ProcessBuilder("sync").inheritIO().start().waitFor()
                 // prior reps' shuffle files sit in the (tmpfs) local dirs
                 // until the ContextCleaner collects the shuffle objects —
@@ -208,13 +246,19 @@ object Bench {
                 System.gc()
                 Thread.sleep(1000)
                 val out = benchOut + s"/scale-$n-$r"
-                val t = pipelineRun(s, scaleIn, out)
-                deleteRecursively(new File(out)) // bound tmpfs usage
-                System.err.println(f"[bench] scale n=$n rep=$r ${t}%.2f s")
-                t
-              }.min
+                try {
+                  val t = pipelineRun(s, scaleIn, out)
+                  deleteRecursively(new File(out)) // bound tmpfs usage
+                  System.err.println(f"[bench] scale n=$n rep=$r ${t}%.2f s${drained()}")
+                  Some(t)
+                } catch { case e: Throwable =>
+                  System.err.println(s"[bench] scale n=$n phase=rep-$r FAILED: $e${drained()}")
+                  None
+                }
+              }
+              require(secsOk.nonEmpty, s"all $reps scaling reps failed at n=$n")
               s.stop()
-              n -> Some(scaleRows / secs)
+              n -> Some(scaleRows / secsOk.min)
           }
         }
         if (pairs.forall(_._2.isDefined)) Some(pairs.map(p => p._1 -> p._2.get).toMap)

@@ -59,7 +59,10 @@ object Main {
 
     def sequences =
       if (opts.contains("text"))
-        TextIngest.readLogFiles(spark, input)
+        // per-fileType eventDelimiter from the config drives the split
+        // (reference JsonConverter.go:50-55); no config -> newline
+        TextIngest.readLogFiles(spark, input,
+          parsedCfg.map(_.eventDelimiters).getOrElse(Seq("*" -> "\n")))
           .select("doc_id", "tokens", "n_tok", "source")
       else spark.read.parquet(input)
 

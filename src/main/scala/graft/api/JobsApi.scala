@@ -149,6 +149,16 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
 
   def job(id: Long): Option[Job] = Option(jobs.get(id))
 
+  /** Lookup that refuses unknown ids with a typed error — the in-process
+    * analog of the reference's HTTP 404 (internal/web/Web.go:192-257), and
+    * the guard that keeps stats/results/fieldStats from NPE-ing.
+    */
+  private def jobOrThrow(id: Long): Job = {
+    val job = jobs.get(id)
+    if (job == null) throw JobsApi.NoSuchJobException(id)
+    job
+  }
+
   /** EstimatedProgress (reference jobs.Stats, pkg/logsuck/jobs/Job.go:42-47):
     * completed / total tasks across the job group's Spark jobs via the
     * status tracker — live while a stats/results action runs on another
@@ -173,7 +183,7 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
     * job reports aborted without touching the cluster again.
     */
   def jobStats(id: Long): JobStats = {
-    val job = jobs.get(id)
+    val job = jobOrThrow(id)
     if (job.stateRef == JobsApi.Aborted)
       return JobStats(JobsApi.Aborted, 0, Map.empty)
     withJobGroup(job) {
@@ -191,7 +201,7 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
     * tables keep declared column order.
     */
   def jobResults(id: Long, skip: Int, take: Int): DataFrame = {
-    val job = jobs.get(id)
+    val job = jobOrThrow(id)
     val ordered = job.frame match {
       case TableFrame(df, _) => df
       case f: EventsFrame if job.sortMode == "preserveArgOrder" => f.df
@@ -202,7 +212,7 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
 
   /** jobFieldStats (Web.go:259-276): A1 occurrences for one field key. */
   def jobFieldStats(id: Long, field: String): DataFrame = {
-    val job = jobs.get(id)
+    val job = jobOrThrow(id)
     engine.fieldStats(job.frame)
       .filter(col("key") === field)
       .select(col("value"), col("occurrences"))
@@ -213,6 +223,12 @@ object JobsApi {
   val Running = "running"
   val Finished = "finished"
   val Aborted = "aborted"
+
+  /** Unknown job id — the typed stand-in for the reference's 404 response
+    * (internal/web/Web.go:192-257 looks the job up and errors the request).
+    */
+  final case class NoSuchJobException(id: Long)
+    extends NoSuchElementException(s"no job with id $id")
 
   /** Did this throwable originate from a job-group cancellation? Spark wraps
     * cancellations in SparkException chains whose messages carry

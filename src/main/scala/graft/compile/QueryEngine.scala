@@ -78,8 +78,11 @@ class QueryEngine(val events: DataFrame, val configs: Seq[SourceConfig]) {
     val all = configs.map(c => (c.file_type, c.extractors)) :+
       (("kv", graft.model.SourceConfig.defaultExtractors))
     val exs = all.flatMap(_._2).map(new graft.functions.CompiledExtractor(_))
+    // host/source are injected reserved fields; "_time" is injected too when
+    // the configured time_field differs (ExtractEvent.finish copies it), so
+    // a `_time=...` predicate must never gain a raw-substring conjunct
     if (all.forall(_._1 == "kv") && exs.forall(e => e.isDefaultKv || e.namedOnly))
-      Some(exs.flatMap(_.groupNames).toSet ++ Set("host", "source"))
+      Some(exs.flatMap(_.groupNames).toSet ++ Set("host", "source", "_time"))
     else None
   }
 

@@ -25,14 +25,19 @@ import graft.model.SourceConfig
   *     (default "2006/01/02 15:04:05")
   *   - host.name / host.type              -> host, host_type
   *     (defaults "localhost" / "DEFAULT")
-  * Watcher-level knobs with no batch meaning (readInterval,
-  * eventDelimiter beyond splitting, forwarder/recipient/web blocks) are
-  * intentionally ignored — SURVEY §2.1 maps them to Spark machinery.
+  * Per-fileType `eventDelimiter` (JsonConverter.go:50-55) flows through
+  * `Parsed.eventDelimiters` into TextIngest's per-file split. Watcher-level
+  * knobs with no batch meaning (readInterval, forwarder/recipient/web
+  * blocks) are intentionally ignored — SURVEY §2.1 maps them to Spark
+  * machinery.
   */
 object ConfigJson {
 
+  /** `eventDelimiters` is ordered (glob, delimiter-regex) pairs — first
+    * matching glob wins, like every other per-file config resolution.
+    */
   final case class Parsed(hostName: String, hostType: String,
-      configs: Seq[SourceConfig], eventDelimiters: Map[String, String])
+      configs: Seq[SourceConfig], eventDelimiters: Seq[(String, String)])
 
   val DEFAULT_TIME_LAYOUT = "2006/01/02 15:04:05"
 
@@ -119,7 +124,7 @@ object ConfigJson {
         .flatMap(_.elements().asScala).map(_.asText())
         .filter(fileTypes.contains)
       glob -> (listed.map(fileTypes) :+ fileTypes("DEFAULT")).head.eventDelimiter
-    }.toMap
+    }
 
     Parsed(hostName, hostType, configs, delims)
   }

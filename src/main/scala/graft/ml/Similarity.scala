@@ -140,33 +140,75 @@ object Similarity {
     * is C x dim floats (tiny); at 100 TB the sample keeps this one cheap
     * aggregation pass bounded.
     */
+  /** Job-description tag on every quantizer-build Spark job — lets callers
+    * (and MlSpec) assert that serving a query launched NO build work.
+    */
+  val IVF_BUILD_TAG = "graft-ivf-build"
+
   def ivfCentroids(emb: DataFrame, nCells: Int, sampleMod: Int = 1): Array[Array[Float]] = {
-    val sample =
-      if (sampleMod > 1) emb.filter(pmod(col("vec_id"), lit(sampleMod)) === 0) else emb
-    val seeds: Array[Array[Float]] = sample.orderBy("vec_id").limit(nCells)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
-    // one Lloyd step: assign sample to seed cells (map-only), then per-cell
-    // per-dim mean — a (cell, dim)-keyed partial-agg shuffle of tiny width
-    val means = sample.withColumn("cell", ivfCell(col("embedding"), seeds))
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .groupBy("cell", "d").agg(avg(col("x")).as("m"))
-      .collect()
-      .groupBy(_.getInt(0))
-      .map { case (cell, rows) =>
-        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
-      }
-    seeds.indices.map(i => means.getOrElse(i, seeds(i))).toArray
+    val sc = emb.sparkSession.sparkContext
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(IVF_BUILD_TAG)
+    try {
+      val sample =
+        if (sampleMod > 1) emb.filter(pmod(col("vec_id"), lit(sampleMod)) === 0) else emb
+      val seeds: Array[Array[Float]] = sample.orderBy("vec_id").limit(nCells)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      // one Lloyd step: assign sample to seed cells (map-only), then per-cell
+      // per-dim mean — a (cell, dim)-keyed partial-agg shuffle of tiny width
+      val means = sample.withColumn("cell", ivfCell(col("embedding"), seeds))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("cell", "d").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+        }
+      seeds.indices.map(i => means.getOrElse(i, seeds(i))).toArray
+    } finally sc.setJobDescription(prevDesc)
+  }
+
+  /** Persist the quantizer as a tiny text artifact (one centroid per line,
+    * comma-separated floats — Float.toString round-trips exactly). Goes
+    * through the Hadoop FS API so the artifact lives next to the data on
+    * whatever store the cluster uses; at 100 TB the quantizer is built ONCE
+    * per corpus generation and every query loads it, like a broadcast dim.
+    */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession, path: String,
+      cents: Array[Array[Float]]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(cents.map(_.mkString(",")).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Load a [[saveCentroids]] artifact. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Float]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty)
+      .map(_.split(",").map(_.toFloat))
   }
 
   /** IVF top-k: exact cosine rank within the nProbe probed cells per query.
     * The probe fan-out (queries x nProbe) stays on the tiny broadcast side;
     * the indexed table joins on its map-derived `cell` key.
+    *
+    * `centroids` supplies a prebuilt quantizer ([[ivfCentroids]] /
+    * [[loadCentroids]]) — the build-once serving path: no build jobs run
+    * when it is given. Omitting it rebuilds per call (one-off/ad-hoc use).
     */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, sampleMod: Int = 1): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, sampleMod: Int = 1,
+      centroids: Option[Array[Array[Float]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = ivfCentroids(emb, nCells, sampleMod)
+    val cents = centroids.getOrElse(ivfCentroids(emb, nCells, sampleMod))
     val indexed = emb.withColumn("cell", ivfCell(col("embedding"), cents))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))

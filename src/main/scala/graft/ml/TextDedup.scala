@@ -318,6 +318,12 @@ object TextDedup {
         i += 1
       }
       edges.unpersist()
+      // partially-converged labels would silently split clusters (templated
+      // near-dup chains can exceed any fixed diameter bound) — refuse to
+      // return them; the caller can retry with a larger maxIters
+      if (!converged) throw new IllegalStateException(
+        s"nearDupClusters did not converge within $maxIters label-propagation " +
+          "iterations (component diameter exceeds maxIters); rerun with a larger maxIters")
       labels
     }
     pairs.unpersist()

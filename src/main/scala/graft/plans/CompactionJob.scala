@@ -31,12 +31,55 @@ object CompactionJob {
 
   final case class Result(sinks: Int, rows: Long, filesBefore: Long, filesAfter: Long)
 
+  /** Write `staged` via `write`, verify it with `sig` (recomputed on both
+    * sides), then swap it into `outPath`. The old output is renamed ASIDE —
+    * not deleted — before the swap, and the backup is dropped only after the
+    * swap succeeds: a failed rename (or a crash between the two) always
+    * leaves at least one complete output behind, old or new. A failed
+    * write/verification leaves no partial output; once verified, the staging
+    * dir may be the only complete copy, so post-verification failures keep
+    * it for recovery instead of destroying both sides.
+    */
+  private def verifiedSwap[S](fs: org.apache.hadoop.fs.FileSystem,
+      staging: Path, outPath: Path)(write: String => Unit)(sig: String => S,
+      before: S): Unit = {
+    var verified = false
+    try {
+      write(staging.toString)
+      val after = sig(staging.toString)
+      require(before == after,
+        s"compaction changed the row set: before=$before after=$after")
+      verified = true
+      val backup = new Path(outPath.getParent,
+        s".${outPath.getName}.compact-old-${System.nanoTime()}")
+      val hadOld = fs.exists(outPath)
+      if (hadOld && !fs.rename(outPath, backup))
+        throw new java.io.IOException(s"failed to move $outPath aside to $backup")
+      if (!fs.rename(staging, outPath)) {
+        if (hadOld) fs.rename(backup, outPath): Unit // restore the old output
+        throw new java.io.IOException(s"failed to rename $staging to $outPath")
+      }
+      if (hadOld) fs.delete(backup, true): Unit
+    } finally {
+      if (!verified && fs.exists(staging)) fs.delete(staging, true): Unit
+    }
+  }
+
+  private def fileCount(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val dfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!dfs.exists(p)) return 0L
+    val it = dfs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    n
+  }
+
   /** Compact `inDir` (any batch/sink partition layout) into `outDir` (per sink). */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetRows: Long = 2000000L): Result = {
-    val hconf = spark.sparkContext.hadoopConfiguration
     val outPath = new Path(outDir)
-    val fs = outPath.getFileSystem(hconf) // works for local, hdfs, s3a alike
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(outPath.getParent,
       s".${outPath.getName}.compact-staging-${System.nanoTime()}")
 
@@ -46,31 +89,44 @@ object CompactionJob {
     val before = summarize(in)
     val rows = before.values.map(_._1).sum
     val parts = math.max(1, math.min(Int.MaxValue.toLong, (rows + targetRows - 1) / targetRows)).toInt
-    try {
+    verifiedSwap(fs, staging, outPath) { dst =>
       in.repartition(parts, col("sink"), pmod(hash(col("doc_id")), lit(parts * 8)))
         .sortWithinPartitions(col("sink"), col("ts"))
-        .write.mode("overwrite").partitionBy("sink").parquet(staging.toString)
-      val after = summarize(spark.read.parquet(staging.toString))
-      require(before == after,
-        s"compaction changed the routed row set: before=$before after=$after")
-      // verified: swap the staging dir in (rename is atomic-enough on HDFS/
-      // local; on object stores it is a copy, but still happens only after
-      // the signature check)
-      if (fs.exists(outPath)) fs.delete(outPath, true)
-      if (!fs.rename(staging, outPath))
-        throw new java.io.IOException(s"failed to rename $staging to $outPath")
-    } finally {
-      if (fs.exists(staging)) fs.delete(staging, true): Unit
+        .write.mode("overwrite").partitionBy("sink").parquet(dst)
+    }(dst => summarize(spark.read.parquet(dst)), before)
+    Result(before.size, rows, fileCount(spark, inDir), fileCount(spark, outDir))
+  }
+
+  /** Compact the per-batch inverted-index dirs that streaming ingest
+    * accumulates (`indexDir/batch=N/`, StreamingPipeline.ingest) back into
+    * one globally word-ordered postings table — restoring the row-group
+    * min/max pruning that FullTextIndex.build establishes (a word's postings
+    * scattered across every batch dir defeats it). Same verified-swap
+    * signature gate as the data compaction: count + bit_xor of
+    * xxhash64(word, doc_id) must survive the rewrite.
+    */
+  def compactIndex(spark: SparkSession, inDir: String, outDir: String,
+      numPartitions: Int = 0): Result = {
+    val outPath = new Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(outPath.getParent,
+      s".${outPath.getName}.compact-staging-${System.nanoTime()}")
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+
+    def sig(dir: String): (Long, Long) = {
+      val r = spark.read.parquet(dir).select("word", "doc_id")
+        .agg(count(lit(1)), bit_xor(xxhash64(col("word"), col("doc_id")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    def fileCount(dir: String): Long = {
-      val p = new Path(dir)
-      val dfs = p.getFileSystem(hconf)
-      if (!dfs.exists(p)) return 0L
-      val it = dfs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-      n
-    }
-    Result(before.size, rows, fileCount(inDir), fileCount(outDir))
+    val before = sig(inDir)
+    verifiedSwap(fs, staging, outPath) { dst =>
+      spark.read.parquet(inDir).select("word", "doc_id")
+        .repartitionByRange(parts, col("word"), col("doc_id"))
+        .sortWithinPartitions("word", "doc_id")
+        .write.mode("overwrite").parquet(dst)
+    }(sig, before)
+    Result(1, before._1, fileCount(spark, inDir), fileCount(spark, outDir))
   }
 }

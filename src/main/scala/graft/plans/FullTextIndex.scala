@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.compile.QueryEngine
-import graft.lang.Lang
 
 /** Spark-native analog of the reference's inverted full-text index
   * (FTS4 `EventRaws` virtual table, plugins/sqlite_events/
@@ -88,19 +87,24 @@ object FullTextIndex {
       query: String,
       start: Option[java.sql.Timestamp] = None,
       end: Option[java.sql.Timestamp] = None): graft.compile.Frame = {
-    val frags: Vector[String] = (for {
-      steps <- Lang.parsePipeline(query).toOption
-      first <- steps.headOption
-      if first.stepType == "search"
-      s <- Lang.parseSearch(first.value).toOption
-    } yield s.fragments).getOrElse(Vector.empty)
+    // Fragments must come from the POST-ELISION pipeline: compile() discards
+    // everything before the last generator (Pipeline.go:89-95), so narrowing
+    // by an earlier step's fragments ("error | surrounding …") would feed the
+    // surviving generator an index-filtered event table and diverge from the
+    // scan path. After elision the surviving generator is steps.head — the
+    // index applies exactly when that head is a SearchStep.
+    val steps = engine.compile(query, start, end)
+    val frags: Vector[String] = steps.headOption match {
+      case Some(s: engine.SearchStep) => s.search.fragments
+      case _ => Vector.empty
+    }
     if (frags.nonEmpty && frags.forall(indexable)) {
       val cand = candidates(spark, indexDir, frags.toSeq)
       val narrowed = engine.events.join(cand, Seq("doc_id"), "left_semi")
       val sub = new QueryEngine(narrowed, engine.configs)
       sub.run(query, start, end)
     } else {
-      engine.run(query, start, end) // transparent fallback: full scan
+      engine.runSteps(steps) // transparent fallback: full scan
     }
   }
 

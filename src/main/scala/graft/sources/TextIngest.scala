@@ -51,20 +51,37 @@ object TextIngest {
     * reproduce, and they are part of the reference's event identity.
     */
   def readLogFiles(spark: SparkSession, glob: String,
-      delimiter: String = "\n"): DataFrame = {
+      delimiter: String = "\n"): DataFrame =
+    readLogFiles(spark, glob, Seq("*" -> delimiter))
+
+  /** [[readLogFiles]] with per-fileType event delimiters: ordered
+    * (source-glob, delimiter-regex) pairs, first matching glob wins, files
+    * matching no glob split on newline — the batch twin of the reference's
+    * per-fileType `eventDelimiter` (pkg/logsuck/config/JsonConverter.go:50-55
+    * feeding RegexFileParser's split regex).
+    */
+  def readLogFiles(spark: SparkSession, glob: String,
+      delimiters: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
-    val rx = delimiter.r
+    // (glob-regex, delimiter) resolution table: plain serializable strings in
+    // the closure; each task compiles them once per FILE row (files are the
+    // unit of work here, so compile cost is noise)
+    val rules: Seq[(String, String)] =
+      delimiters.map { case (g, d) => F.globToRegex(g) -> d }
     val files = spark.read.option("wholetext", "true").text(glob)
       .withColumn("path", input_file_name())
       .as[(String, String)]
     val events = files.flatMap { case (content, path) =>
+      val source = path.substring(path.lastIndexOf('/') + 1)
+      val rx = rules.collectFirst {
+        case (g, d) if source.matches(g) => d
+      }.getOrElse("\n").r
       // trailing remainder becomes a final event (batch EOF = flush)
       val res = split(content, rx)
       val all =
         if (res.remainder.nonEmpty)
           res.events :+ SplitEvent(res.remainder, (content.length - res.remainder.length).toLong)
         else res.events
-      val source = path.substring(path.lastIndexOf('/') + 1)
       all.filter(_.raw.nonEmpty).zipWithIndex.map { case (e, i) =>
         (s"$source-$i", e.raw, source, path, e.offset)
       }

@@ -60,6 +60,29 @@ class ApiSpec extends AnyFunSuite {
       scan.jobStats(scan.startJob("eventtype=p*").id).numMatchedEvents)
   }
 
+  test("unknown job ids get a typed not-found, never an NPE (Web.go:192-257 404s)") {
+    val api = new JobsApi(EventsAdapter.engine(spark, dir))
+    intercept[JobsApi.NoSuchJobException] { api.jobStats(999L) }
+    intercept[JobsApi.NoSuchJobException] { api.jobResults(999L, 0, 10) }
+    intercept[JobsApi.NoSuchJobException] { api.jobFieldStats(999L, "eventtype") }
+    assert(!api.abortJob(999L))
+    assert(api.job(999L).isEmpty)
+    assert(api.estimatedProgress(999L) == 0f)
+  }
+
+  test("jobResults pagination preserves the surrounding arg order (O4)") {
+    val api = new JobsApi(EventsAdapter.engine(spark, dir))
+    val job = api.startJob("| surrounding count=6 eventId=50")
+    assert(job.sortMode == "preserveArgOrder")
+    // page slices must walk offset-DESC order: full page == concat of singles
+    val full = api.jobResults(job.id, 0, 6).collect().map(_.getAs[String]("doc_id")).toSeq
+    val singles = (0 until 6).map(k =>
+      api.jobResults(job.id, k, 1).head().getAs[String]("doc_id"))
+    assert(full == singles)
+    val offs = api.jobResults(job.id, 0, 6).collect().map(_.getAs[Long]("offset")).toSeq
+    assert(offs == offs.sorted.reverse, s"surrounding keeps offset DESC: $offs")
+  }
+
   test("sort mode comes from compiled steps, not query text") {
     val api = new JobsApi(EventsAdapter.engine(spark, dir))
     // the WORD "surrounding" as a search fragment must not flip the mode

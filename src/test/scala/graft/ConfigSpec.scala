@@ -62,6 +62,32 @@ class ConfigSpec extends AnyFunSuite {
     assert(p.configs.head.extractors == SourceConfig.defaultExtractors)
   }
 
+  test("per-fileType eventDelimiter drives the text split end-to-end (JsonConverter.go:50-55)") {
+    val dir = Files.createTempDirectory("graft-delim-in").toString
+    val out = Files.createTempDirectory("graft-delim-out").toString
+    // three events, semicolon-delimited, no trailing delimiter (the
+    // remainder becomes the final event at batch EOF)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "semi-0.log"),
+      "first event a=1;second event a=2;third event a=3".getBytes("UTF-8"))
+    val cfgPath = Files.createTempDirectory("graft-delim-cfg").resolve("logsuck.json")
+    java.nio.file.Files.write(cfgPath,
+      """{ "files": [ { "fileName": "semi-*.log", "fileTypes": ["semi"] } ],
+        |  "fileTypes": [ { "name": "semi",
+        |    "parser": { "type": "Regex", "regexConfig": { "eventDelimiter": ";" } } } ] }"""
+        .stripMargin.getBytes("UTF-8"))
+    val parsed = ConfigJson.parseFile(cfgPath.toString)
+    assert(parsed.eventDelimiters == Seq("semi-*.log" -> ";"))
+    Main.run(spark, Map(
+      "config" -> cfgPath.toString,
+      "text" -> "true",
+      "out" -> out), s"$dir/semi-*.log")
+    val routed = graft.plans.LogPipeline.openSinks(spark, out)
+    import org.apache.spark.sql.functions.col
+    val raws = routed.select(col("raw")).collect().map(_.getString(0)).toSet
+    assert(raws == Set("first event a=1", "second event a=2", "third event a=3"),
+      s"custom delimiter must split the file into 3 events, got $raws")
+  }
+
   test("CLI batch route + query over a reference-format config") {
     // stage raw log files matching a config, run the Main body end-to-end
     val dir = Files.createTempDirectory("graft-cli-in").toString

@@ -44,6 +44,22 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("generator elision: fragments come from the SURVIVING generator, not the first step") {
+    // compile() discards everything before the last generator
+    // (Pipeline.go:89-95). "purchase | search error" must answer like plain
+    // "error" — narrowing by the elided first step's fragment ("purchase")
+    // would feed the surviving search a wrongly-filtered event table.
+    val q = "purchase | search error"
+    val scan = rows(engine.run(q).df)
+    val indexed = rows(FullTextIndex.search(spark, engine, indexDir, q))
+    assert(scan.nonEmpty && scan == rows(engine.run("error").df))
+    assert(indexed == scan, s"indexed ${indexed.size} vs scan ${scan.size}")
+    // a non-search surviving generator makes the index inapplicable -> scan
+    val q2 = "error | surrounding count=6 eventId=50"
+    assert(rows(FullTextIndex.search(spark, engine, indexDir, q2)) ==
+      rows(engine.run(q2).df))
+  }
+
   test("multi-word AND narrows through the postings") {
     val cand = FullTextIndex.candidates(spark, indexDir, Seq("error", "performing"))
     val all = engine.events.count()
@@ -63,6 +79,27 @@ class IndexSpec extends AnyFunSuite {
     val df = FullTextIndex.search(spark, engine, indexDir, "error")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), s"prefilter must be a left-semi join:\n$plan")
+  }
+
+  test("index compaction merges per-batch postings with the signature gate; search parity kept") {
+    val idx = Files.createTempDirectory("ftidx-cmp").toString
+    val ev = engine.events
+    // two ingest batches, like StreamingPipeline.ingest accumulates
+    FullTextIndex.build(ev.filter(col("offset") % 2 === 0), s"$idx/batch=0")
+    FullTextIndex.build(ev.filter(col("offset") % 2 === 1), s"$idx/batch=1")
+    val out = Files.createTempDirectory("ftidx-cmp-out").toString
+    val res = graft.plans.CompactionJob.compactIndex(spark, idx, out, numPartitions = 2)
+    assert(res.filesAfter < res.filesBefore,
+      s"compaction must reduce postings files: ${res.filesBefore} -> ${res.filesAfter}")
+    // identical postings row set
+    def postings(d: String): Set[(String, String)] =
+      spark.read.parquet(d).select("word", "doc_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(postings(out) == postings(idx))
+    // the compacted index answers searches exactly like the scan path
+    val scanRows = rows(engine.run("error").df)
+    assert(scanRows.nonEmpty &&
+      rows(FullTextIndex.search(spark, engine, out, "error")) == scanRows)
   }
 
   test("streaming ingest maintains the index; indexed query over sinks == scan") {

@@ -91,6 +91,51 @@ class MlSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@$k = $recall")
   }
 
+  test("IVF quantizer is build-once: serving with prebuilt centroids launches no build jobs") {
+    val emb = DocsAdapter.embeddings(spark, dir)
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val d = Option(j.properties).map(_.getProperty("spark.job.description")).orNull
+        if (d != null) descs.add(d): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // positive control: an inline (no-centroids) call DOES run build jobs —
+      // this validates the detection mechanism before asserting absence
+      Similarity.ivfTopK(emb, 3, 5, nCells = 8).collect()
+      val deadline = System.currentTimeMillis() + 10000
+      while (!descs.contains(Similarity.IVF_BUILD_TAG) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(descs.contains(Similarity.IVF_BUILD_TAG),
+        "inline ivfTopK must run tagged centroid-build jobs")
+      // build once, serve from the artifact: NO build-tagged job may start
+      val cents = Similarity.ivfCentroids(emb, 8)
+      descs.clear()
+      Similarity.ivfTopK(emb, 3, 5, nCells = 8, centroids = Some(cents)).collect()
+      Thread.sleep(1500) // let the async listener bus drain
+      assert(!descs.contains(Similarity.IVF_BUILD_TAG),
+        s"serving from a prebuilt quantizer must not rebuild it: $descs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("IVF quantizer artifact round-trips and serves identical results") {
+    val emb = DocsAdapter.embeddings(spark, dir)
+    val cents = Similarity.ivfCentroids(emb, 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf")
+      .resolve("centroids.txt").toString
+    Similarity.saveCentroids(spark, path, cents)
+    val loaded = Similarity.loadCentroids(spark, path)
+    assert(loaded.length == cents.length)
+    assert(loaded.zip(cents).forall { case (a, b) => a.sameElements(b) },
+      "Float.toString round-trip must be exact")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().sortBy(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(sorted(Similarity.ivfTopK(emb, 3, 5, nCells = 8, centroids = Some(loaded))) ==
+      sorted(Similarity.ivfTopK(emb, 3, 5, nCells = 8)))
+  }
+
   test("IVF cell assignment is a pure projection (no shuffle in the index build)") {
     // read the table directly: DocsAdapter redistributes the single-file
     // sandbox input (its own Exchange), which is input plumbing, not part
@@ -205,6 +250,17 @@ class MlSpec extends AnyFunSuite {
     val iterative = TextDedup.nearDupClusters(docs, 0.5, smallGraphEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(iterative == labels, "small-graph and iterative paths must agree")
+  }
+
+  test("nearDupClusters refuses to return unconverged labels (ADVICE r2)") {
+    val docs = DocsAdapter.augmentedDocs(spark, dir)
+    // the augmented corpus has chained components (base ~ exact ~ near), so
+    // one propagation round cannot converge; partial labels would silently
+    // split clusters — the engine must throw instead
+    val e = intercept[IllegalStateException] {
+      TextDedup.nearDupClusters(docs, 0.5, maxIters = 1, smallGraphEdges = 0L)
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("contamination: every holdout doc flags itself; counts positive") {
