@@ -248,6 +248,10 @@ object SparkEntry {
     // (label propagation; oracle = recursive-CTE transitive closure)
     "q_dedup_clusters" -> ((s, dir) =>
       graft.ml.TextDedup.nearDupClusters(DocsAdapter.augmentedDocs(s, dir), 0.5)),
+    // chunk-level dedup (C4-style repeated-span removal): drop every later
+    // occurrence of a 20-word chunk corpus-wide, rebuild surviving text
+    "q_dedup_chunks" -> ((s, dir) =>
+      graft.ml.TextDedup.chunkDedup(DocsAdapter.augmentedDocs(s, dir))),
     // SimHash signatures (32-bit, bit-parallel vote)
     "q_simhash" -> ((s, dir) =>
       graft.ml.TextDedup.withSimhash(DocsAdapter.augmentedDocs(s, dir))
@@ -450,6 +454,8 @@ object SparkEntry {
       graft.ml.TextDedup.minhashLshPairsSql(DocsAdapter.augmentedDocsSql(), 0.5),
     "q_dedup_clusters" ->
       graft.ml.TextDedup.nearDupClustersSql(DocsAdapter.augmentedDocsSql(), 0.5),
+    "q_dedup_chunks" ->
+      graft.ml.TextDedup.chunkDedupSql(DocsAdapter.augmentedDocsSql()),
     "q_simhash" ->
       s"SELECT doc_id, ${graft.ml.TextDedup.simhashSqlExpr("text")} AS simhash FROM ${DocsAdapter.augmentedDocsSql()}",
     "q_dedup_embedding" ->

@@ -72,6 +72,68 @@ object TextDedup {
        | (row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) > 1) AS is_dup
        | FROM (SELECT doc_id, md5(${normalizeSql("text")}) AS fingerprint FROM $docsRel)""".stripMargin.replace("\n", " ")
 
+  // --------------------------------------------------------- chunk dedup
+
+  /** C4/RefinedWeb-style CHUNK-level dedup: web corpora repeat spans
+    * (boilerplate lines, templated paragraphs) inside otherwise-distinct
+    * documents, so cleaning pipelines drop repeated spans corpus-wide
+    * rather than whole documents (Raffel et al., JMLR'20 §2.2 discard
+    * repeated three-sentence spans; the line-level analog appears in
+    * Gopher/RefinedWeb). The corpus here is single-line word soup, so the
+    * span unit is a fixed window of `chunkWords` normalized words.
+    *
+    * Keep-first: the globally-first occurrence (min (doc_id, idx)) of each
+    * distinct chunk survives; all later occurrences are dropped. Returns
+    * (doc_id, n_chunks, n_kept, text) with `text` rebuilt from the
+    * surviving chunks in document order (normalized casing/spacing — the
+    * standard contract for a cleaning stage).
+    *
+    * Scale shape: chunking is a pure projection (rows x words/chunkWords
+    * explosion, no shuffle); keep-first is ONE shuffle keyed on the chunk
+    * fingerprint (row_number window — the same shape as exact dedup, whose
+    * key domain is documents instead of chunks); the rebuild is one
+    * groupBy(doc_id). Never all-pairs, nothing driver-side.
+    */
+  def chunkDedup(docs: DataFrame, chunkWords: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"),
+      split(normalizeCol(col("text")), " ").as("ws"))
+    val nCh = ceil(size(col("ws")).cast("double") / chunkWords).cast("long")
+    val chunkArr = transform(sequence(lit(0L), nCh - 1),
+      i => concat_ws(" ", slice(col("ws"), (i * chunkWords + 1).cast("int"), lit(chunkWords))))
+    val chunks = words.select(col("doc_id"),
+      posexplode(chunkArr).as(Seq("idx", "chunk")))
+    val w = Window.partitionBy(md5(col("chunk"))).orderBy(col("doc_id"), col("idx"))
+    val kept = chunks.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("idx"), col("chunk")))),
+        x => x.getField("chunk"))).as("text"))
+    words.select(col("doc_id"), nCh.as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
+  /** DuckDB twin of [[chunkDedup]]: same normalization, chunk windows,
+    * keep-first window, and ordered rebuild.
+    */
+  def chunkDedupSql(docsRel: String, chunkWords: Int = 20): String =
+    s"""WITH wsrc AS (SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS ws FROM $docsRel),
+       |base AS (SELECT doc_id, CAST(ceil(len(ws) / CAST($chunkWords AS DOUBLE)) AS BIGINT) AS n_chunks, ws FROM wsrc),
+       |idxd AS (SELECT doc_id, unnest(range(n_chunks)) AS idx, ws FROM base),
+       |ch AS (SELECT doc_id, idx, array_to_string(ws[idx * $chunkWords + 1 : idx * $chunkWords + $chunkWords], ' ') AS chunk FROM idxd),
+       |kept AS (SELECT doc_id, idx, chunk FROM (
+       |  SELECT doc_id, idx, chunk,
+       |    row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn FROM ch)
+       |  WHERE rn = 1),
+       |reb AS (SELECT doc_id, count(*) AS n_kept, string_agg(chunk, ' ' ORDER BY idx) AS text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_chunks, COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.text, '') AS text
+       |FROM (SELECT doc_id, n_chunks FROM base) b LEFT JOIN reb r ON b.doc_id = r.doc_id""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------- jaccard
 
   /** Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin

@@ -252,6 +252,38 @@ class MlSpec extends AnyFunSuite {
     assert(iterative == labels, "small-graph and iterative paths must agree")
   }
 
+  test("chunk dedup: copies keep nothing, near copies keep only their novel tail") {
+    val docs = DocsAdapter.augmentedDocs(spark, dir)
+    val res = TextDedup.chunkDedup(docs, 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // planted exact copies repeat every chunk of their base -> keep nothing
+    val exactIds = docs.filter(col("doc_id") >= DocsAdapter.EXACT_SHIFT &&
+      col("doc_id") < DocsAdapter.NEAR_SHIFT).select("doc_id").collect().map(_.getLong(0))
+    assert(exactIds.nonEmpty)
+    exactIds.foreach { id =>
+      assert(res(id)._2 == 0L && res(id)._3 == "", s"exact copy $id must keep 0 chunks")
+    }
+    // near copies (base text + appended suffix) keep at least their tail
+    // chunk but never everything
+    val nearIds = docs.filter(col("doc_id") >= DocsAdapter.NEAR_SHIFT)
+      .select("doc_id").collect().map(_.getLong(0))
+    nearIds.foreach { id =>
+      val (n, k, text) = res(id)
+      assert(k >= 1 && k < n, s"near copy $id: kept $k of $n")
+      assert(text.contains("extra trailing words appended here".split(" ").last))
+    }
+    // global invariant: exactly one survivor per distinct chunk string
+    val totalKept = res.values.map(_._2).sum
+    val nDistinct = {
+      val ws = split(TextDedup.normalizeCol(col("text")), " ")
+      val nCh = ceil(size(ws).cast("double") / 20).cast("long")
+      val chunkArr = transform(sequence(lit(0L), nCh - 1),
+        i => concat_ws(" ", slice(ws, (i * 20 + 1).cast("int"), lit(20))))
+      docs.select(explode(chunkArr).as("c")).distinct().count()
+    }
+    assert(totalKept == nDistinct, s"kept $totalKept vs $nDistinct distinct chunks")
+  }
+
   test("nearDupClusters refuses to return unconverged labels (ADVICE r2)") {
     val docs = DocsAdapter.augmentedDocs(spark, dir)
     // the augmented corpus has chained components (base ~ exact ~ near), so

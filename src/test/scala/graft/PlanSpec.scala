@@ -120,7 +120,8 @@ class PlanSpec extends AnyFunSuite {
     // filter, simhash bytes) — an all-pairs plan is the 100-TB failure mode.
     val spark0 = spark
     val checks = Seq("q_dedup_ngram", "q_dedup_minhash", "q_dedup_embedding",
-      "q_ann_lsh", "q_ann_ivf", "q_simhash_pairs", "q_packing", "q_contamination")
+      "q_ann_lsh", "q_ann_ivf", "q_simhash_pairs", "q_packing", "q_contamination",
+      "q_dedup_chunks")
     checks.foreach { name =>
       val plan = SparkEntry.queries(name)(spark0, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
