@@ -273,6 +273,9 @@ object SparkEntry {
     // language-ID marker heuristic
     "q_lang_id" -> ((s, dir) =>
       graft.ml.TextAnalysis.langId(DocsAdapter.docs(s, dir))),
+    // CCNet-style unigram LM quality score (corpus-trained, add-one)
+    "q_lm_score" -> ((s, dir) =>
+      graft.ml.TextAnalysis.lmScore(DocsAdapter.docs(s, dir))),
     // document fingerprints (md5 + shared 64-bit int hash)
     "q_fingerprint" -> ((s, dir) =>
       graft.ml.TextAnalysis.fingerprints(DocsAdapter.docs(s, dir))),
@@ -468,6 +471,8 @@ object SparkEntry {
       graft.ml.TextAnalysis.qualityScoreSql("documents"),
     "q_lang_id" ->
       graft.ml.TextAnalysis.langIdSql("documents"),
+    "q_lm_score" ->
+      graft.ml.TextAnalysis.lmScoreSql("documents"),
     "q_fingerprint" ->
       graft.ml.TextAnalysis.fingerprintsSql("documents"),
     "q_multimodal_meta" ->

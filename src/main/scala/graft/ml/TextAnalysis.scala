@@ -76,6 +76,48 @@ object TextAnalysis {
        | FROM $docsRel)""".stripMargin.replace("\n", " ")
   }
 
+  // ----------------------------------------------------- LM quality score
+
+  /** CCNet-style language-model quality score (Wenzek et al., LREC'20 §4.3
+    * bucket documents by LM perplexity): mean log10 probability of the
+    * document's word OCCURRENCES under the corpus's own add-one-smoothed
+    * unigram model, p(w) = (c(w)+1) / (total+V). Gibberish/outlier docs sit
+    * far below the corpus mode; mixing pipelines split head/middle/tail on
+    * this score.
+    *
+    * Scale shape: one agg builds the unigram table (shuffle on word,
+    * map-side combined), one equi-join scores occurrences against it (the
+    * vocab is ≪ corpus — AQE broadcasts it when small, and at web vocab
+    * size it stays a word-keyed shuffle join), one per-doc agg. The
+    * corpus-wide (total, V) pair rides a 1-row broadcast. Nothing
+    * driver-side.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(TextDedup.normalizeCol(col("text")), " ")).as("w"))
+    val freq = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = freq.agg(sum(col("c")).as("total"), count(lit(1)).as("v"))
+    words.join(freq, Seq("w"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lp", log10((col("c") + 1).cast("double") /
+        (col("total") + col("v")).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), round(avg(col("lp")), 4).as("lm_score"))
+  }
+
+  /** DuckDB twin of [[lmScore]] (same smoothing, same 4-dp rounding — the
+    * score is an fp mean, so parity holds through rounding, not bitwise).
+    */
+  def lmScoreSql(docsRel: String): String = {
+    val norm = TextDedup.normalizeSql("text")
+    s"""WITH words AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS w FROM $docsRel),
+       |freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS v FROM freq)
+       |SELECT doc_id, count(*) AS n_words,
+       |  round(avg(log10(CAST(c + 1 AS DOUBLE) / CAST(total + v AS DOUBLE))), 4) AS lm_score
+       |FROM words JOIN freq USING (w), tot GROUP BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   // -------------------------------------------------------------- lang id
 
   /** Marker-word language heuristic. Marker sets are deliberately tiny (the

@@ -252,6 +252,27 @@ class MlSpec extends AnyFunSuite {
     assert(iterative == labels, "small-graph and iterative paths must agree")
   }
 
+  test("LM score: add-one unigram model, frequent words score higher") {
+    import graft.ml.TextAnalysis
+    import spark.implicits._
+    val df = Seq((1L, "common common common"), (2L, "common rare unique"))
+      .toDF("doc_id", "text")
+    val res = TextAnalysis.lmScore(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus: common=4, rare=1, unique=1 -> total=6, V=3, p(w)=(c+1)/9
+    def lp(c: Int) = math.log10((c + 1).toDouble / 9)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(res(1L)._1 == 3 && math.abs(res(1L)._2 - r4(lp(4))) < 1e-9)
+    assert(res(2L)._1 == 3 &&
+      math.abs(res(2L)._2 - r4((lp(4) + 2 * lp(1)) / 3)) < 1e-9)
+    assert(res(1L)._2 > res(2L)._2, "the all-frequent doc must score higher")
+    // real corpus: every score is a negative log-prob, every doc covered
+    val docs = DocsAdapter.docs(spark, dir)
+    val real = TextAnalysis.lmScore(docs).collect()
+    assert(real.length == docs.count())
+    assert(real.forall(r => r.getDouble(2) < 0 && r.getLong(1) > 0))
+  }
+
   test("chunk dedup: copies keep nothing, near copies keep only their novel tail") {
     val docs = DocsAdapter.augmentedDocs(spark, dir)
     val res = TextDedup.chunkDedup(docs, 20)
