@@ -37,11 +37,21 @@ object Bench {
     // process is gone, and un-tagged dirs (temp-suffixed staging, the shared
     // local-dir root) only once they've sat untouched for 30 minutes
     val now = System.currentTimeMillis()
-    def stale(f: File): Boolean =
-      "([0-9]+)$".r.findFirstIn(f.getName).map(_.toLong) match {
-        case Some(pid) => ProcessHandle.of(pid).isEmpty
-        case None => now - f.lastModified() > 30L * 60 * 1000
-      }
+    // ONLY these prefixes carry a real pid suffix; createTempDirectory names
+    // (graft-ckpt-*, graft-stream-q*) end in a random long that must NOT be
+    // mistaken for a pid (ProcessHandle.of(random) is empty -> a live
+    // sibling's dir would be swept). Un-tagged dirs go by age, where "age"
+    // is the newest mtime of the dir or its direct children — the shared
+    // graft-spark-local root's own mtime only refreshes when a session
+    // creates its app subdir, not while shuffle files are written below.
+    val pidTagged = "^(?:graft-bench|probe3-cluster)-([0-9]+)$".r
+    def newestMtime(f: File): Long =
+      (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
+        .map(_.lastModified()).toSeq).max
+    def stale(f: File): Boolean = f.getName match {
+      case pidTagged(pid) => ProcessHandle.of(pid.toLong).isEmpty
+      case _ => now - newestMtime(f) > 30L * 60 * 1000
+    }
     new File(base).listFiles((_, n) =>
       n.startsWith("graft-bench-") || n.startsWith("probe3-") ||
         n.startsWith("graft-stream-") || n.startsWith("graft-ckpt-") ||
@@ -248,13 +258,14 @@ object Bench {
                 val out = benchOut + s"/scale-$n-$r"
                 try {
                   val t = pipelineRun(s, scaleIn, out)
-                  deleteRecursively(new File(out)) // bound tmpfs usage
                   System.err.println(f"[bench] scale n=$n rep=$r ${t}%.2f s${drained()}")
                   Some(t)
                 } catch { case e: Throwable =>
                   System.err.println(s"[bench] scale n=$n phase=rep-$r FAILED: $e${drained()}")
                   None
-                }
+                } finally deleteRecursively(new File(out)) // bound tmpfs usage
+                  // (also on failure — a partial rep output must not eat the
+                  // headroom of the remaining reps)
               }
               require(secsOk.nonEmpty, s"all $reps scaling reps failed at n=$n")
               s.stop()

@@ -79,10 +79,21 @@ object ScaleProbeCluster {
         val r = labels.agg(count(lit(1)), count_distinct(col("cluster_id"))).head()
         (r.getLong(0), r.getLong(1))
       }
+      // chunk-level dedup on the same corpus (PROBE_CHUNK=0 skips): same
+      // families -> later family members' chunks all drop to the first
+      val chunkJson = if (sys.env.getOrElse("PROBE_CHUNK", "1") == "1") {
+        val ((kept, total), chunkSecs) = time {
+          val r = graft.ml.TextDedup.chunkDedup(docs)
+            .agg(sum(col("n_kept")), sum(col("n_chunks"))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        f""","chunk_secs":$chunkSecs%.2f,"chunks_total":$total,"chunks_kept":$kept""" +
+          f""","chunk_docs_per_sec":${nDocs / chunkSecs}%.0f"""
+      } else ""
       println(f"""{"probe":"cluster","docs":$nDocs,"fam":$famSize,"edges":$edges,""" +
         f""""pair_secs":$pairSecs%.2f,"cluster_secs":$clusterSecs%.2f,""" +
         f""""rows":$nRows,"clusters":$nClusters,""" +
-        f""""docs_per_sec":${nDocs / clusterSecs}%.0f}""")
+        f""""docs_per_sec":${nDocs / clusterSecs}%.0f""" + chunkJson + "}")
     } finally {
       spark.stop()
       deleteRecursively(new File(root))

@@ -196,8 +196,10 @@ object SparkEntry {
           .listFiles((f: java.io.File) => f.isDirectory && f.getName.startsWith("source=")))
           .getOrElse(Array.empty)
         dirs.foreach { sd =>
-          val srcName = java.net.URLDecoder.decode(
-            sd.getName.stripPrefix("source="), "UTF-8")
+          // the exact inverse of Spark's partition-dir escaping (percent
+          // escapes only — URLDecoder would additionally turn '+' into ' ')
+          val srcName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(sd.getName.stripPrefix("source="))
           val parts = sd.listFiles((_, n) => n.startsWith("part-"))
           require(parts != null && parts.length == 1,
             s"expected one staged file per source, got ${Option(parts).map(_.length)}")

@@ -105,28 +105,23 @@ object ConfigJson {
       declared.updatedWith("DEFAULT")(_.orElse(Some(defaultFileType("DEFAULT"))))
     }
 
+    // one resolution pass per file: "first listed type wins; DEFAULT backs
+    // every file" must stay a single rule feeding BOTH the SourceConfig and
+    // the delimiter table (two copies would silently diverge)
     val files = Option(root.get("files")).toSeq.flatMap(_.elements().asScala)
-    val configs = files.map { f =>
+    val resolved: Seq[(SourceConfig, (String, String))] = files.map { f =>
       val glob = text(f, "fileName")
       val listed = Option(f.get("fileTypes")).toSeq
         .flatMap(_.elements().asScala).map(_.asText())
         .filter(fileTypes.contains)
-      // first listed type wins; DEFAULT backs every file
       val merged = (listed.map(fileTypes) :+ fileTypes("DEFAULT")).head
       val fileType = if (merged.parserType == "JSON") "json" else "kv"
-      SourceConfig(glob, fileType, merged.extractors, merged.timeField,
-        merged.timeLayout, hostName, hostType)
+      (SourceConfig(glob, fileType, merged.extractors, merged.timeField,
+        merged.timeLayout, hostName, hostType),
+        glob -> merged.eventDelimiter)
     }
 
-    val delims = files.map { f =>
-      val glob = text(f, "fileName")
-      val listed = Option(f.get("fileTypes")).toSeq
-        .flatMap(_.elements().asScala).map(_.asText())
-        .filter(fileTypes.contains)
-      glob -> (listed.map(fileTypes) :+ fileTypes("DEFAULT")).head.eventDelimiter
-    }
-
-    Parsed(hostName, hostType, configs, delims)
+    Parsed(hostName, hostType, resolved.map(_._1), resolved.map(_._2))
   }
 
   def parseFile(path: String): Parsed =

@@ -445,3 +445,50 @@ case class IvfProbesExpr(child: Expression, centroids: Array[Array[Float]], nPro
   }
   override protected def withNewChildInternal(c: Expression): IvfProbesExpr = copy(child = c)
 }
+
+/** One-pass dedup-normalization: the compiled twin of
+  * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))`
+  * — every text operator (shingles, chunk dedup, LM score, fingerprints,
+  * quality, lang-ID) funnels through this, and the two regex passes were
+  * the dominant per-row cost of the whole family (measured on the 1M-doc
+  * probe). Exactness: lowercasing delegates to UTF8String.toLowerCase (the
+  * same call `lower()` makes), and afterwards every byte outside
+  * [a-z0-9] — including each byte of a multi-byte code point — is a space
+  * candidate; collapsing makes the candidate count per run irrelevant, so
+  * byte-wise filtering equals the regex's per-code-point replacement.
+  * Property-tested equal to the composed form in MlSpec.
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  def doNormalize(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val lowered = s.toLowerCase
+    val bytes = lowered.getBytes
+    val n = bytes.length
+    val out = new Array[Byte](n)
+    var i = 0
+    var o = 0
+    var pendingSpace = false
+    while (i < n) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+        pendingSpace = false
+        out(o) = b
+        o += 1
+      } else {
+        pendingSpace = true // space, punctuation, or any non-ASCII byte
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out, 0, o)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    doNormalize(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("normtext", this, classOf[NormalizeText].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.doNormalize($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): NormalizeText = copy(child = c)
+}

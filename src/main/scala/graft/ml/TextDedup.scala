@@ -16,9 +16,15 @@ object TextDedup {
 
   // ---------------------------------------------------------------- shared
 
-  /** Normalize for dedup: lowercase, strip non-alnum, collapse whitespace. */
+  /** Normalize for dedup: lowercase, strip non-alnum, collapse whitespace.
+    * One compiled pass (graft.functions.NormalizeText) — the two-regex
+    * composed form was the dominant per-row cost of every text operator;
+    * MlSpec property-tests the expression equal to the regex chain.
+    */
   def normalizeCol(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.NormalizeText(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text)))
 
   def normalizeSql(text: String): String =
     s"trim(regexp_replace(regexp_replace(lower($text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
@@ -382,10 +388,15 @@ object TextDedup {
       edges.unpersist()
       // partially-converged labels would silently split clusters (templated
       // near-dup chains can exceed any fixed diameter bound) — refuse to
-      // return them; the caller can retry with a larger maxIters
-      if (!converged) throw new IllegalStateException(
-        s"nearDupClusters did not converge within $maxIters label-propagation " +
-          "iterations (component diameter exceeds maxIters); rerun with a larger maxIters")
+      // return them; the caller can retry with a larger maxIters. Drop the
+      // cached blocks first so the advertised retry doesn't inherit a leak.
+      if (!converged) {
+        labels.unpersist()
+        pairs.unpersist()
+        throw new IllegalStateException(
+          s"nearDupClusters did not converge within $maxIters label-propagation " +
+            "iterations (component diameter exceeds maxIters); rerun with a larger maxIters")
+      }
       labels
     }
     pairs.unpersist()

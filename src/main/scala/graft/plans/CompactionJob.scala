@@ -60,6 +60,15 @@ object CompactionJob {
         throw new java.io.IOException(s"failed to rename $staging to $outPath")
       }
       if (hadOld) fs.delete(backup, true): Unit
+      // a fresh verified output supersedes recovery copies kept by EARLIER
+      // failed runs (post-verification rename failures, crash windows) —
+      // reclaim them now instead of accumulating full-size orphans.
+      // Single-writer-per-outDir assumption, like any compaction job.
+      val stale = Seq(s".${outPath.getName}.compact-staging-",
+        s".${outPath.getName}.compact-old-")
+      fs.listStatus(outPath.getParent)
+        .filter(s => stale.exists(s.getPath.getName.startsWith))
+        .foreach(s => fs.delete(s.getPath, true): Unit)
     } finally {
       if (!verified && fs.exists(staging)) fs.delete(staging, true): Unit
     }

@@ -252,6 +252,25 @@ class MlSpec extends AnyFunSuite {
     assert(iterative == labels, "small-graph and iterative paths must agree")
   }
 
+  test("NormalizeText compiled pass equals the composed regex chain") {
+    import spark.implicits._
+    // fixed-seed fuzz over ASCII, punctuation, whitespace runs, and
+    // multi-byte chars (incl. the lowercase-expanding U+0130 and the
+    // KELVIN SIGN that lowercases INTO ascii 'k'), plus hand-picked edges
+    val rnd = new scala.util.Random(42)
+    val pool = "abzAZX019  \t.,!?-_ÉßçΣσİKK中文 ̇"
+    val samples = Seq("", " ", "   ", "ABC  def!!", "İstanbul", "Kelvin",
+      "a😂b", "--leading", "trailing--", "ONLY!!PUNCT") ++
+      (1 to 500).map(_ => (0 to rnd.nextInt(40)).map(_ => pool(rnd.nextInt(pool.length))).mkString)
+    val df = samples.toDF("text")
+    val reference = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val bad = df.select(col("text"), TextDedup.normalizeCol(col("text")).as("fast"),
+        reference.as("ref"))
+      .filter(col("fast") =!= col("ref")).collect()
+    assert(bad.isEmpty, s"NormalizeText diverges on: ${bad.take(5).mkString("; ")}")
+  }
+
   test("LM score: add-one unigram model, frequent words score higher") {
     import graft.ml.TextAnalysis
     import spark.implicits._
