@@ -354,7 +354,15 @@ object SparkEntry {
       graft.ml.Similarity.ivfTopK(emb, 5, 10, centroids = Some(cents))
     }),
     "q_simhash_pairs" -> ((s, dir) =>
-      graft.ml.TextDedup.simhashPairs(DocsAdapter.augmentedDocs(s, dir), 6))
+      graft.ml.TextDedup.simhashPairs(DocsAdapter.augmentedDocs(s, dir), 6)),
+    // embedding-space clustering (IVF quantizer as k-means bucketing);
+    // reuses the per-dir build-once centroids — serving is map-only
+    "q_embed_clusters" -> ((s, dir) => {
+      val emb = DocsAdapter.embeddings(s, dir)
+      val cents = ivfCache.computeIfAbsent(dir,
+        _ => graft.ml.Similarity.ivfCentroids(emb, 16))
+      graft.ml.Similarity.embeddingClusters(emb, 16, centroids = Some(cents))
+    })
   )
 
   private val RAW = EventsAdapter.RAW_SQL
@@ -501,6 +509,8 @@ object SparkEntry {
     "q_ann_ivf" ->
       graft.ml.Similarity.ivfTopKSql("embeddings", 5, 10),
     "q_simhash_pairs" ->
-      graft.ml.TextDedup.simhashPairsSql(DocsAdapter.augmentedDocsSql(), 6)
+      graft.ml.TextDedup.simhashPairsSql(DocsAdapter.augmentedDocsSql(), 6),
+    "q_embed_clusters" ->
+      graft.ml.Similarity.embeddingClustersSql("embeddings", 16)
   )
 }

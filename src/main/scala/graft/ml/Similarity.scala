@@ -222,21 +222,20 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
   }
 
-  /** DuckDB twin of [[ivfTopK]] (sampleMod=1): replicates the seed choice,
-    * the one Lloyd step (argmax at 9 dp, per-dim mean truncated to float —
-    * matching Spark's Array[Float] centroid materialization), the probed
-    * cells, and the final 6-dp rank.
+  private def nearestSql(vec: String, rel: String, n: Int): String =
+    s"""(SELECT list(cid ORDER BY s DESC, cid ASC)[1 : $n] FROM
+       | (SELECT cid, round(list_cosine_similarity(CAST($vec AS DOUBLE[]), CAST(c AS DOUBLE[])), 9) AS s FROM $rel))""".stripMargin
+
+  /** Shared CTE prefix replicating the IVF index build (seed choice, one
+    * Lloyd step with argmax at 9 dp and float-truncated means, final cell
+    * assignment) — ends with `indexed(vec_id, embedding, cell)`.
     */
-  def ivfTopKSql(embRel: String, nQueries: Int, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): String = {
-    def nearest(vec: String, rel: String, n: Int): String =
-      s"""(SELECT list(cid ORDER BY s DESC, cid ASC)[1 : $n] FROM
-         | (SELECT cid, round(list_cosine_similarity(CAST($vec AS DOUBLE[]), CAST(c AS DOUBLE[])), 9) AS s FROM $rel))""".stripMargin
+  private def ivfIndexCtes(embRel: String, nCells: Int): String =
     s"""WITH emb AS (SELECT vec_id, embedding FROM $embRel),
        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS c
        |  FROM (SELECT vec_id, embedding FROM emb ORDER BY vec_id LIMIT $nCells)),
        |assign AS (SELECT e.vec_id, e.embedding,
-       |    ${nearest("e.embedding", "seeds", 1)}[1] AS cell FROM emb e),
+       |    ${nearestSql("e.embedding", "seeds", 1)}[1] AS cell FROM emb e),
        |means AS (SELECT cell, d, CAST(avg(x) AS REAL) AS m
        |  FROM (SELECT cell, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS d
        |        FROM assign) GROUP BY cell, d),
@@ -244,9 +243,18 @@ object Similarity {
        |    COALESCE((SELECT list(m.m ORDER BY m.d) FROM means m WHERE m.cell = s.cid), s.c) AS c
        |  FROM seeds s),
        |indexed AS (SELECT e.vec_id, e.embedding,
-       |    ${nearest("e.embedding", "cents", 1)}[1] AS cell FROM emb e),
+       |    ${nearestSql("e.embedding", "cents", 1)}[1] AS cell FROM emb e)""".stripMargin
+
+  /** DuckDB twin of [[ivfTopK]] (sampleMod=1): replicates the seed choice,
+    * the one Lloyd step (argmax at 9 dp, per-dim mean truncated to float —
+    * matching Spark's Array[Float] centroid materialization), the probed
+    * cells, and the final 6-dp rank.
+    */
+  def ivfTopKSql(embRel: String, nQueries: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): String =
+    s"""${ivfIndexCtes(embRel, nCells)},
        |probes AS (SELECT q.vec_id AS qid, q.embedding AS qv, unnest(
-       |    ${nearest("q.embedding", "cents", nProbe)}) AS cell
+       |    ${nearestSql("q.embedding", "cents", nProbe)}) AS cell
        |  FROM emb q WHERE q.vec_id < $nQueries),
        |scored AS (SELECT p.qid, i.vec_id,
        |    round(list_cosine_similarity(CAST(i.embedding AS DOUBLE[]), CAST(p.qv AS DOUBLE[])), 6) AS sim
@@ -254,7 +262,25 @@ object Similarity {
        |ranked AS (SELECT qid, vec_id, sim,
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM scored)
        |SELECT qid, rank, vec_id, sim FROM ranked WHERE rank <= $k""".stripMargin.replace("\n", " ")
+
+  /** Embedding-space clustering for curation: every vector assigned to its
+    * nearest coarse centroid — the IVF quantizer doubling as a one-step
+    * k-means partitioning of the corpus (topic/domain bucketing, per-bucket
+    * sampling). Map-only over the table once the (tiny, build-once)
+    * quantizer exists; at 100 TB this is the same serving path as
+    * [[ivfTopK]]'s assignment pass.
+    */
+  def embeddingClusters(emb: DataFrame, nCells: Int = 16, sampleMod: Int = 1,
+      centroids: Option[Array[Array[Float]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(emb, nCells, sampleMod))
+    emb.select(col("vec_id"),
+      ivfCell(col("embedding"), cents).cast("long").as("cell"))
   }
+
+  /** DuckDB twin of [[embeddingClusters]] (sampleMod=1). */
+  def embeddingClustersSql(embRel: String, nCells: Int = 16): String =
+    s"""${ivfIndexCtes(embRel, nCells)}
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM indexed""".stripMargin.replace("\n", " ")
 
   /** DuckDB twin of [[lshNearDupPairs]]: same signature bit-mix, banding,
     * candidate join, and 6-dp cosine verification.

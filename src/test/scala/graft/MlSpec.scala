@@ -150,6 +150,24 @@ class MlSpec extends AnyFunSuite {
     assert(cells.forall(c => c >= 0 && c < 8))
   }
 
+  test("embedding clusters: identical vectors share a cell, cells in range, map-only serving") {
+    val emb = DocsAdapter.augmentedEmbeddings(spark, dir)
+    val cents = Similarity.ivfCentroids(emb, 8)
+    val assigned = Similarity.embeddingClusters(emb, 8, centroids = Some(cents))
+    val cells = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.values.forall(c => c >= 0 && c < 8))
+    // a planted bit-identical copy must land in its original's cell
+    cells.keys.filter(_ >= DocsAdapter.VEC_SHIFT).foreach { copy =>
+      assert(cells(copy) == cells(copy - DocsAdapter.VEC_SHIFT),
+        s"copy $copy strayed from its original's cluster")
+    }
+    // serving from prebuilt centroids is a pure projection (plus the input
+    // spread repartition, which is sandbox plumbing): no agg, no join
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"),
+      s"cluster assignment must be map-only:\n$plan")
+  }
+
   test("brute-force topk: self excluded, k rows per query, sims descending") {
     val topk = Similarity.bruteForceTopK(DocsAdapter.embeddings(spark, dir), 3, 5).collect()
     val byQ = topk.groupBy(_.getLong(0))
