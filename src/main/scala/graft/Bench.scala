@@ -45,9 +45,13 @@ object Bench {
     // graft-spark-local root's own mtime only refreshes when a session
     // creates its app subdir, not while shuffle files are written below.
     val pidTagged = "^(?:graft-bench|probe3-cluster)-([0-9]+)$".r
+    // full recursive newest mtime: shuffle writes land 3+ levels deep
+    // (spark-<app>/executor-<id>/blockmgr-<id>/<hex>/...), so a shallow
+    // check would age-out a live sibling's root. Runs once at startup over
+    // bounded leftovers — walk cost is noise.
     def newestMtime(f: File): Long =
       (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
-        .map(_.lastModified()).toSeq).max
+        .map(newestMtime).toSeq).max
     def stale(f: File): Boolean = f.getName match {
       case pidTagged(pid) => ProcessHandle.of(pid.toLong).isEmpty
       case _ => now - newestMtime(f) > 30L * 60 * 1000
@@ -214,14 +218,18 @@ object Bench {
     // local-cluster[4N,4,8g] — one JVM per executor, matching a real
     // cluster's process isolation. Input sized so per-run compute dwarfs
     // fixed job overheads (scheduling, commit, the enrich dim subquery).
-    // Best-of-3 per size estimates capacity; every rep starts with a sync
+    // Best-of-4 per size (symmetric) estimates capacity; every rep starts with a sync
     // (identically for both sizes) and all I/O is tmpfs-backed.
     val scaling = if (doScaling) try {
       val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "16000000").toLong
       val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
       val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "4").toInt
       val execMemMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEM_MB", "8192").toInt
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+      // best-of-4, SYMMETRIC across sizes (min estimates capacity — noise
+      // only ever adds time — and identical sampling on both sides keeps
+      // the ratio free of estimator bias; external host load perturbs the
+      // wide config ±25%, so 3 reps under-sampled it)
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
       val nLarge = nSmall * 4
       val scaleIn = s"$benchRoot/scale-in"
       val warmIn = s"$benchRoot/scale-warm-in"
@@ -252,13 +260,7 @@ object Bench {
               }
               deleteRecursively(new File(warm))
               System.err.println(f"[bench] scale n=$n warmup ${tw}%.2f s${drained()}")
-              // best-of-N estimates capacity; the WIDE configuration is the
-              // one external host load perturbs (it needs all its cores
-              // free at once, observed ±25% drift), so sample it with two
-              // extra reps — its reps are also ~3x cheaper than the
-              // narrow configuration's
-              val nReps = if (n == nLarge) reps + 2 else reps
-              val secsOk = (1 to nReps).flatMap { r =>
+              val secsOk = (1 to reps).flatMap { r =>
                 new ProcessBuilder("sync").inheritIO().start().waitFor()
                 // prior reps' shuffle files sit in the (tmpfs) local dirs
                 // until the ContextCleaner collects the shuffle objects —
@@ -277,7 +279,7 @@ object Bench {
                   // (also on failure — a partial rep output must not eat the
                   // headroom of the remaining reps)
               }
-              require(secsOk.nonEmpty, s"all $nReps scaling reps failed at n=$n")
+              require(secsOk.nonEmpty, s"all $reps scaling reps failed at n=$n")
               s.stop()
               n -> Some(scaleRows / secsOk.min)
           }

@@ -459,6 +459,9 @@ case class IvfProbesExpr(child: Expression, centroids: Array[Array[Float]], nPro
   * Property-tested equal to the composed form in MlSpec.
   */
 case class NormalizeText(child: Expression) extends UnaryExpression {
+  // expects a string child — TextDedup.normalizeCol casts its input like
+  // lower() used to implicit-cast (AbstractDataType is private[sql], so
+  // the coercion lives at the Column wrapper instead of inputTypes)
   override def dataType: DataType = StringType
 
   def doNormalize(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {

@@ -93,16 +93,24 @@ object TextAnalysis {
     * driver-side.
     */
   def lmScore(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("doc_id"),
-      explode(split(TextDedup.normalizeCol(col("text")), " ")).as("w"))
-    val freq = words.groupBy("w").agg(count(lit(1)).as("c"))
+    // stage through per-doc occurrence counts FIRST: the (doc_id, w, cnt)
+    // exchange is consumed identically by the vocab aggregation and the
+    // score join, so ReuseExchange evaluates the expensive
+    // normalize+split+explode pipeline ONCE (a flat words frame would run
+    // it twice — once per consumer), and everything downstream works on
+    // distinct (doc, word) pairs instead of raw occurrences
+    val occ = docs.select(col("doc_id"),
+        explode(split(TextDedup.normalizeCol(col("text")), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val freq = occ.groupBy("w").agg(sum(col("cnt")).as("c"))
     val totals = freq.agg(sum(col("c")).as("total"), count(lit(1)).as("v"))
-    words.join(freq, Seq("w"))
+    occ.join(freq, Seq("w"))
       .crossJoin(broadcast(totals))
       .withColumn("lp", log10((col("c") + 1).cast("double") /
         (col("total") + col("v")).cast("double")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), round(avg(col("lp")), 4).as("lm_score"))
+      .agg(sum(col("cnt")).as("n_words"),
+        round(sum(col("cnt") * col("lp")) / sum(col("cnt")), 4).as("lm_score"))
   }
 
   /** DuckDB twin of [[lmScore]] (same smoothing, same 4-dp rounding — the

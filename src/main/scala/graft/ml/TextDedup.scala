@@ -24,7 +24,9 @@ object TextDedup {
   def normalizeCol(text: Column): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(
       graft.functions.NormalizeText(
-        org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+        // keep lower()'s to-string coercion contract (redundant casts on
+        // string columns are elided by Catalyst)
+        org.apache.spark.sql.graftbridge.Bridge.expression(text.cast("string"))))
 
   def normalizeSql(text: String): String =
     s"trim(regexp_replace(regexp_replace(lower($text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"

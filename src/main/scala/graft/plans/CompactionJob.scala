@@ -64,11 +64,15 @@ object CompactionJob {
       // failed runs (post-verification rename failures, crash windows) —
       // reclaim them now instead of accumulating full-size orphans.
       // Single-writer-per-outDir assumption, like any compaction job.
-      val stale = Seq(s".${outPath.getName}.compact-staging-",
-        s".${outPath.getName}.compact-old-")
-      fs.listStatus(outPath.getParent)
-        .filter(s => stale.exists(s.getPath.getName.startsWith))
-        .foreach(s => fs.delete(s.getPath, true): Unit)
+      // Best-effort: the commit already happened, so a cleanup hiccup must
+      // not turn a successful compaction into a reported failure.
+      try {
+        val stale = Seq(s".${outPath.getName}.compact-staging-",
+          s".${outPath.getName}.compact-old-")
+        fs.listStatus(outPath.getParent)
+          .filter(s => stale.exists(s.getPath.getName.startsWith))
+          .foreach(s => fs.delete(s.getPath, true): Unit)
+      } catch { case _: java.io.IOException => () }
     } finally {
       if (!verified && fs.exists(staging)) fs.delete(staging, true): Unit
     }
