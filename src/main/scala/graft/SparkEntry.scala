@@ -200,10 +200,20 @@ object SparkEntry {
           // escapes only — URLDecoder would additionally turn '+' into ' ')
           val srcName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(sd.getName.stripPrefix("source="))
-          val parts = sd.listFiles((_, n) => n.startsWith("part-"))
-          require(parts != null && parts.length == 1,
-            s"expected one staged file per source, got ${Option(parts).map(_.length)}")
-          java.nio.file.Files.move(parts(0).toPath, d.resolve(srcName))
+          // usually one part file per source (one partition each), but a
+          // non-default maxRecordsPerFile / file rolling may split it —
+          // part names sort in row order within the partition, so
+          // concatenating in filename order preserves the event order
+          val parts = Option(sd.listFiles((_, n) => n.startsWith("part-")))
+            .getOrElse(Array.empty).sortBy(_.getName)
+          require(parts.nonEmpty, s"no staged part files under ${sd.getName}")
+          if (parts.length == 1) {
+            java.nio.file.Files.move(parts(0).toPath, d.resolve(srcName)): Unit
+          } else {
+            val out = java.nio.file.Files.newOutputStream(d.resolve(srcName))
+            try parts.foreach(p => java.nio.file.Files.copy(p.toPath, out): Unit)
+            finally out.close()
+          }
         }
         d.toString
       })
@@ -315,7 +325,8 @@ object SparkEntry {
     // 32 state-store partitions were pure fixed overhead.
     "q_stream_histogram" -> ((s, dir) => {
       val tmp = stagedCache.computeIfAbsent(dir, _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
+        val d = java.nio.file.Files.createTempDirectory(
+          s"graft-stream-q-${ProcessHandle.current().pid()}-").toString
         EventsAdapter.sequences(s, dir).write.mode("overwrite").parquet(d)
         d
       })
@@ -323,7 +334,11 @@ object SparkEntry {
       val shm = new java.io.File("/dev/shm")
       val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
         else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, "graft-ckpt-").toString
+      // owner-pid tag BEFORE the random suffix: Bench's tmpfs sweep frees a
+      // dead process's leftovers by pid liveness instead of mtime age (an
+      // age rule would sweep a live-but-idle sibling's checkpoint state)
+      val ckpt = java.nio.file.Files.createTempDirectory(ckptBase,
+        s"graft-ckpt-${ProcessHandle.current().pid()}-").toString
       val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
