@@ -10,9 +10,13 @@ import graft.compile.{EventsFrame, Frame, QueryEngine, TableFrame}
 
 /** The reference's job API surface (internal/web/Web.go:163-276 —
   * startJob / jobStats / jobResults / jobFieldStats) rebuilt over the query
-  * engine. A "job" is a compiled, lazily-evaluated frame; stats/results/
-  * field-stats are Spark actions over it (no job-results tables: Catalyst
-  * recomputation + caching replace the JobResults/JobFieldValues store).
+  * engine. A "job" is a compiled, lazily-evaluated frame; its ORDERED result
+  * and field-stats aggregate materialize once into Spark block storage on
+  * the first action (the JobResults/JobFieldValues store of the reference,
+  * plugins/sqlite_jobs/SqliteJobRepository.go:34-49) and every later page /
+  * stat / field-stat serves from those caches. The first action pays the
+  * one-time sort (exactly like the reference's insert-sorted store);
+  * [[releaseJob]] is the eviction valve for long-lived processes.
   *
   * Lifecycle mirrors pkg/logsuck/jobs/Job.go:24-40 (Running/Finished/
   * Aborted) and internal/jobs/Engine.go:84-174 (Abort cancels the running
@@ -26,6 +30,54 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
       val frame: Frame, val sortMode: String, val columnOrder: Seq[String]) {
     @volatile private[JobsApi] var stateRef: String = JobsApi.Running
     def state: String = stateRef
+
+    /** Persisted-results analog of the reference's per-job results store
+      * (plugins/sqlite_jobs/SqliteJobRepository.go:34-49,99-186 persists
+      * JobResults/JobTableResults once and serves every page from it): the
+      * ORDERED result materializes once into executor block storage
+      * (memory, spilling to disk) on the job's first stats/results action;
+      * every later page, stat, and field-stat reads the cache instead of
+      * re-running the compiled query + sort. lazy val = exactly-once under
+      * concurrent first actions.
+      */
+    private[JobsApi] lazy val results: DataFrame = {
+      val ordered = frame match {
+        case TableFrame(df, _) => df
+        case f: EventsFrame if sortMode == "preserveArgOrder" => f.df
+        case f: EventsFrame => QueryEngine.newestFirst(f)
+      }
+      materialized = true
+      ordered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+    /** The cached results re-wrapped as a Frame (same shape as `frame`) so
+      * the engine's aggregate operators run over the persisted rows.
+      */
+    private[JobsApi] def resultsFrame: Frame = frame match {
+      case TableFrame(_, order) => TableFrame(results, order)
+      case _: EventsFrame => EventsFrame(results)
+    }
+
+    /** JobFieldValues analog: the (key, value, occurrences) aggregate,
+      * computed over the persisted results and itself persisted on first
+      * use — jobFieldStats for different fields then only filters it.
+      */
+    private[JobsApi] lazy val fieldStatsCached: DataFrame =
+      engine.fieldStats(resultsFrame)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // memoized jobStats — the second stats call launches zero Spark jobs
+    @volatile private[JobsApi] var statsCache: JobStats = null
+
+    /** Drop every cached artifact of this job (no-op if never materialized:
+      * touching the lazy vals here would otherwise BUILD the plans only to
+      * unpersist them).
+      */
+    private[JobsApi] var materialized = false
+    private[JobsApi] def unpersistAll(): Unit = if (materialized) {
+      results.unpersist(blocking = false)
+      fieldStatsCached.unpersist(blocking = false): Unit
+    }
   }
 
   final case class JobStats(state: String, numMatchedEvents: Long,
@@ -143,7 +195,22 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
     val job = jobs.get(id)
     if (job == null) return false
     sc.cancelJobGroup(groupId(id))
-    if (job.stateRef == JobsApi.Running) job.stateRef = JobsApi.Aborted
+    if (job.stateRef == JobsApi.Running) {
+      job.stateRef = JobsApi.Aborted
+      job.unpersistAll() // free partially-cached result blocks
+    }
+    true
+  }
+
+  /** Drop a job and every cached artifact it holds — the lifecycle valve
+    * that keeps a long-lived API process from accumulating result caches
+    * (the reference expires job rows the same way,
+    * plugins/tasks/DeleteOldJobsTask.go).
+    */
+  def releaseJob(id: Long): Boolean = {
+    val job = jobs.remove(id)
+    if (job == null) return false
+    job.unpersistAll()
     true
   }
 
@@ -186,12 +253,21 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
     val job = jobOrThrow(id)
     if (job.stateRef == JobsApi.Aborted)
       return JobStats(JobsApi.Aborted, 0, Map.empty)
+    val cached = job.statsCache
+    if (cached != null) return cached // memoized: zero Spark jobs
     withJobGroup(job) {
-      val n = engine.matchedCount(job.frame)
-      val occ = engine.fieldOccurrences(job.frame).collect()
+      // both actions read the persisted results (first action materializes
+      // them), so the count and the occurrence agg never re-run the
+      // compiled query — and the distinct-value agg folds the already
+      // persisted fieldStats aggregate
+      val n = job.results.count()
+      val occ = job.fieldStatsCached
+        .groupBy(col("key")).agg(count(lit(1)).as("n_values")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       if (job.stateRef == JobsApi.Running) job.stateRef = JobsApi.Finished
-      JobStats(job.stateRef, n, occ)
+      val stats = JobStats(job.stateRef, n, occ)
+      job.statsCache = stats
+      stats
     }
   }
 
@@ -202,18 +278,19 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
     */
   def jobResults(id: Long, skip: Int, take: Int): DataFrame = {
     val job = jobOrThrow(id)
-    val ordered = job.frame match {
-      case TableFrame(df, _) => df
-      case f: EventsFrame if job.sortMode == "preserveArgOrder" => f.df
-      case f: EventsFrame => QueryEngine.newestFirst(f)
-    }
-    ordered.offset(skip).limit(take)
+    // pages slice the persisted sorted result: the sort ran once when the
+    // job's results store materialized; a page is offset+limit over cached
+    // blocks read in partition order (a user paging through a result no
+    // longer pays a full query + sort per page)
+    job.results.offset(skip).limit(take)
   }
 
-  /** jobFieldStats (Web.go:259-276): A1 occurrences for one field key. */
+  /** jobFieldStats (Web.go:259-276): A1 occurrences for one field key —
+    * a filter over the persisted per-job (key, value, occurrences) store.
+    */
   def jobFieldStats(id: Long, field: String): DataFrame = {
     val job = jobOrThrow(id)
-    engine.fieldStats(job.frame)
+    job.fieldStatsCached
       .filter(col("key") === field)
       .select(col("value"), col("occurrences"))
   }

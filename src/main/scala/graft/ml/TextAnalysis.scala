@@ -115,15 +115,21 @@ object TextAnalysis {
 
   /** DuckDB twin of [[lmScore]] (same smoothing, same 4-dp rounding — the
     * score is an fp mean, so parity holds through rounding, not bitwise).
+    * Aggregates through the SAME (doc_id, w, cnt) shape as the Spark plan —
+    * sum(cnt*lp)/sum(cnt) over distinct words, never a per-occurrence avg —
+    * so both sides fold the same addends (a per-occurrence mean sums in a
+    * different order and can flip the 4th rounded decimal).
     */
   def lmScoreSql(docsRel: String): String = {
     val norm = TextDedup.normalizeSql("text")
     s"""WITH words AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS w FROM $docsRel),
-       |freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+       |occ AS (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w),
+       |freq AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS c FROM occ GROUP BY w),
        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS v FROM freq)
-       |SELECT doc_id, count(*) AS n_words,
-       |  round(avg(log10(CAST(c + 1 AS DOUBLE) / CAST(total + v AS DOUBLE))), 4) AS lm_score
-       |FROM words JOIN freq USING (w), tot GROUP BY doc_id""".stripMargin.replace("\n", " ")
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  round(sum(cnt * log10(CAST(c + 1 AS DOUBLE) / CAST(total + v AS DOUBLE)))
+       |    / sum(cnt), 4) AS lm_score
+       |FROM occ JOIN freq USING (w), tot GROUP BY doc_id""".stripMargin.replace("\n", " ")
   }
 
   // -------------------------------------------------------------- lang id

@@ -83,6 +83,47 @@ class ApiSpec extends AnyFunSuite {
     assert(offs == offs.sorted.reverse, s"surrounding keeps offset DESC: $offs")
   }
 
+  test("job results persist once: later pages read the cache, later stats launch no jobs") {
+    val api = new JobsApi(EventsAdapter.engine(spark, dir))
+    val job = api.startJob("error")
+    api.jobResults(job.id, 0, 5).collect() // materializes the results store
+    // a second page must be a slice of the persisted sorted result — an
+    // in-memory scan, never a re-read of the parquet source + re-sort
+    // the live plan is everything ABOVE the InMemoryRelation marker (the
+    // relation's toString embeds its cached provenance plan, which still
+    // mentions the original FileScan — that part does not execute)
+    def livePart(plan: String): String = plan.split("InMemoryRelation")(0)
+    val plan2 = api.jobResults(job.id, 5, 5).queryExecution.executedPlan.toString
+    assert(plan2.contains("InMemoryTableScan"),
+      s"second page must read the persisted results store:\n$plan2")
+    assert(!livePart(plan2).contains("FileScan"),
+      s"second page must not re-scan the source:\n$plan2")
+    // jobFieldStats serves from the persisted (key,value,occurrences) store
+    api.jobFieldStats(job.id, "eventtype").collect()
+    val planF = api.jobFieldStats(job.id, "userid").queryExecution.executedPlan.toString
+    assert(planF.contains("InMemoryTableScan") && !livePart(planF).contains("FileScan"),
+      s"field stats must filter the persisted aggregate:\n$planF")
+    // memoized stats: the second jobStats call launches ZERO Spark jobs
+    api.jobStats(job.id)
+    val jobsStarted = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobsStarted.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val again = api.jobStats(job.id)
+      assert(again.numMatchedEvents == 201 && again.state == "finished")
+      Thread.sleep(1000) // let the async listener bus drain
+      assert(jobsStarted.get() == 0,
+        s"memoized jobStats must not touch the cluster, saw ${jobsStarted.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // releaseJob evicts: the job is gone and its caches are dropped
+    assert(api.releaseJob(job.id))
+    intercept[JobsApi.NoSuchJobException] { api.jobStats(job.id) }
+    assert(!api.releaseJob(job.id))
+  }
+
   test("sort mode comes from compiled steps, not query text") {
     val api = new JobsApi(EventsAdapter.engine(spark, dir))
     // the WORD "surrounding" as a search fragment must not flip the mode

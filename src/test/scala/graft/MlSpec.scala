@@ -120,6 +120,32 @@ class MlSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("shipped IVF path round-trips the store: fresh process loads the artifact, zero build jobs") {
+    // first call in SOME process built + published the artifact
+    SparkEntry.queries("q_ann_ivf")(spark, dir).collect()
+    val artifact = new java.io.File(SparkEntry.ivfArtifactPath(dir, 16))
+    assert(artifact.isFile && artifact.length() > 0,
+      s"build must publish the quantizer artifact at $artifact")
+    // fresh-driver simulation: forget the in-process map; the next serve
+    // must LOAD from the store and launch no build-tagged Spark jobs
+    SparkEntry.clearIvfMemoryCache()
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val d = Option(j.properties).map(_.getProperty("spark.job.description")).orNull
+        if (d != null) descs.add(d): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rows = SparkEntry.queries("q_ann_ivf")(spark, dir).collect()
+      assert(rows.nonEmpty)
+      Thread.sleep(1500) // let the async listener bus drain
+      assert(!descs.contains(Similarity.IVF_BUILD_TAG),
+        s"a fresh process must serve from the stored artifact, not rebuild: $descs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("IVF quantizer artifact round-trips and serves identical results") {
     val emb = DocsAdapter.embeddings(spark, dir)
     val cents = Similarity.ivfCentroids(emb, 8)
