@@ -361,13 +361,15 @@ object SparkEntry {
     // URL domain frequency (blocklist/provenance stats)
     "q_url_domains" -> ((s, dir) =>
       graft.ml.TextCleaning.domainStats(DocsAdapter.piiDocs(s, dir))),
-    // Structured Streaming histogram: watermarked windowed agg through the
-    // streaming pipeline, trigger AvailableNow over a staged copy; the
-    // oracle is the equivalent batch SQL (streaming==batch parity).
+    // Structured Streaming histogram through the SCALE-REAL serving mode:
+    // watermarked windowed agg, UPDATE output into a per-batch delta file
+    // sink (state evicts past the watermark; nothing accumulates on the
+    // driver), then the latest-wins serving view — the oracle is the
+    // equivalent batch SQL (streaming==batch parity through the sink).
     // The staged copy is per-dir cached (staging is test plumbing, not the
-    // operator); checkpoint + state store land on tmpfs when available and
-    // the stateful shuffle is narrowed — the windowed-agg state is tiny, so
-    // 32 state-store partitions were pure fixed overhead.
+    // operator); checkpoint + state store + sink land on tmpfs when
+    // available and the stateful shuffle is narrowed — the windowed-agg
+    // state is tiny, so 32 state-store partitions were pure fixed overhead.
     "q_stream_histogram" -> ((s, dir) => {
       val tmp = stagedCache.computeIfAbsent(dir, _ => {
         val d = java.nio.file.Files.createTempDirectory(
@@ -375,28 +377,37 @@ object SparkEntry {
         EventsAdapter.sequences(s, dir).write.mode("overwrite").parquet(d)
         d
       })
-      val name = s"shq_${System.nanoTime()}"
       val shm = new java.io.File("/dev/shm")
       val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
         else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
       // owner-pid tag BEFORE the random suffix: Bench's tmpfs sweep frees a
       // dead process's leftovers by pid liveness instead of mtime age (an
       // age rule would sweep a live-but-idle sibling's checkpoint state)
-      val ckpt = java.nio.file.Files.createTempDirectory(ckptBase,
-        s"graft-ckpt-${ProcessHandle.current().pid()}-").toString
+      def scratch(prefix: String) = java.nio.file.Files.createTempDirectory(ckptBase,
+        s"$prefix-${ProcessHandle.current().pid()}-").toString
+      val ckpt = scratch("graft-ckpt")
+      val sink = scratch("graft-ckpt") // delta sink: same lifecycle as ckpt
       val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        val q = graft.streaming.StreamingPipeline.histogram(
-          s, tmp, EventsAdapter.configs, name, checkpointDir = Some(ckpt))
+        val q = graft.streaming.StreamingPipeline.histogramToSink(
+          s, tmp, sink, ckpt, EventsAdapter.configs)
         q.awaitTermination()
+        graft.streaming.StreamingPipeline.servedHistogram(s, sink)
+          .select(
+            date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+            col("sink"), col("n"))
+          // the serving view must outlive the scratch delta dirs (Verify
+          // writes the frame after this function returns): pin the tiny
+          // aggregate rows
+          .localCheckpoint(eager = true)
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+        // the eager localCheckpoint above pinned the served rows, so both
+        // scratch dirs can go immediately
         graft.util.Dirs.deleteRecursively(new java.io.File(ckpt))
+        graft.util.Dirs.deleteRecursively(new java.io.File(sink))
       }
-      s.table(name).select(
-        date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
-        col("sink"), col("n"))
     }),
     // LSH-bucketed ANN pairs (signature + banding replicated in the oracle;
     // recall additionally asserted against the exact baseline in MlSpec)

@@ -52,24 +52,34 @@ object StreamingPipeline {
       .start()
   }
 
-  /** Streaming time-bucketed histogram with a watermark (the extension
-    * aggregate, SURVEY.md §2.3/2.7): tumbling window per sink, late data
-    * beyond the watermark dropped.
+  /** The watermarked windowed aggregation shared by both histogram faces:
+    * tumbling `bucket` window per sink, late data beyond `watermark`
+    * dropped, state for closed windows evicted once the watermark passes.
+    */
+  private def histogramAgg(spark: SparkSession, inputDir: String,
+      configs: Seq[SourceConfig], bucket: String, watermark: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(Schemas.sequences)
+      .parquet(inputDir)
+    LogPipeline.enrichStatic(LogPipeline.parse(stream), configs)
+      .withColumn("sink", LogPipeline.sinkCol)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), bucket), col("sink"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"), col("sink"), col("n"))
+  }
+
+  /** Streaming time-bucketed histogram — TEST/DEBUG face only: complete
+    * mode into a memory sink accumulates the whole aggregate on the driver
+    * every trigger and complete-mode state never evicts, which is exactly
+    * what must NOT ship at scale. Batch-parity tests use it; production
+    * serving is [[histogramToSink]] + [[servedHistogram]].
     */
   def histogram(spark: SparkSession, inputDir: String, configs: Seq[SourceConfig],
       queryName: String, bucket: String = "1 hour",
       watermark: String = "2 hours",
       checkpointDir: Option[String] = None): StreamingQuery = {
-    val stream = spark.readStream
-      .schema(Schemas.sequences)
-      .parquet(inputDir)
-    val enriched = LogPipeline.enrichStatic(LogPipeline.parse(stream), configs)
-      .withColumn("sink", LogPipeline.sinkCol)
-    val writer = enriched
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), bucket), col("sink"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("bucket_start"), col("sink"), col("n"))
+    val writer = histogramAgg(spark, inputDir, configs, bucket, watermark)
       .writeStream
       .outputMode("complete")
       .format("memory")
@@ -80,5 +90,48 @@ object StreamingPipeline {
     // that dwarfs the actual aggregation on small-batch benches
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer.start()
+  }
+
+  /** Scale-real histogram serving (SURVEY.md §2.7): UPDATE-mode output into
+    * a partitioned file sink. Each micro-batch writes only the windows it
+    * CHANGED (cumulative counts) into its own `delta=<batchId>/` directory —
+    * the same per-batch-id overwrite idempotence as [[ingest]], so a
+    * replayed batch lands in place instead of duplicating. Nothing
+    * accumulates on the driver, and the watermark EVICTS closed-window
+    * state (update mode re-emits a window on change, so dropping its state
+    * after the watermark passes loses nothing — late rows beyond the
+    * watermark are dropped before the aggregation either way). Serving
+    * reads the deltas latest-wins via [[servedHistogram]]; CompactionJob
+    * can fold old deltas exactly like routed batch dirs.
+    */
+  def histogramToSink(spark: SparkSession, inputDir: String, outDir: String,
+      checkpointDir: String, configs: Seq[SourceConfig],
+      bucket: String = "1 hour", watermark: String = "2 hours",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    histogramAgg(spark, inputDir, configs, bucket, watermark)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.write.mode("overwrite").parquet(s"$outDir/delta=$batchId")
+      }
+      .start()
+
+  /** Merge-on-read over [[histogramToSink]] deltas: the latest delta that
+    * touched a (bucket_start, sink) window carries its cumulative count, so
+    * newest-batch-wins per window reconstructs the full histogram. The
+    * window function shuffles only the aggregate rows (windows x sinks),
+    * never the events.
+    */
+  def servedHistogram(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deltas = spark.read.option("basePath", outDir).parquet(s"$outDir/delta=*")
+    val w = Window.partitionBy(col("bucket_start"), col("sink"))
+      .orderBy(col("delta").desc)
+    deltas.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("bucket_start"), col("sink"), col("n"))
   }
 }

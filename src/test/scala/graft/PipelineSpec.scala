@@ -188,6 +188,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("histogram file-sink serving: batch parity across restarts, state evicts past the watermark") {
+    val streamIn = Files.createTempDirectory("graft-hsink-in").toString
+    val sink = Files.createTempDirectory("graft-hsink-out").toString
+    val ckpt = Files.createTempDirectory("graft-hsink-ckpt").toString
+    // run 1: ids 0..20000 -> ~6.9 h of event time -> several 1 h windows
+    SequenceGen.sequences(spark, 20000, 2).write.mode("overwrite").parquet(streamIn)
+    graft.streaming.StreamingPipeline.histogramToSink(
+      spark, streamIn, sink, ckpt, SequenceGen.configs).awaitTermination()
+    // run 2: a much later slice arrives; restart from the same checkpoint.
+    // The generator's json layout runs at 13 s/id (vs 1.23 s/id for kv), so
+    // run 1's watermark sits at max(json ts) - 2h ~ 70.2 h — run-2 ids must
+    // put even the SLOW (kv) clock above it or its rows drop as late:
+    // 210000 * 1.2345 s ~ 72.0 h > 70.2 h
+    SequenceGen.sequences(spark, 211000, 2).filter(col("doc_id") >= "doc-000000210000")
+      .write.mode("append").parquet(streamIn)
+    val q2 = graft.streaming.StreamingPipeline.histogramToSink(
+      spark, streamIn, sink, ckpt, SequenceGen.configs)
+    q2.awaitTermination()
+    // the run-1 windows are long past the restart watermark: their state
+    // must have been EVICTED, not carried forever (the complete-mode
+    // failure shape) — check the state-store metrics of run 2
+    val progress = q2.recentProgress.filter(_.stateOperators.nonEmpty)
+    assert(progress.nonEmpty)
+    val removed = progress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    val finalState = progress.last.stateOperators.map(_.numRowsTotal).sum
+    val served = graft.streaming.StreamingPipeline.servedHistogram(spark, sink)
+    val allWindows = served.count()
+    assert(removed > 0 || finalState < allWindows,
+      s"watermark must evict closed-window state: removed=$removed finalState=$finalState windows=$allWindows")
+    // merge-on-read parity: latest-wins over the deltas == batch histogram
+    // over the full input, across the restart boundary
+    val batch = LogPipeline.histogram(
+      LogPipeline.run(spark, spark.read.parquet(streamIn), SequenceGen.configs))
+    assert(served.exceptAll(batch).isEmpty && batch.exceptAll(served).isEmpty,
+      "served histogram must equal the batch recomputation")
+    // exactly-once: a delta dir is keyed by batch id — both runs' deltas
+    // coexist and the view picks the newest per window
+    val deltaDirs = new java.io.File(sink).listFiles((_, n) => n.startsWith("delta="))
+    assert(deltaDirs != null && deltaDirs.length >= 2,
+      s"each micro-batch writes its own delta dir, saw ${Option(deltaDirs).map(_.length)}")
+  }
+
   test("streaming histogram with watermark matches batch histogram") {
     val streamIn = Files.createTempDirectory("graft-hist-in").toString
     SequenceGen.sequences(spark, 800, 2).write.mode("overwrite").parquet(streamIn)
