@@ -206,20 +206,49 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal decode stub: deterministic features, balanced partitions") {
-    val media = Multimodal.mediaTable(DocsAdapter.docs(spark, dir))
-    val feats = Multimodal.decodeStub(spark, media, partitions = 4)
+  test("multimodal decode: real wav/bmp header parse, deterministic features, balanced partitions") {
+    val media = Multimodal.mediaTable(spark, DocsAdapter.docs(spark, dir))
+    val feats = Multimodal.decode(spark, media, partitions = 4)
     val rows = feats.collect()
     assert(rows.length == 500)
     rows.foreach { f =>
       assert(f.feature.length == 8)
       assert(f.entropy >= 0.0 && f.entropy <= 8.0)
       assert(f.head_hex.length == 16)
+      // the metadata was parsed OUT of the payload bytes; it must match the
+      // generation formulas exactly, and only for the matching mime
+      f.mime match {
+        case "image/bmp" =>
+          assert(f.width.contains((16 + f.doc_id % 64).toInt) &&
+            f.height.contains((9 + f.doc_id % 32).toInt), s"bmp decode: $f")
+          assert(f.sample_rate.isEmpty && f.channels.isEmpty)
+          assert(f.head_hex.startsWith("424d")) // 'BM'
+        case "audio/wav" =>
+          assert(f.sample_rate.contains((8000 + (f.doc_id % 8) * 1000).toInt) &&
+            f.channels.contains((1 + f.doc_id % 2).toInt), s"wav decode: $f")
+          assert(f.width.isEmpty && f.height.isEmpty)
+          assert(f.head_hex.startsWith("52494646")) // 'RIFF'
+        case _ => // mp4: honest codec stub — no metadata
+          assert(f.width.isEmpty && f.sample_rate.isEmpty)
+      }
     }
     // determinism across runs
-    val again = Multimodal.decodeStub(spark, media, partitions = 2).collect()
+    val again = Multimodal.decode(spark, media, partitions = 2).collect()
     assert(rows.sortBy(_.doc_id).map(_.entropy).toSeq ==
       again.sortBy(_.doc_id).map(_.entropy).toSeq)
+  }
+
+  test("multimodal header parsers reject corrupt magic instead of misreading") {
+    val wav = Multimodal.wavHeader(44100, 2, 16, 10) ++ Array.fill(10)(7.toByte)
+    assert(Multimodal.parseWav(wav).contains((44100, 2)))
+    assert(Multimodal.parseBmp(wav).isEmpty, "a wav is not a bmp")
+    val bmp = Multimodal.bmpHeader(640, 480, 10) ++ Array.fill(10)(7.toByte)
+    assert(Multimodal.parseBmp(bmp).contains((640, 480)))
+    assert(Multimodal.parseWav(bmp).isEmpty, "a bmp is not a wav")
+    val torn = wav.take(20)
+    assert(Multimodal.parseWav(torn).isEmpty && Multimodal.parseBmp(torn).isEmpty)
+    val zeroed = wav.clone(); zeroed(0) = 0
+    assert(Multimodal.parseWav(zeroed).isEmpty, "corrupt magic must not parse")
   }
 
   test("stratified sampling: deterministic, per-stratum rates, nested under weight increase") {
