@@ -25,6 +25,8 @@ object SparkEntry {
   private val stagedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // staged raw log-text files (S2/S3 ingestion surface), once per scale dir
   private val ingestCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // staged multi-batch routed output (compaction input), once per scale dir
+  private val routedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // IVF quantizer (build-once artifact), once per scale dir — serving a
   // query never rebuilds the centroids (VERDICT r2 #2). The in-memory map
   // is only the per-process fast path: the quantizer round-trips a
@@ -266,6 +268,33 @@ object SparkEntry {
         .select(col("doc_id"), col("raw"), col("source"), col("offset"))
     }),
 
+    // Small-file compaction under the DuckDB gate: a two-batch routed
+    // output (staged per dir — that part is ingest plumbing) is compacted
+    // FRESH on every call (the operator under test: signature-gated rewrite
+    // + atomic swap), then the query emits per-sink counts + an
+    // order-independent row-set signature from the compacted store. The
+    // oracle recomputes both from the events table in DuckDB — the rewrite
+    // must preserve the exact row set per sink across engines.
+    "q_compaction" -> ((s, dir) => {
+      val routed = routedCache.computeIfAbsent(dir, _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-compact-q").toString
+        val enriched = graft.plans.LogPipeline.run(
+          s, EventsAdapter.sequences(s, dir), EventsAdapter.configs)
+        // two micro-batch dirs, like streaming ingest accumulates (S7)
+        graft.plans.LogPipeline.routeWrite(
+          enriched.filter(col("offset") % 2 === 0), s"$d/routed/batch=0", 8)
+        graft.plans.LogPipeline.routeWrite(
+          enriched.filter(col("offset") % 2 === 1), s"$d/routed/batch=1", 8)
+        s"$d/routed"
+      })
+      val out = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
+      try {
+        graft.plans.CompactionJob.compact(s, routed, s"$out/compacted", targetRows = 50000L)
+        // pin the tiny per-sink aggregate so the scratch store can go now
+        spark_read_compacted(s, s"$out/compacted").localCheckpoint(eager = true)
+      } finally graft.util.Dirs.deleteRecursively(new java.io.File(out))
+    }),
+
     // mixed-shape corpus (kv + access-combined + json): routing/enrich per
     // file type through the full pipeline — covers the access extractor and
     // the JSON parser path end-to-end (glob dispatch, per-config host)
@@ -434,6 +463,16 @@ object SparkEntry {
     })
   )
 
+  /** Per-sink count + cross-engine row-set signature over a compacted
+    * store: bit_xor of the shared md5-based 64-bit doc_id hash (the
+    * DuckDB-reproducible analog of CompactionJob's internal xxhash64 gate).
+    */
+  private def spark_read_compacted(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir)
+      .groupBy(col("sink"))
+      .agg(count(lit(1)).as("n"),
+        bit_xor(graft.ml.TextDedup.hash64Col(col("doc_id"))).as("sig"))
+
   private val RAW = EventsAdapter.RAW_SQL
   private val SRC = EventsAdapter.SOURCE_SQL
   private val DOC = "CAST(event_id AS VARCHAR)"
@@ -504,6 +543,9 @@ object SparkEntry {
       s"SELECT $DOC AS doc_id FROM events WHERE event_type IN ('purchase', 'view') ORDER BY ts DESC, $DOC LIMIT 50 OFFSET 100",
     "q_pipeline_sinkcounts" ->
       s"SELECT regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, 'events-host' AS host, count(*) AS n FROM events GROUP BY 1",
+    "q_compaction" ->
+      s"""SELECT regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n,
+         | bit_xor(${graft.ml.TextDedup.hash64Sql(DOC)}) AS sig FROM events GROUP BY 1""".stripMargin.replace("\n", " "),
     "q_pipeline_histogram" ->
       s"SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n FROM events GROUP BY 1, 2",
     "q_pipeline_fields" ->

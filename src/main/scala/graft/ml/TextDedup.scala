@@ -163,7 +163,15 @@ object TextDedup {
     * join (fine at oracle scale) and must match row-for-row.
     * Returns (doc_a, doc_b, jac) with jac >= threshold, across all sources.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  /** Candidate pairs from the rare-first prefix filter (lossless — stage 3
+    * of [[ngramJaccardPairs]]'s plan). `lengthFilter` stacks PPJoin's length
+    * bound on top: J >= t forces min(|a|,|b|) >= t * max(|a|,|b|), so pairs
+    * whose sizes are too lopsided are pruned BEFORE the expensive verify
+    * join (also lossless; the epsilon keeps an fp overestimate of t*n from
+    * excluding an exact boundary pair). Exposed for pruning assertions.
+    */
+  private[graft] def ngramCandidates(docs: DataFrame, threshold: Double,
+      lengthFilter: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = docs.select(col("doc_id"), shinglesCol(col("text")).as("sh"))
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
@@ -174,11 +182,22 @@ object TextDedup {
     val prefix = ex.join(freq, Seq("s"))
       .withColumn("r", row_number().over(w))
       .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("doc_id"), col("s"))
-    val cand = prefix.as("x").join(prefix.as("y"), Seq("s"))
+      .select(col("doc_id"), col("n"), col("s"))
+    val joined = prefix.as("x").join(prefix.as("y"), Seq("s"))
       .filter(col("x.doc_id") < col("y.doc_id"))
+    val bounded = if (lengthFilter)
+      joined.filter(
+        col("x.n").cast("double") >= lit(threshold) * col("y.n") - lit(1e-9) &&
+        col("y.n").cast("double") >= lit(threshold) * col("x.n") - lit(1e-9))
+    else joined
+    bounded
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"), shinglesCol(col("text")).as("sh"))
+    val cand = ngramCandidates(docs, threshold)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

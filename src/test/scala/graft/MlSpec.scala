@@ -251,6 +251,48 @@ class MlSpec extends AnyFunSuite {
     assert(Multimodal.parseWav(zeroed).isEmpty, "corrupt magic must not parse")
   }
 
+  test("ngram PPJoin length filter prunes lopsided candidates losslessly") {
+    import spark.implicits._
+    val t = 0.5
+    // docs 1 (40 words) and 2 (10 words) share ONLY the leading 3-gram
+    // "r1 r2 r3"; docs 4/5 boost the frequency of their remaining shingle
+    // chains so the shared 3-gram is among the RAREST in both docs and
+    // lands inside both rare-first prefixes -> the prefix join emits the
+    // (1,2) candidate. But 8 vs 38 shingles can never reach J >= 0.5 —
+    // exactly the lopsided shape only the length bound prunes pre-verify.
+    val ws = (1 to 37).map(i => s"w$i").mkString(" ")
+    val us = (1 to 7).map(i => s"u$i").mkString(" ")
+    val crafted = Seq(
+      1L -> s"r1 r2 r3 $ws",
+      2L -> s"r1 r2 r3 $us",
+      4L -> s"x1 x2 x3 $ws",
+      5L -> s"y1 y2 y3 $us"
+    ).toDF("doc_id", "text")
+    val withF = TextDedup.ngramCandidates(crafted, t)
+      .as[(Long, Long)].collect().toSet
+    val withoutF = TextDedup.ngramCandidates(crafted, t, lengthFilter = false)
+      .as[(Long, Long)].collect().toSet
+    assert(withoutF.contains((1L, 2L)), "prefix join must surface the lopsided pair")
+    assert(!withF.contains((1L, 2L)), "length bound must prune it before verification")
+    // losslessness on the crafted set AND the real corpus: a pruned
+    // candidate must never be a qualifying pair
+    def assertLossless(docs: org.apache.spark.sql.DataFrame): Unit = {
+      val w = TextDedup.ngramCandidates(docs, t)
+      val wo = TextDedup.ngramCandidates(docs, t, lengthFilter = false)
+      val sh = docs.select(col("doc_id"), TextDedup.shinglesCol(col("text")).as("sh"))
+      val dropped = wo.exceptAll(w)
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jac", col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jac") >= t)
+      assert(dropped.isEmpty, "the length bound must never drop a qualifying pair")
+    }
+    assertLossless(crafted)
+    assertLossless(DocsAdapter.augmentedDocs(spark, dir))
+  }
+
   test("stratified sampling: deterministic, per-stratum rates, nested under weight increase") {
     import graft.ml.Sampling
     val docs = DocsAdapter.docs(spark, dir)
