@@ -229,8 +229,12 @@ object Bench {
       s""""pipeline":{"error":"${e.getClass.getSimpleName}"},"""
     }
     // attributed teardown: executor-exit noise from this stop must not open
-    // the log tail as an unexplained stack trace (r3 verdict #2)
+    // the log tail as an unexplained stack trace (r3 verdict #2). The
+    // streaming queries' state-store maintenance pool outlives its session
+    // and would fire unload failures MINUTES later, outside any marker —
+    // stop it here, inside the attributed window.
     System.err.println("[bench] phase=query-session-teardown (any trace below until 'done' is stop() noise)")
+    org.apache.spark.sql.graftbridge.Bridge.stopStateStoreMaintenance()
     spark.stop()
     System.err.println("[bench] phase=query-session-teardown done")
 

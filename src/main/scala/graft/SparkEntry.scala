@@ -432,6 +432,10 @@ object SparkEntry {
           .localCheckpoint(eager = true)
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+        // the terminated query's state-store providers would otherwise fire
+        // maintenance-unload failures minutes later (their checkpoint is
+        // about to vanish below); the pool restarts lazily on the next query
+        org.apache.spark.sql.graftbridge.Bridge.stopStateStoreMaintenance()
         // the eager localCheckpoint above pinned the served rows, so both
         // scratch dirs can go immediately
         graft.util.Dirs.deleteRecursively(new java.io.File(ckpt))

@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Unload all JVM-global streaming state-store providers and stop their
+    * maintenance pool NOW. The pool is lazily restarted by the next
+    * streaming query, so this is safe to call between queries; without it,
+    * providers from a finished query fire maintenance failures minutes
+    * after their session stopped (unattributable noise in bench logs).
+    */
+  def stopStateStoreMaintenance(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 }
