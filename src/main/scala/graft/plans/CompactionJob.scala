@@ -110,6 +110,63 @@ object CompactionJob {
     Result(before.size, rows, fileCount(spark, inDir), fileCount(spark, outDir))
   }
 
+  /** Compact a [[graft.streaming.StreamingPipeline.histogramToSink]] delta
+    * store: fold the newest base (if any) + all deltas into ONE base
+    * snapshot ranked at the newest delta's batch id, then drop the
+    * superseded parts. The streaming writer keeps appending deltas with
+    * HIGHER batch ids concurrently (its ids only grow), and the serving
+    * view composes `newest base + newer deltas`, so compaction never
+    * blocks ingest or serving.
+    *
+    * Crash safety is the single atomic rename of the verified staging dir
+    * to `base-<id>`: until it lands, readers see the old parts untouched;
+    * after it lands, leftover superseded parts (old bases, deltas <= id)
+    * are ignored by the reader and reclaimed here — including ones a
+    * previous crashed compaction left behind. The same refuse-to-commit
+    * signature gate as the data compaction guards the fold itself.
+    */
+  def compactHistogram(spark: SparkSession, outDir: String): Result = {
+    import graft.streaming.StreamingPipeline
+    val outPath = new Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (oldBase, deltas) = StreamingPipeline.storeParts(spark, outDir)
+    val filesBefore = fileCount(spark, outDir)
+    if (deltas.isEmpty) // nothing newer than the base: no-op
+      return Result(1, 0L, filesBefore, filesBefore)
+    val newId = deltas.map(_._1).max
+
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("bucket_start"), col("sink"), col("n")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val before = sig(StreamingPipeline.servedHistogram(spark, outDir))
+
+    val staging = new Path(outPath, s".histbase-staging-${System.nanoTime()}")
+    var committed = false
+    try {
+      StreamingPipeline.servedHistogram(spark, outDir)
+        .write.mode("overwrite").parquet(staging.toString)
+      val after = sig(spark.read.parquet(staging.toString))
+      require(before == after,
+        s"histogram compaction changed the served rows: before=$before after=$after")
+      if (!fs.rename(staging, new Path(outPath, s"base-$newId")))
+        throw new java.io.IOException(s"failed to commit $staging as base-$newId")
+      committed = true
+    } finally {
+      if (!committed && fs.exists(staging)) fs.delete(staging, true): Unit
+    }
+    // reclaim superseded parts (best-effort: the commit already happened)
+    try {
+      oldBase.foreach { case (_, p) => fs.delete(new Path(p), true): Unit }
+      deltas.foreach { case (_, p) => fs.delete(new Path(p), true): Unit }
+      fs.listStatus(outPath)
+        .filter(_.getPath.getName.startsWith(".histbase-staging-"))
+        .foreach(s => fs.delete(s.getPath, true): Unit)
+    } catch { case _: java.io.IOException => () }
+    Result(1, before._1, filesBefore, fileCount(spark, outDir))
+  }
+
   /** Compact the per-batch inverted-index dirs that streaming ingest
     * accumulates (`indexDir/batch=N/`, StreamingPipeline.ingest) back into
     * one globally word-ordered postings table — restoring the row-group

@@ -119,18 +119,58 @@ object StreamingPipeline {
       }
       .start()
 
-  /** Merge-on-read over [[histogramToSink]] deltas: the latest delta that
-    * touched a (bucket_start, sink) window carries its cumulative count, so
-    * newest-batch-wins per window reconstructs the full histogram. The
-    * window function shuffles only the aggregate rows (windows x sinks),
-    * never the events.
+  /** List a histogram store's components: (newest base snapshot id + path
+    * if any, delta dirs NEWER than that base). Deltas at or below the base
+    * id are superseded by it (compaction deletes them; a crash may leave
+    * some behind — they are ignored here, which is what makes the
+    * base-commit rename the single atomic point of the compaction).
+    */
+  private[graft] def storeParts(spark: SparkSession,
+      outDir: String): (Option[(Long, String)], Seq[(Long, String)]) = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (None, Seq.empty)
+    val children = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+    val base = children.flatMap { c =>
+      c.getName match {
+        case s if s.startsWith("base-") =>
+          s.stripPrefix("base-").toLongOption.map(_ -> c.toString)
+        case _ => None
+      }
+    }.sortBy(_._1).lastOption
+    val floor = base.map(_._1).getOrElse(-1L)
+    val deltas = children.flatMap { c =>
+      c.getName match {
+        case s if s.startsWith("delta=") =>
+          s.stripPrefix("delta=").toLongOption.map(_ -> c.toString)
+        case _ => None
+      }
+    }.filter(_._1 > floor).sortBy(_._1).toSeq
+    (base, deltas)
+  }
+
+  /** Merge-on-read over [[histogramToSink]]'s store: the newest base
+    * snapshot (if compaction ran — rows rank at the base's batch id) plus
+    * every NEWER delta; the latest batch that touched a (bucket_start,
+    * sink) window carries its cumulative count, so newest-wins per window
+    * reconstructs the full histogram. The window function shuffles only
+    * aggregate rows (windows x sinks), never events.
     */
   def servedHistogram(spark: SparkSession, outDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val deltas = spark.read.option("basePath", outDir).parquet(s"$outDir/delta=*")
+    val (base, deltas) = storeParts(spark, outDir)
+    val frames =
+      base.map { case (id, path) =>
+        spark.read.parquet(path).withColumn("delta", lit(id)) }.toSeq ++
+      (if (deltas.nonEmpty)
+        Seq(spark.read.option("basePath", outDir).parquet(deltas.map(_._2): _*)
+          .withColumn("delta", col("delta").cast("long")))
+      else Seq.empty)
+    require(frames.nonEmpty, s"no histogram store at $outDir")
+    val all = frames.reduce(_ unionByName _)
     val w = Window.partitionBy(col("bucket_start"), col("sink"))
       .orderBy(col("delta").desc)
-    deltas.withColumn("rn", row_number().over(w))
+    all.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("bucket_start"), col("sink"), col("n"))
   }

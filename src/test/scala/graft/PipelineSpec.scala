@@ -192,17 +192,19 @@ class PipelineSpec extends AnyFunSuite {
     val streamIn = Files.createTempDirectory("graft-hsink-in").toString
     val sink = Files.createTempDirectory("graft-hsink-out").toString
     val ckpt = Files.createTempDirectory("graft-hsink-ckpt").toString
+    // the generator's json layout runs its own clock at 13 s/id (vs
+    // 1.23 s/id for kv/access), which would put the watermark hours past
+    // anything a later slice can reach — keep the corpus on ONE clock so
+    // the across-restart lateness math is controlled
+    def slice(lo: Long, hi: Long) = SequenceGen.sequences(spark, hi, 2)
+      .filter(col("doc_id") >= f"doc-$lo%012d" && !col("source").startsWith("json"))
     // run 1: ids 0..20000 -> ~6.9 h of event time -> several 1 h windows
-    SequenceGen.sequences(spark, 20000, 2).write.mode("overwrite").parquet(streamIn)
+    slice(0, 20000).write.mode("overwrite").parquet(streamIn)
     graft.streaming.StreamingPipeline.histogramToSink(
       spark, streamIn, sink, ckpt, SequenceGen.configs).awaitTermination()
-    // run 2: a much later slice arrives; restart from the same checkpoint.
-    // The generator's json layout runs at 13 s/id (vs 1.23 s/id for kv), so
-    // run 1's watermark sits at max(json ts) - 2h ~ 70.2 h — run-2 ids must
-    // put even the SLOW (kv) clock above it or its rows drop as late:
-    // 210000 * 1.2345 s ~ 72.0 h > 70.2 h
-    SequenceGen.sequences(spark, 211000, 2).filter(col("doc_id") >= "doc-000000210000")
-      .write.mode("append").parquet(streamIn)
+    // run 2: a much later slice (ids 50000..51000 -> ~17.1 h, far past the
+    // run-1 watermark of ~4.9 h) arrives; restart from the same checkpoint
+    slice(50000, 51000).write.mode("append").parquet(streamIn)
     val q2 = graft.streaming.StreamingPipeline.histogramToSink(
       spark, streamIn, sink, ckpt, SequenceGen.configs)
     q2.awaitTermination()
@@ -228,6 +230,32 @@ class PipelineSpec extends AnyFunSuite {
     val deltaDirs = new java.io.File(sink).listFiles((_, n) => n.startsWith("delta="))
     assert(deltaDirs != null && deltaDirs.length >= 2,
       s"each micro-batch writes its own delta dir, saw ${Option(deltaDirs).map(_.length)}")
+
+    // --- delta compaction: fold deltas into one base snapshot ---
+    // (allWindows was captured above — the pre-compaction `served` plan
+    // references delta files the compaction reclaims)
+    val res = graft.plans.CompactionJob.compactHistogram(spark, sink)
+    assert(res.rows == allWindows)
+    val afterCompact = graft.streaming.StreamingPipeline.servedHistogram(spark, sink)
+    assert(afterCompact.exceptAll(batch).isEmpty && batch.exceptAll(afterCompact).isEmpty,
+      "compacted store must serve the identical histogram")
+    val left = new java.io.File(sink).listFiles((_, n) => n.startsWith("delta="))
+    assert(left == null || left.isEmpty, "superseded deltas must be reclaimed")
+    assert(new java.io.File(sink).listFiles((_, n) => n.startsWith("base-")).length == 1)
+    // a second compaction with no new deltas is a no-op
+    val res2 = graft.plans.CompactionJob.compactHistogram(spark, sink)
+    assert(res2.rows == 0L)
+
+    // --- streaming continues AFTER compaction: new deltas compose with base ---
+    // run 3: ids 60000..61000 -> ~20.6 h, past run-2's ~15.5 h watermark
+    slice(60000, 61000).write.mode("append").parquet(streamIn)
+    graft.streaming.StreamingPipeline.histogramToSink(
+      spark, streamIn, sink, ckpt, SequenceGen.configs).awaitTermination()
+    val served3 = graft.streaming.StreamingPipeline.servedHistogram(spark, sink)
+    val batch3 = LogPipeline.histogram(
+      LogPipeline.run(spark, spark.read.parquet(streamIn), SequenceGen.configs))
+    assert(served3.exceptAll(batch3).isEmpty && batch3.exceptAll(served3).isEmpty,
+      "post-compaction deltas must compose with the base snapshot")
   }
 
   test("streaming histogram with watermark matches batch histogram") {
