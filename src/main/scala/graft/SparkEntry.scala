@@ -172,6 +172,17 @@ object SparkEntry {
       val job = api.startJob("eventtype IN (purchase, view)")
       api.jobResults(job.id, 100, 50).select(col("doc_id"))
     }),
+    // O2 keyset pagination: the page anchored strictly after the 100th
+    // row's (ts, doc_id) key — must equal OFFSET 100 LIMIT 50 of the same
+    // newest-first order (the oracle recomputes it that way), while the
+    // plan is a filter + limit over the persisted results, O(page)
+    "q_keyset" -> ((s, dir) => {
+      val api = new graft.api.JobsApi(eng(s, dir))
+      val job = api.startJob("eventtype IN (purchase, view)")
+      val anchor = api.jobResults(job.id, 99, 1).select(col("ts"), col("doc_id")).head()
+      val ts = java.sql.Timestamp.valueOf(anchor.getAs[java.time.LocalDateTime](0))
+      api.jobResultsAfter(job.id, ts, anchor.getString(1), 50).select(col("doc_id"))
+    }),
     // O4 sort modes (events/Repository.go:23-29): a surrounding job keeps
     // its own arg order (SortModePreserveArgOrder = offset DESC,
     // SqliteEventRepository.go:400-430) and jobResults pagination slices
@@ -544,6 +555,8 @@ object SparkEntry {
     "q_dedup_ingest" ->
       s"SELECT $DOC AS doc_id FROM events",
     "q_pagination" ->
+      s"SELECT $DOC AS doc_id FROM events WHERE event_type IN ('purchase', 'view') ORDER BY ts DESC, $DOC LIMIT 50 OFFSET 100",
+    "q_keyset" ->
       s"SELECT $DOC AS doc_id FROM events WHERE event_type IN ('purchase', 'view') ORDER BY ts DESC, $DOC LIMIT 50 OFFSET 100",
     "q_pipeline_sinkcounts" ->
       s"SELECT regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, 'events-host' AS host, count(*) AS n FROM events GROUP BY 1",

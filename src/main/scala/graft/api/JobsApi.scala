@@ -285,6 +285,26 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
     job.results.offset(skip).limit(take)
   }
 
+  /** Keyset pagination (O2 — the reference's scan pages are keyset-anchored,
+    * SqliteEventRepository.go:37,353): the page starts strictly AFTER the
+    * last-seen (ts, doc_id) anchor in newest-first order, as a filter +
+    * limit over the persisted results — O(page), where OFFSET pagination
+    * still scans the skipped prefix. The anchor is total (doc_id breaks ts
+    * ties), so pages are gap- and dup-free under any interleaving. Only
+    * timestampDesc jobs have the total key; other sort modes page by
+    * [[jobResults]] skip/take.
+    */
+  def jobResultsAfter(id: Long, lastTs: Timestamp, lastDocId: String,
+      take: Int): DataFrame = {
+    val job = jobOrThrow(id)
+    require(job.sortMode == "timestampDesc",
+      s"keyset pagination needs the (ts, doc_id) sort key; job ${job.id} sorts ${job.sortMode}")
+    job.results
+      .filter(col("ts") < lit(lastTs) ||
+        (col("ts") === lit(lastTs) && col("doc_id") > lit(lastDocId)))
+      .limit(take)
+  }
+
   /** jobFieldStats (Web.go:259-276): A1 occurrences for one field key —
     * a filter over the persisted per-job (key, value, occurrences) store.
     */

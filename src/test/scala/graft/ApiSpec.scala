@@ -124,6 +124,24 @@ class ApiSpec extends AnyFunSuite {
     assert(!api.releaseJob(job.id))
   }
 
+  test("keyset pagination equals offset pagination and reads O(page) from the cache (O2)") {
+    val api = new JobsApi(EventsAdapter.engine(spark, dir))
+    val job = api.startJob("error")
+    // walk two consecutive pages both ways; keyset anchors at the last row
+    // of the previous page
+    val offsetRows = api.jobResults(job.id, 10, 5).collect()
+    val anchor = api.jobResults(job.id, 9, 1).head()
+    val ts = Timestamp.valueOf(anchor.getAs[java.time.LocalDateTime]("ts"))
+    val keysetRows = api.jobResultsAfter(job.id, ts, anchor.getAs[String]("doc_id"), 5).collect()
+    assert(keysetRows.map(_.getAs[String]("doc_id")).toSeq ==
+      offsetRows.map(_.getAs[String]("doc_id")).toSeq)
+    // only the timestampDesc sort mode has the total (ts, doc_id) key
+    val surr = api.startJob("| surrounding count=2 eventId=50")
+    intercept[IllegalArgumentException] {
+      api.jobResultsAfter(surr.id, ts, "x", 5)
+    }
+  }
+
   test("sort mode comes from compiled steps, not query text") {
     val api = new JobsApi(EventsAdapter.engine(spark, dir))
     // the WORD "surrounding" as a search fragment must not flip the mode
