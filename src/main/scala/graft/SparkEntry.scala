@@ -433,6 +433,11 @@ object SparkEntry {
         val q = graft.streaming.StreamingPipeline.histogramToSink(
           s, tmp, sink, ckpt, EventsAdapter.configs)
         q.awaitTermination()
+        // fold the deltas into a base snapshot before serving — the whole
+        // stream -> delta sink -> compact -> serve chain sits under the
+        // batch-parity oracle (compactHistogram's own signature gate also
+        // runs inside)
+        graft.plans.CompactionJob.compactHistogram(s, sink)
         graft.streaming.StreamingPipeline.servedHistogram(s, sink)
           .select(
             date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
