@@ -21,10 +21,12 @@ import graft.compile.QueryEngine
   *     EXACT. Stored sorted by word so parquet row-group min/max stats
   *     prune lookups to a handful of pages (the scale analog of a B-tree
   *     probe; the reference's `order=DESC` trick plays the same game).
-  *   - **lookup**: AND of the fragment words = groupBy(doc_id) counting
-  *     distinct matched words; the (small, selective) candidate set then
-  *     left-semi joins the event table (AQE turns it into a broadcast
-  *     join at runtime when it is small).
+  *   - **lookup**: the rarest queried word's posting list is the candidate
+  *     set (a superset suffices — the recheck is total); selective
+  *     candidates are collected and pushed into the event scan as an IN
+  *     filter BELOW the render projection (the reference's own
+  *     `MATCH -> id list -> WHERE id IN (...)` shape), un-selective ones
+  *     fall back to a distributed left-semi join.
   *   - **re-check**: the full compiled search predicate runs on the
   *     surviving rows — wildcards, NOT-fragments, field predicates and
   *     time bounds are never trusted to the index.
@@ -67,15 +69,31 @@ object FullTextIndex {
       .write.mode("overwrite").parquet(outDir)
   }
 
-  /** doc_ids containing ALL the given words (the MATCH-AND prefilter). */
+  /** Candidate doc_ids for an AND of words — a SUPERSET is sufficient
+    * (searchFrame re-checks the full predicate on survivors), so the
+    * lookup takes the RAREST word's posting list alone: it is the smallest
+    * available superset and needs no shuffle, where the exact multi-way
+    * intersection pays a doc_id-keyed aggregation over EVERY posting list
+    * (a corpus-frequent word like a log-format keyword drags the whole
+    * table through that shuffle). Selectivity comes from a first cheap
+    * per-word count over the pruned scan; a queried word with no postings
+    * at all short-circuits to the empty frame (the AND is unsatisfiable).
+    */
   def candidates(spark: SparkSession, indexDir: String, words: Seq[String]): DataFrame = {
     val distinctWords = words.distinct
-    spark.read.parquet(indexDir)
-      .filter(col("word").isin(distinctWords: _*))
-      .groupBy("doc_id")
-      .agg(count_distinct(col("word")).as("_nw"))
-      .filter(col("_nw") === distinctWords.size)
-      .select("doc_id")
+    val postings = spark.read.parquet(indexDir)
+    val rarest =
+      if (distinctWords.size == 1) distinctWords.head
+      else {
+        val counts = postings.filter(col("word").isin(distinctWords: _*))
+          .groupBy("word").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (counts.size < distinctWords.size)
+          return postings.filter(lit(false)).select("doc_id")
+        counts.minBy(_._2)._1
+      }
+    // (word, doc_id) rows are unique by construction — no distinct needed
+    postings.filter(col("word") === rarest).select("doc_id")
   }
 
   /** Run a search through the index when its positive fragments allow it;
@@ -86,7 +104,8 @@ object FullTextIndex {
   def searchFrame(spark: SparkSession, engine: QueryEngine, indexDir: String,
       query: String,
       start: Option[java.sql.Timestamp] = None,
-      end: Option[java.sql.Timestamp] = None): graft.compile.Frame = {
+      end: Option[java.sql.Timestamp] = None,
+      maxIdFilter: Int = MaxIdFilter): graft.compile.Frame = {
     // Fragments must come from the POST-ELISION pipeline: compile() discards
     // everything before the last generator (Pipeline.go:89-95), so narrowing
     // by an earlier step's fragments ("error | surrounding …") would feed the
@@ -100,7 +119,29 @@ object FullTextIndex {
     }
     if (frags.nonEmpty && frags.forall(indexable)) {
       val cand = candidates(spark, indexDir, frags.toSeq)
-      val narrowed = engine.events.join(cand, Seq("doc_id"), "left_semi")
+      // Selective path — the reference's own shape: FTS MATCH -> candidate
+      // id list -> `WHERE id IN (...)` against Events
+      // (SqliteEventRepository.go:305-352). Collecting the ids and pushing
+      // them as an IN filter lets Catalyst slide the predicate BELOW the
+      // event frame's render/extract projection (it references only
+      // doc_id), so the expensive per-row rendering runs ONLY on
+      // candidates. The semi-join form keeps the join ABOVE that
+      // projection — it renders the whole corpus first, which at sf0.1
+      // already made the indexed path 4x slower than a plain scan and at
+      // table scale would defeat the index entirely. Past the id bound the
+      // list stops being "small" in the reference's sense too; fall back
+      // to the distributed semi-join (correct, render-all).
+      val ids = cand.limit(maxIdFilter + 1).collect().map(_.getString(0))
+      // build the InSet predicate directly: `isin` would materialize one
+      // Literal node per id — a 20k-child expression tree whose analysis
+      // alone costs more than the narrowed query it guards
+      def idFilter = org.apache.spark.sql.graftbridge.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.InSet(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("doc_id")),
+          ids.map(s => org.apache.spark.unsafe.types.UTF8String.fromString(s): Any).toSet))
+      val narrowed =
+        if (ids.length <= maxIdFilter) engine.events.filter(idFilter)
+        else engine.events.join(cand, Seq("doc_id"), "left_semi")
       val sub = new QueryEngine(narrowed, engine.configs)
       sub.run(query, start, end)
     } else {
@@ -108,9 +149,17 @@ object FullTextIndex {
     }
   }
 
+  /** Candidate-id bound for the collected IN-filter path: beyond this, an
+    * un-selective fragment's id list goes back through the distributed
+    * semi-join instead of the driver. 100k strings ~ a few MB on the
+    * driver — the same order as the reference's FTS candidate pages.
+    */
+  val MaxIdFilter = 100000
+
   def search(spark: SparkSession, engine: QueryEngine, indexDir: String,
       query: String,
       start: Option[java.sql.Timestamp] = None,
-      end: Option[java.sql.Timestamp] = None): DataFrame =
-    searchFrame(spark, engine, indexDir, query, start, end).df
+      end: Option[java.sql.Timestamp] = None,
+      maxIdFilter: Int = MaxIdFilter): DataFrame =
+    searchFrame(spark, engine, indexDir, query, start, end, maxIdFilter).df
 }

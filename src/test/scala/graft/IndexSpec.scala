@@ -75,10 +75,31 @@ class IndexSpec extends AnyFunSuite {
       s"word filter must reach the scan (sorted files -> row-group pruning):\n$plan")
   }
 
-  test("indexed search plan contains the semi-join prefilter") {
+  test("selective indexed search pushes the id filter BELOW the render projection") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
     val df = FullTextIndex.search(spark, engine, indexDir, "error")
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi"), s"prefilter must be a left-semi join:\n$plan")
+    // the candidate-id filter must sit under every Project (the render /
+    // extract projection) so the expensive per-row rendering runs only on
+    // candidates — the whole point of the index at table scale
+    def projectFree(p: LogicalPlan): Boolean =
+      p.collect { case pr: Project => pr }.isEmpty
+    val pushed = df.queryExecution.optimizedPlan.collect {
+      case f: Filter if projectFree(f.child) &&
+        f.condition.toString.toUpperCase.contains("IN") => f
+    }
+    assert(pushed.nonEmpty,
+      s"candidate IN-filter must reach below the render:\n${df.queryExecution.optimizedPlan}")
+    assert(!df.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "selective path must not pay the render-all semi-join")
+    // results identical to the scan either way
+    assert(rows(df) == rows(engine.run("error").df))
+  }
+
+  test("past the id bound the index falls back to the distributed semi-join, same results") {
+    val df = FullTextIndex.search(spark, engine, indexDir, "error", maxIdFilter = 0)
+    assert(df.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "un-selective candidates must go through the semi-join, not the driver")
+    assert(rows(df) == rows(engine.run("error").df))
   }
 
   test("index compaction merges per-batch postings with the signature gate; search parity kept") {
