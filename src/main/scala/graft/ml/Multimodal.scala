@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, batch decode / feature-extract via mapPartitions.
   *
-  * The decode is REAL for the two container formats whose headers are plain
-  * binary layouts needing no codec library — WAV (RIFF fmt chunk: sample
-  * rate, channels, bits) and BMP (BITMAPINFOHEADER: pixel dimensions) — and
-  * an honest, clearly marked STUB for compressed codecs (mp4 et al.: no
-  * codec libraries in this container; [[decode]] passes their bytes through
-  * with null metadata and the deterministic fake feature vector). The
+  * The container-metadata decode is REAL for all three formats — their
+  * headers are plain binary layouts needing no codec library: WAV (RIFF
+  * fmt chunk: sample rate, channels, bits), BMP (BITMAPINFOHEADER: pixel
+  * dimensions), and MP4 (ISO-BMFF box walk to moov/mvhd: timescale,
+  * duration). SAMPLE decode (frames, pcm, pixels) remains an honest,
+  * clearly marked STUB — no codec libraries in this container. The
   * synthesized payloads carry genuine headers, so the pipeline exercises
   * synthesize -> parse-bytes -> metadata end-to-end and the DuckDB oracle
   * recomputes the expected metadata from the same generation formulas.
@@ -24,6 +24,7 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
       width: Option[Int], height: Option[Int],
       sample_rate: Option[Int], channels: Option[Int],
+      duration_s: Option[Int],
       entropy: Double, head_hex: String, feature: Array[Float])
 
   // deterministic per-doc media parameters (shared with the SQL oracle)
@@ -31,6 +32,8 @@ object Multimodal {
   private def heightFor(id: Long): Int = (9 + id % 32).toInt
   private def rateFor(id: Long): Int = (8000 + (id % 8) * 1000).toInt
   private def channelsFor(id: Long): Int = (1 + id % 2).toInt
+  private def timescaleFor(id: Long): Int = (1000 * (1 + id % 4)).toInt
+  private def durationSFor(id: Long): Int = (5 + id % 60).toInt
 
   /** 44-byte canonical RIFF/WAVE header (PCM fmt chunk + data chunk). */
   def wavHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
@@ -88,11 +91,69 @@ object Multimodal {
     else Some((b.getInt(18), b.getInt(22)))
   }
 
-  /** Synthesize the media table from `documents`: a REAL header (wav/bmp by
-    * doc_id) prepended to the utf-8 text bytes standing in for sample/pixel
-    * data; mp4 rows stay opaque (the codec-stub lane). Runs as a typed map
-    * on the executors — at scale this stage is wherever the real bytes come
-    * from (object store, archive shards).
+  /** 144-byte minimal ISO-BMFF (mp4) container prefix: `ftyp` (isom) +
+    * `moov`/`mvhd` v0 carrying timescale + duration, then an `mdat` box
+    * header wrapping the payload. All fields big-endian per the spec.
+    */
+  def mp4Header(timescale: Int, durationUnits: Int, dataLen: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(144).order(ByteOrder.BIG_ENDIAN)
+    b.putInt(20).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+      .put("mp41".getBytes("US-ASCII"))
+    b.putInt(116).put("moov".getBytes("US-ASCII"))
+    b.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(timescale).putInt(durationUnits)
+      .putInt(0x00010000) // rate 1.0
+      .putShort(0x0100.toShort).putShort(0) // volume + reserved
+      .putLong(0) // reserved
+      .putInt(0x00010000).putInt(0).putInt(0) // unity matrix rows
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0) // predefined
+      .putInt(2) // next track id
+    b.putInt(8 + dataLen).put("mdat".getBytes("US-ASCII"))
+    b.array()
+  }
+
+  /** Walk the ISO-BMFF box tree: Some((timescale, durationUnits)) iff an
+    * `ftyp`-led file carries a `moov`/`mvhd` v0 box at sane offsets.
+    * Bounds-checked box walk — truncated or corrupt sizes yield None, never
+    * a misread.
+    */
+  def parseMp4(p: Array[Byte]): Option[(Int, Int)] = {
+    val b = ByteBuffer.wrap(p).order(ByteOrder.BIG_ENDIAN)
+    def boxType(off: Int): String =
+      new String(p, off + 4, 4, "US-ASCII")
+    if (p.length < 16 || boxType(0) != "ftyp") return None
+    var off = 0
+    while (off + 8 <= p.length) {
+      val size = b.getInt(off)
+      if (size < 8 || off + size > p.length) return None
+      if (boxType(off) == "moov") {
+        var in = off + 8
+        val end = off + size
+        while (in + 8 <= end) {
+          val s2 = b.getInt(in)
+          if (s2 < 8 || in + s2 > end) return None
+          if (boxType(in) == "mvhd" && s2 >= 32 && b.get(in + 8) == 0)
+            return Some((b.getInt(in + 20), b.getInt(in + 24)))
+          in += s2
+        }
+        return None
+      }
+      off += size
+      if (boxType(off - size) == "mdat") return None // data reached, no moov
+    }
+    None
+  }
+
+  /** Synthesize the media table from `documents`: a REAL container header
+    * (bmp/wav/mp4 by doc_id) prepended to the utf-8 text bytes standing in
+    * for pixel/sample/stream data. Runs as a typed map on the executors —
+    * at scale this stage is wherever the real bytes come from (object
+    * store, archive shards).
     */
   def mediaTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
@@ -103,18 +164,23 @@ object Multimodal {
           bmpHeader(widthFor(id), heightFor(id), data.length) ++ data)
         case 1 => MediaRow(id, "audio/wav",
           wavHeader(rateFor(id), channelsFor(id), 16, data.length) ++ data)
-        case _ => MediaRow(id, "video/mp4", data)
+        case _ => MediaRow(id, "video/mp4",
+          mp4Header(timescaleFor(id), timescaleFor(id) * durationSFor(id),
+            data.length) ++ data)
       }
     }
   }
 
-  /** Decode pass: header parse for wav/bmp (REAL — the bytes are read, not
-    * the generation formula), STUB for compressed codecs (mp4: no codec
-    * libraries in this container — a javacv/ffmpeg frame decoder drops into
-    * this same mapPartitions slot with zero plan change). Every row also
-    * gets the deterministic byte-level features (histogram entropy + an
-    * 8-dim head vector) so downstream feature plumbing is exercised for all
-    * mimes. `repartition` first when input skew would unbalance decode work.
+  /** Decode pass: container-header parse for all three mimes (REAL — the
+    * bytes are read, not the generation formula): RIFF fmt for wav,
+    * BITMAPINFOHEADER for bmp, the ISO-BMFF box walk to moov/mvhd for mp4.
+    * SAMPLE decode (frames, pcm, pixels) remains a stub — no codec
+    * libraries in this container; a javacv/ffmpeg decoder drops into this
+    * same mapPartitions slot with zero plan change. Every row also gets
+    * the deterministic byte-level features (histogram entropy + an 8-dim
+    * head vector) so downstream feature plumbing is exercised for all
+    * mimes. `repartition` first when input skew would unbalance decode
+    * work.
     */
   def decode(spark: SparkSession, media: Dataset[MediaRow],
       partitions: Int = 0): Dataset[MediaFeatures] = {
@@ -135,8 +201,10 @@ object Multimodal {
           if (i < head.length) (head(i) & 0xff) / 255.0f else 0.0f)
         val wav = if (r.mime == "audio/wav") parseWav(r.payload) else None
         val bmp = if (r.mime == "image/bmp") parseBmp(r.payload) else None
+        val mp4 = if (r.mime == "video/mp4") parseMp4(r.payload) else None
         MediaFeatures(r.doc_id, r.mime, r.payload.length,
           bmp.map(_._1), bmp.map(_._2), wav.map(_._1), wav.map(_._2),
+          mp4.map { case (ts, dur) => dur / ts }, // whole seconds by synthesis
           math.rint(entropy * 10000) / 10000, // round for cross-run stability
           head.map(b => f"${b & 0xff}%02x").mkString, feature)
       }
@@ -152,15 +220,17 @@ object Multimodal {
     decode(spark, mediaTable(spark, docs))
       .toDF()
       .select(col("doc_id"), col("mime"), col("n_bytes"),
-        col("width"), col("height"), col("sample_rate"), col("channels"))
+        col("width"), col("height"), col("sample_rate"), col("channels"),
+        col("duration_s"))
 
   def mediaMetaSql(docsRel: String): String =
     s"""SELECT doc_id,
        | CASE WHEN doc_id % 3 = 0 THEN 'image/bmp' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
-       | CAST(octet_length(encode(text)) + CASE WHEN doc_id % 3 = 0 THEN 54 WHEN doc_id % 3 = 1 THEN 44 ELSE 0 END AS INT) AS n_bytes,
+       | CAST(octet_length(encode(text)) + CASE WHEN doc_id % 3 = 0 THEN 54 WHEN doc_id % 3 = 1 THEN 44 ELSE 144 END AS INT) AS n_bytes,
        | CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 64 END AS INT) AS width,
        | CAST(CASE WHEN doc_id % 3 = 0 THEN 9 + doc_id % 32 END AS INT) AS height,
        | CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 1000 END AS INT) AS sample_rate,
-       | CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 END AS INT) AS channels
+       | CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 END AS INT) AS channels,
+       | CAST(CASE WHEN doc_id % 3 = 2 THEN 5 + doc_id % 60 END AS INT) AS duration_s
        | FROM $docsRel""".stripMargin.replace("\n", " ")
 }

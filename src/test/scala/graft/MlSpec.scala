@@ -206,7 +206,7 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal decode: real wav/bmp header parse, deterministic features, balanced partitions") {
+  test("multimodal decode: real wav/bmp/mp4 header parse, deterministic features, balanced partitions") {
     val media = Multimodal.mediaTable(spark, DocsAdapter.docs(spark, dir))
     val feats = Multimodal.decode(spark, media, partitions = 4)
     val rows = feats.collect()
@@ -228,8 +228,10 @@ class MlSpec extends AnyFunSuite {
             f.channels.contains((1 + f.doc_id % 2).toInt), s"wav decode: $f")
           assert(f.width.isEmpty && f.height.isEmpty)
           assert(f.head_hex.startsWith("52494646")) // 'RIFF'
-        case _ => // mp4: honest codec stub — no metadata
+        case _ => // mp4: ISO-BMFF box walk to mvhd
+          assert(f.duration_s.contains((5 + f.doc_id % 60).toInt), s"mp4 decode: $f")
           assert(f.width.isEmpty && f.sample_rate.isEmpty)
+          assert(f.head_hex.startsWith("0000001466747970")) // size 20 + 'ftyp'
       }
     }
     // determinism across runs
@@ -249,6 +251,13 @@ class MlSpec extends AnyFunSuite {
     assert(Multimodal.parseWav(torn).isEmpty && Multimodal.parseBmp(torn).isEmpty)
     val zeroed = wav.clone(); zeroed(0) = 0
     assert(Multimodal.parseWav(zeroed).isEmpty, "corrupt magic must not parse")
+    val mp4 = Multimodal.mp4Header(3000, 3000 * 42, 10) ++ Array.fill(10)(7.toByte)
+    assert(Multimodal.parseMp4(mp4).contains((3000, 3000 * 42)))
+    assert(Multimodal.parseWav(mp4).isEmpty && Multimodal.parseBmp(mp4).isEmpty)
+    assert(Multimodal.parseMp4(wav).isEmpty && Multimodal.parseMp4(bmp).isEmpty)
+    assert(Multimodal.parseMp4(mp4.take(30)).isEmpty, "torn box tree must not parse")
+    val badSize = mp4.clone(); badSize(20) = 0x7f // corrupt the moov size field
+    assert(Multimodal.parseMp4(badSize).isEmpty, "out-of-bounds box size must not parse")
   }
 
   test("ngram PPJoin length filter prunes lopsided candidates losslessly") {
