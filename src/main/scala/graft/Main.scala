@@ -71,8 +71,16 @@ object Main {
         throw new IllegalArgumentException("--stream requires --out"))
       val ckpt = opts.getOrElse("checkpoint",
         throw new IllegalArgumentException("--stream requires --checkpoint"))
-      val q = graft.streaming.StreamingPipeline.ingest(
-        spark, input, out, ckpt, configs)
+      // hot reload: the config FILE is re-read at every micro-batch
+      // boundary, so editing it while the stream runs takes effect on the
+      // next batch (reference FileWatcher behavior); without --config the
+      // built-in defaults are plan-time constants
+      val provider: () => Seq[graft.model.SourceConfig] = opts.get("config") match {
+        case Some(path) => () => ConfigJson.parseFile(path).configs
+        case None => () => configs
+      }
+      val q = graft.streaming.StreamingPipeline.ingestReloading(
+        spark, input, out, ckpt, provider)
       q.awaitTermination()
       println(s"streamed into $out")
       return

@@ -32,6 +32,25 @@ object StreamingPipeline {
       checkpointDir: String, configs: Seq[SourceConfig],
       saltBuckets: Int = 32,
       trigger: Trigger = Trigger.AvailableNow(),
+      indexDir: Option[String] = None): StreamingQuery =
+    ingestReloading(spark, inputDir, outDir, checkpointDir, () => configs,
+      saltBuckets, trigger, indexDir)
+
+  /** [[ingest]] with HOT-RELOADED configs: `configsProvider` is evaluated
+    * once per micro-batch, so an edited config file (new sources, changed
+    * extractors or time layouts) takes effect at the next batch boundary
+    * without restarting the query — the Spark-idiomatic analog of the
+    * reference's config watcher (GlobWatcherCoordinator /
+    * plugins/filereader/FileWatcher.go re-resolving while tailing). A batch
+    * boundary is also the only sound switch point under exactly-once:
+    * every row of batch N is parsed under one config snapshot, and a
+    * crash-replay of batch N re-reads the file — re-parsing under the
+    * NEWEST config, exactly like the reference re-reading after a restart.
+    */
+  def ingestReloading(spark: SparkSession, inputDir: String, outDir: String,
+      checkpointDir: String, configsProvider: () => Seq[SourceConfig],
+      saltBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow(),
       indexDir: Option[String] = None): StreamingQuery = {
     val stream = spark.readStream
       .schema(Schemas.sequences)
@@ -40,7 +59,7 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val enriched = LogPipeline.run(batch.sparkSession, batch, configs)
+        val enriched = LogPipeline.run(batch.sparkSession, batch, configsProvider())
         LogPipeline.routeWrite(enriched, s"$outDir/batch=$batchId", saltBuckets)
         // maintain the inverted full-text index at ingest time, like the
         // reference inserts into FTS4 EventRaws alongside Events (S5);

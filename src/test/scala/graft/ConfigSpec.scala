@@ -88,6 +88,38 @@ class ConfigSpec extends AnyFunSuite {
       s"custom delimiter must split the file into 3 events, got $raws")
   }
 
+  test("streaming config hot-reload: an edited config file takes effect at the next micro-batch") {
+    import org.apache.spark.sql.functions.col
+    val streamIn = Files.createTempDirectory("graft-hotcfg-in").toString
+    val out = Files.createTempDirectory("graft-hotcfg-out").toString
+    val ckpt = Files.createTempDirectory("graft-hotcfg-ckpt").toString
+    val cfgPath = Files.createTempDirectory("graft-hotcfg-cfg").resolve("logsuck.json")
+    def writeCfg(host: String): Unit = java.nio.file.Files.write(cfgPath,
+      s"""{ "host": {"name": "$host"}, "files": [ { "fileName": "log-*.txt" } ] }""".getBytes("UTF-8"))
+    def kvOnly(n: Long, lo: Long) = graft.data.SequenceGen.sequences(spark, n, 2)
+      .filter(col("source").startsWith("log-") && col("doc_id") >= f"doc-$lo%012d")
+
+    writeCfg("hostA")
+    kvOnly(500, 0).write.mode("overwrite").parquet(streamIn)
+    val mainOpts = Map("config" -> cfgPath.toString, "stream" -> "true",
+      "out" -> out, "checkpoint" -> ckpt)
+    Main.run(spark, mainOpts, streamIn)
+    // operator edits the config while the stream is down/between batches;
+    // the NEXT batch must resolve under the new file (reference FileWatcher
+    // behavior), with no query-restart plumbing beyond the checkpoint
+    writeCfg("hostB")
+    kvOnly(800, 500).write.mode("append").parquet(streamIn)
+    Main.run(spark, mainOpts, streamIn)
+
+    val routed = spark.read.option("basePath", out).parquet(out)
+    val byBatch = routed.groupBy("batch", "host").count().collect()
+      .map(r => (r.getAs[Any]("batch").toString.toLong, r.getString(1)) -> r.getLong(2)).toMap
+    assert(byBatch.keys.map(_._2).toSet == Set("hostA", "hostB"),
+      s"each batch must carry its config snapshot's host: $byBatch")
+    assert(byBatch.collect { case ((0, h), _) => h }.toSet == Set("hostA"))
+    assert(byBatch.filter(_._1._1 > 0).keys.map(_._2).toSet == Set("hostB"))
+  }
+
   test("CLI batch route + query over a reference-format config") {
     // stage raw log files matching a config, run the Main body end-to-end
     val dir = Files.createTempDirectory("graft-cli-in").toString
