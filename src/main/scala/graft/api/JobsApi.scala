@@ -61,9 +61,12 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
     /** JobFieldValues analog: the (key, value, occurrences) aggregate,
       * computed over the persisted results and itself persisted on first
       * use — jobFieldStats for different fields then only filters it.
+      * An imported job serves the aggregate written at export time instead
+      * of recomputing it.
       */
+    private[JobsApi] var fieldStatsOverride: Option[DataFrame] = None
     private[JobsApi] lazy val fieldStatsCached: DataFrame =
-      engine.fieldStats(resultsFrame)
+      fieldStatsOverride.getOrElse(engine.fieldStats(resultsFrame))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // memoized jobStats — the second stats call launches zero Spark jobs
@@ -313,6 +316,59 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
     job.fieldStatsCached
       .filter(col("key") === field)
       .select(col("value"), col("occurrences"))
+  }
+
+  /** Persist a job's stores to `dir` — the cross-process analog of the
+    * reference's job tables (plugins/sqlite_jobs/SqliteJobRepository.go
+    * JobResults/JobFieldValues survive the process): the ordered results
+    * (order pinned by an explicit `_pos` column), the field-stats
+    * aggregate, and a one-row metadata table. Forces the stats pass first,
+    * so an exported job is always a Finished snapshot.
+    */
+  def exportJob(id: Long, dir: String): Unit = {
+    val job = jobOrThrow(id)
+    val stats = jobStats(id)
+    require(stats.state == JobsApi.Finished, s"cannot export a ${stats.state} job")
+    withJobGroup(job) {
+      // monotonically_increasing_id over the PINNED cache is a stable
+      // order key (partition-indexed, and the cached partitions are fixed)
+      job.results.withColumn("_pos", monotonically_increasing_id())
+        .write.mode("overwrite").parquet(s"$dir/results")
+      job.fieldStatsCached.write.mode("overwrite").parquet(s"$dir/fieldstats")
+      val spark = job.results.sparkSession
+      import spark.implicits._
+      Seq((job.query, job.sortMode, job.columnOrder, stats.numMatchedEvents))
+        .toDF("query", "sort_mode", "column_order", "n_matched")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  /** Open an [[exportJob]] snapshot as a job in THIS process: pages, stats,
+    * and field-stats serve from the written stores — stats launch zero new
+    * Spark jobs (memoized from the metadata), results keep the exported
+    * order, and a timestampDesc job keeps keyset pagination. The compiled
+    * frame is gone by design: an imported job is a results snapshot, like
+    * the reference loading job rows after a restart.
+    */
+  def importJob(spark: org.apache.spark.sql.SparkSession, dir: String): Job = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val query = meta.getAs[String]("query")
+    val sortMode = meta.getAs[String]("sort_mode")
+    val cols0 = meta.getSeq[String](meta.fieldIndex("column_order"))
+    val results = spark.read.parquet(s"$dir/results")
+      .orderBy(col("_pos")).drop("_pos")
+    val frame: Frame =
+      if (sortMode == "none") TableFrame(results, cols0)
+      else EventsFrame(results)
+    val job = new Job(nextId.getAndIncrement(), query, frame, sortMode, cols0)
+    job.fieldStatsOverride = Some(spark.read.parquet(s"$dir/fieldstats"))
+    val occ = job.fieldStatsCached.groupBy(col("key"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    job.stateRef = JobsApi.Finished
+    job.statsCache = JobStats(JobsApi.Finished, meta.getAs[Long]("n_matched"), occ)
+    jobs.put(job.id, job)
+    job
   }
 }
 

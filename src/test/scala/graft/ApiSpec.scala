@@ -142,6 +142,46 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("job export/import round-trips the results store across 'processes' (SqliteJobRepository analog)") {
+    val api = new JobsApi(EventsAdapter.engine(spark, dir))
+    val job = api.startJob("error")
+    val origPage = api.jobResults(job.id, 5, 10).collect().map(_.getAs[String]("doc_id")).toSeq
+    val origStats = api.jobStats(job.id)
+    val origFs = api.jobFieldStats(job.id, "userid").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val store = Files.createTempDirectory("graft-jobstore").toString
+    api.exportJob(job.id, store)
+    // fresh-process simulation: a NEW JobsApi instance opens the snapshot
+    val api2 = new JobsApi(EventsAdapter.engine(spark, dir))
+    val imported = api2.importJob(spark, store)
+    assert(imported.query == "error" && imported.state == "finished")
+    assert(api2.jobResults(imported.id, 5, 10).collect()
+      .map(_.getAs[String]("doc_id")).toSeq == origPage, "pages must keep the exported order")
+    val s2 = api2.jobStats(imported.id)
+    assert(s2.numMatchedEvents == origStats.numMatchedEvents &&
+      s2.fieldOccurrences == origStats.fieldOccurrences)
+    assert(api2.jobFieldStats(imported.id, "userid").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == origFs)
+    // stats after import are memoized — no cluster work
+    val jobsStarted = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobsStarted.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      api2.jobStats(imported.id)
+      Thread.sleep(1000)
+      assert(jobsStarted.get() == 0, s"imported stats must be memoized, saw ${jobsStarted.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // keyset pagination still works on the imported timestampDesc job
+    val anchor = api2.jobResults(imported.id, 9, 1).head()
+    val ts = Timestamp.valueOf(anchor.getAs[java.time.LocalDateTime]("ts"))
+    assert(api2.jobResultsAfter(imported.id, ts, anchor.getAs[String]("doc_id"), 5)
+      .collect().map(_.getAs[String]("doc_id")).toSeq ==
+      api2.jobResults(imported.id, 10, 5).collect().map(_.getAs[String]("doc_id")).toSeq)
+  }
+
   test("sort mode comes from compiled steps, not query text") {
     val api = new JobsApi(EventsAdapter.engine(spark, dir))
     // the WORD "surrounding" as a search fragment must not flip the mode
