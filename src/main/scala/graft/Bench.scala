@@ -200,7 +200,10 @@ object Bench {
     // let a busy host masquerade as a −29% throughput regression in r3.
     val benchIn = s"$benchRoot/pipe-in"
     val benchOut = s"$benchRoot/pipe-out"
-    val pipeReps = sys.env.getOrElse("SPARK_GRAFT_PIPE_REPS", "3").toInt
+    // toIntOption: a malformed env var must degrade, not crash the bench
+    // before its one-line JSON (the driver's only signal) is emitted
+    val pipeReps = sys.env.get("SPARK_GRAFT_PIPE_REPS").flatMap(_.toIntOption)
+      .filter(_ > 0).getOrElse(3)
     val metrics = new PipelineMetrics
     var stagesJson = "[]"
     val pipelineJson = try {
@@ -208,7 +211,7 @@ object Bench {
         .write.mode("overwrite").parquet(benchIn)
       pipelineRun(spark, benchIn, benchOut + "/warm") // warmup
       spark.sparkContext.addSparkListener(metrics)
-      val repSecs = (1 to pipeReps).map { r =>
+      val reps = (1 to pipeReps).map { r =>
         // flush any dirty disk pages outside the timed window (bench I/O is
         // on tmpfs, but sbt/log writes can still be in flight)
         new ProcessBuilder("sync").inheritIO().start().waitFor()
@@ -216,14 +219,20 @@ object Bench {
         try {
           val t = pipelineRun(spark, benchIn, out)
           System.err.println(f"[bench] pipeline rep=$r ${t}%.2f s")
-          t
+          // snapshot THIS rep's stage metrics (after a bus-settle beat) so
+          // the shipped detail describes exactly the rep whose wall is
+          // reported, not 3 reps' stages summed against one rep's seconds
+          Thread.sleep(300)
+          val repStages = metrics.toJson
+          metrics.reset()
+          (t, repStages)
         } finally deleteRecursively(new File(out)) // bound tmpfs usage
       }
       spark.sparkContext.removeSparkListener(metrics)
-      stagesJson = metrics.toJson
-      val pipeSecs = repSecs.min
+      val (pipeSecs, bestStages) = reps.minBy(_._1)
+      stagesJson = bestStages
       val pipeThr = pipelineRows / pipeSecs
-      val repsJson = repSecs.map(t => f"$t%.2f").mkString("[", ",", "]")
+      val repsJson = reps.map(t => f"${t._1}%.2f").mkString("[", ",", "]")
       f""""pipeline":{"rows":$pipelineRows,"secs":$pipeSecs%.2f,"reps":$repsJson,"seqs_per_sec":$pipeThr%.0f},"""
     } catch { case e: Throwable =>
       s""""pipeline":{"error":"${e.getClass.getSimpleName}"},"""

@@ -74,9 +74,19 @@ object Main {
       // hot reload: the config FILE is re-read at every micro-batch
       // boundary, so editing it while the stream runs takes effect on the
       // next batch (reference FileWatcher behavior); without --config the
-      // built-in defaults are plan-time constants
+      // built-in defaults are plan-time constants. A torn/mid-edit file
+      // must not kill the stream: parse failures keep the LAST GOOD
+      // snapshot and the batch proceeds under it.
       val provider: () => Seq[graft.model.SourceConfig] = opts.get("config") match {
-        case Some(path) => () => ConfigJson.parseFile(path).configs
+        case Some(path) =>
+          @volatile var lastGood = configs // initial parse already succeeded
+          () => {
+            try lastGood = ConfigJson.parseFile(path).configs
+            catch { case e: Exception =>
+              System.err.println(s"[graft] config reload failed (${e.getMessage}); keeping last good")
+            }
+            lastGood
+          }
         case None => () => configs
       }
       val q = graft.streaming.StreamingPipeline.ingestReloading(

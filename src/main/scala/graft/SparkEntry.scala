@@ -55,7 +55,9 @@ object SparkEntry {
     */
   private[graft] def ivfCentroidsFor(s: SparkSession, dir: String,
       nCells: Int = 16): Array[Array[Float]] =
-    ivfCache.computeIfAbsent(dir, _ => {
+    // key carries nCells like the artifact name — a dir-only key would
+    // silently serve a wrong-cell-count quantizer to a different caller
+    ivfCache.computeIfAbsent(s"$dir#c$nCells", _ => {
       val path = ivfArtifactPath(dir, nCells)
       if (new java.io.File(path).isFile) {
         graft.ml.Similarity.loadCentroids(s, path)

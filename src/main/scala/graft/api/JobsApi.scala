@@ -46,8 +46,7 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
         case f: EventsFrame if sortMode == "preserveArgOrder" => f.df
         case f: EventsFrame => QueryEngine.newestFirst(f)
       }
-      materialized = true
-      ordered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      track(ordered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
     /** The cached results re-wrapped as a Frame (same shape as `frame`) so
@@ -66,20 +65,25 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
       */
     private[JobsApi] var fieldStatsOverride: Option[DataFrame] = None
     private[JobsApi] lazy val fieldStatsCached: DataFrame =
-      fieldStatsOverride.getOrElse(engine.fieldStats(resultsFrame))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      track(fieldStatsOverride.getOrElse(engine.fieldStats(resultsFrame))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // memoized jobStats — the second stats call launches zero Spark jobs
     @volatile private[JobsApi] var statsCache: JobStats = null
 
-    /** Drop every cached artifact of this job (no-op if never materialized:
-      * touching the lazy vals here would otherwise BUILD the plans only to
-      * unpersist them).
-      */
-    private[JobsApi] var materialized = false
-    private[JobsApi] def unpersistAll(): Unit = if (materialized) {
-      results.unpersist(blocking = false)
-      fieldStatsCached.unpersist(blocking = false): Unit
+    // every frame this job actually persisted, in materialization order —
+    // unpersistAll drops exactly these (touching the lazy vals there would
+    // BUILD unmaterialized plans just to unpersist them, and a flag on one
+    // lazy val alone would miss a cache the other one created, e.g. an
+    // imported job that only ever materialized fieldStatsCached)
+    private val persistedFrames =
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    private def track(df: DataFrame): DataFrame = { persistedFrames.add(df); df }
+
+    /** Drop every cached artifact of this job. */
+    private[JobsApi] def unpersistAll(): Unit = {
+      var df = persistedFrames.poll()
+      while (df != null) { df.unpersist(blocking = false); df = persistedFrames.poll() }
     }
   }
 
@@ -170,10 +174,17 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
     // fragment searches route through the inverted index when one is
     // attached — the reference serves every search via its FTS MATCH
     // prefilter (SqliteEventRepository.go:327-352); non-indexable shapes
-    // fall back to the scan transparently inside searchFrame
+    // fall back to the scan transparently inside searchFrame. The index
+    // probe runs EAGER Spark jobs (posting counts + candidate-id collect),
+    // so it is tagged with the job's group up front — cancelJobGroup on
+    // this id interrupts the probe exactly like any later action.
+    val id = nextId.getAndIncrement()
     val frame = indexDir match {
-      case Some(d) => graft.plans.FullTextIndex.searchFrame(
-        engine.events.sparkSession, engine, d, query.trim, s, e)
+      case Some(d) =>
+        sc.setJobGroup(groupId(id), s"graft query: ${query.trim}", interruptOnCancel = true)
+        try graft.plans.FullTextIndex.searchFrame(
+          engine.events.sparkSession, engine, d, query.trim, s, e)
+        finally sc.clearJobGroup()
       case None => engine.runSteps(steps)
     }
     val (sortMode, cols) = frame match {
@@ -183,7 +194,7 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
           else "timestampDesc"
         (mode, Seq.empty)
     }
-    val job = new Job(nextId.getAndIncrement(), query, frame, sortMode, cols)
+    val job = new Job(id, query, frame, sortMode, cols)
     jobs.put(job.id, job)
     job
   }

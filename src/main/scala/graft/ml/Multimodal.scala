@@ -137,8 +137,12 @@ object Multimodal {
         while (in + 8 <= end) {
           val s2 = b.getInt(in)
           if (s2 < 8 || in + s2 > end) return None
-          if (boxType(in) == "mvhd" && s2 >= 32 && b.get(in + 8) == 0)
-            return Some((b.getInt(in + 20), b.getInt(in + 24)))
+          if (boxType(in) == "mvhd" && s2 >= 32 && b.get(in + 8) == 0) {
+            val (ts, dur) = (b.getInt(in + 20), b.getInt(in + 24))
+            // a zero/negative timescale is corrupt, not decodable — and
+            // would divide-by-zero downstream
+            return if (ts > 0 && dur >= 0) Some((ts, dur)) else None
+          }
           in += s2
         }
         return None

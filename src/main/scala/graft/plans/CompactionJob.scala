@@ -134,19 +134,23 @@ object CompactionJob {
     if (deltas.isEmpty) // nothing newer than the base: no-op
       return Result(1, 0L, filesBefore, filesBefore)
     val newId = deltas.map(_._1).max
+    // ONE listing snapshot feeds the signature AND the rewrite: a delta the
+    // streaming writer appends while we run is simply not in this fold (the
+    // next compaction takes it) — re-listing per phase would see different
+    // file sets and fail the gate under steady ingest
+    val served = StreamingPipeline.servedFrom(spark, outDir, oldBase, deltas)
 
     def sig(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
         bit_xor(xxhash64(col("bucket_start"), col("sink"), col("n")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    val before = sig(StreamingPipeline.servedHistogram(spark, outDir))
+    val before = sig(served)
 
     val staging = new Path(outPath, s".histbase-staging-${System.nanoTime()}")
     var committed = false
     try {
-      StreamingPipeline.servedHistogram(spark, outDir)
-        .write.mode("overwrite").parquet(staging.toString)
+      served.write.mode("overwrite").parquet(staging.toString)
       val after = sig(spark.read.parquet(staging.toString))
       require(before == after,
         s"histogram compaction changed the served rows: before=$before after=$after")

@@ -133,8 +133,13 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          batch.write.mode("overwrite").parquet(s"$outDir/delta=$batchId")
+        // pin the update-mode output: the emptiness probe and the write
+        // would otherwise each re-run the stateful aggregation
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            batch.write.mode("overwrite").parquet(s"$outDir/delta=$batchId")
+        } finally batch.unpersist(): Unit
       }
       .start()
 
@@ -149,23 +154,35 @@ object StreamingPipeline {
     val p = new org.apache.hadoop.fs.Path(outDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return (None, Seq.empty)
-    val children = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-    val base = children.flatMap { c =>
-      c.getName match {
-        case s if s.startsWith("base-") =>
-          s.stripPrefix("base-").toLongOption.map(_ -> c.toString)
-        case _ => None
-      }
-    }.sortBy(_._1).lastOption
+    val children = fs.listStatus(p).filter(_.isDirectory)
+    def numbered(prefix: String) = children.flatMap { c =>
+      val n = c.getPath.getName
+      if (n.startsWith(prefix))
+        n.stripPrefix(prefix).toLongOption.map(id => (id, c))
+      else None
+    }
+    val base = numbered("base-").sortBy(_._1).lastOption
     val floor = base.map(_._1).getOrElse(-1L)
-    val deltas = children.flatMap { c =>
-      c.getName match {
-        case s if s.startsWith("delta=") =>
-          s.stripPrefix("delta=").toLongOption.map(_ -> c.toString)
-        case _ => None
-      }
-    }.filter(_._1 > floor).sortBy(_._1).toSeq
-    (base, deltas)
+    val (deltas, superseded) = numbered("delta=").partition(_._1 > floor)
+    // a superseded delta (id <= base) is normally crash debris from before
+    // the base committed — but one WRITTEN AFTER the base and with an id
+    // STRICTLY below it means the streaming checkpoint was reset while the
+    // sink was kept: batch ids restarted from 0, and silently ignoring
+    // them would serve a frozen pre-reset snapshot. Refuse loudly. (id ==
+    // base exactly is the one legitimate late writer: a crash-replay of
+    // the last folded batch re-emits identical rows the base already
+    // carries.)
+    base.foreach { case (_, bst) =>
+      val reset = superseded.filter { case (id, st) =>
+        id < floor && st.getModificationTime > bst.getModificationTime }
+      require(reset.isEmpty,
+        s"histogram store $outDir has deltas newer than base-$floor with ids < $floor " +
+          s"(${reset.map(_._2.getPath.getName).mkString(", ")}) — the streaming " +
+          "checkpoint was reset against a kept sink; start a fresh sink dir " +
+          "or remove the stale base")
+    }
+    (base.map { case (id, st) => (id, st.getPath.toString) },
+      deltas.sortBy(_._1).map { case (id, st) => (id, st.getPath.toString) }.toSeq)
   }
 
   /** Merge-on-read over [[histogramToSink]]'s store: the newest base
@@ -176,8 +193,18 @@ object StreamingPipeline {
     * aggregate rows (windows x sinks), never events.
     */
   def servedHistogram(spark: SparkSession, outDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (base, deltas) = storeParts(spark, outDir)
+    servedFrom(spark, outDir, base, deltas)
+  }
+
+  /** [[servedHistogram]] over an EXPLICIT parts listing — callers that must
+    * see one consistent snapshot (compaction: signature + rewrite from the
+    * same file set, with the streaming writer appending concurrently) list
+    * once and build both frames from it.
+    */
+  private[graft] def servedFrom(spark: SparkSession, outDir: String,
+      base: Option[(Long, String)], deltas: Seq[(Long, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val frames =
       base.map { case (id, path) =>
         spark.read.parquet(path).withColumn("delta", lit(id)) }.toSeq ++
