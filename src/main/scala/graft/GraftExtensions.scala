@@ -73,7 +73,27 @@ object GraftExtensions {
       (es: Seq[Expression]) => LshSig(es.head, 16)),
     ("graft_md5_64",
       new ExpressionInfo(classOf[Md5Hash64].getName, "graft_md5_64"),
-      (es: Seq[Expression]) => Md5Hash64(es.head))
+      (es: Seq[Expression]) => Md5Hash64(es.head)),
+    // the shared text normalization (lower -> strip punct -> collapse ws)
+    // every dedup/analysis operator funnels through — one compiled pass
+    ("graft_normalize",
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize"),
+      (es: Seq[Expression]) => NormalizeText(es.head)),
+    // distinct k-word shingles of the normalized text:
+    // graft_shingles(text[, k]) (k defaults to the engine's SHINGLE_K)
+    ("graft_shingles",
+      new ExpressionInfo(classOf[ShingleJoin].getName, "graft_shingles"),
+      (es: Seq[Expression]) => {
+        val k = if (es.size > 1) es(1) match {
+          case Literal(i: Int, _) => i
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles k must be an int literal, got $other")
+        } else graft.ml.TextDedup.SHINGLE_K
+        ShingleJoin(
+          org.apache.spark.sql.catalyst.expressions.StringSplit(
+            NormalizeText(es.head), Literal(UTF8String.fromString(" "), StringType),
+            Literal(-1)), k)
+      })
   )
 
   /** Register into an existing session's function registry. */

@@ -35,7 +35,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(GraftExtensions.functions.map(_._1).toSet ==
       Set("tokens_to_text", "text_to_tokens", "graft_rex", "graft_fields",
         "graft_json_fields", "graft_map_union", "graft_cosine",
-        "graft_minhash", "graft_simhash", "graft_lsh_sig", "graft_md5_64"))
+        "graft_minhash", "graft_simhash", "graft_lsh_sig", "graft_md5_64",
+        "graft_normalize", "graft_shingles"))
     // builder sanity through the extensions path
     val ext = new GraftExtensions()
     assert(ext != null)
@@ -51,5 +52,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sh.getLong(0) == 3L) // bits 0 and 1 carried by majority {3,3}
     val h = spark.sql("SELECT graft_md5_64('a')").head()
     assert(h.getLong(0) > 0L)
+  }
+
+  test("text normalization + shingles answer from SQL, matching the engine forms") {
+    GraftExtensions.register(spark)
+    val n = spark.sql("SELECT graft_normalize('  Hello,   WORLD!! ')").head()
+    assert(n.getString(0) == "hello world")
+    val sh = spark.sql("SELECT graft_shingles('a b c d')").head()
+    assert(sh.getSeq[String](0) == Seq("a b c", "b c d")) // k = SHINGLE_K = 3
+    val sh2 = spark.sql("SELECT graft_shingles('a b c d', 2)").head()
+    assert(sh2.getSeq[String](0) == Seq("a b", "b c", "c d"))
+    // parity with the DataFrame-side shinglesCol
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("The quick brown fox. The quick!").toDF("text")
+    val a = df.select(graft.ml.TextDedup.shinglesCol(col("text"))).head().getSeq[String](0)
+    val b = df.selectExpr("graft_shingles(text)").head().getSeq[String](0)
+    assert(a == b)
   }
 }
