@@ -17,6 +17,7 @@ import graft.sources.TextIngest
   *     [--out <dir>]                          \  routed fan-out output
   *     [--stream --checkpoint <dir>]          \  streaming ingest (file source)
   *     [--query "<search string>"]            \  run a search, print results
+  *     [--serve <port>]                       \  REST API over the corpus
   *
   * Batch: parse -> enrich -> route write -> per-sink summary on stdout.
   * With --query (and no --out): query the input directly. With both: route
@@ -119,6 +120,17 @@ object Main {
       val n = engine.matchedCount(frame)
       println(s"query: $q -> $n events")
       QueryEngine.newestFirst(frame).show(10, truncate = 120)
+    }
+
+    // --serve <port>: the reference's `api/v1` REST surface over this
+    // corpus (internal/web/Web.go); blocks until the process is stopped
+    opts.get("serve").foreach { p =>
+      val api = new graft.api.JobsApi(new QueryEngine(queried, configs))
+      val http = new graft.api.HttpApi(api,
+        opts.get("config").map(java.nio.file.Paths.get(_)))
+      val port = http.start(p.toInt)
+      println(s"serving http://127.0.0.1:$port/api/v1")
+      Thread.currentThread().join()
     }
   }
 }

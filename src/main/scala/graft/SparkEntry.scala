@@ -185,6 +185,39 @@ object SparkEntry {
       val ts = java.sql.Timestamp.valueOf(anchor.getAs[java.time.LocalDateTime](0))
       api.jobResultsAfter(job.id, ts, anchor.getString(1), 50).select(col("doc_id"))
     }),
+    // the REST surface (Web.go api/v1) end-to-end: the query runs behind
+    // real HTTP — a loopback server over the engine, POST startJob, GET
+    // jobResults pages until exhausted — and the result is rebuilt from
+    // the wire JSON (EventWithExtractedFields keys). Must equal the
+    // direct q_search_fragment scan row-for-row: the oracle is identical.
+    "q_http" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val http = new graft.api.HttpApi(new graft.api.JobsApi(eng(s, dir)))
+      val port = http.start()
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        def call(req: java.net.http.HttpRequest.Builder): String =
+          client.send(req.build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+        def uri(pathQ: String) =
+          java.net.URI.create(s"http://127.0.0.1:$port/api/v1$pathQ")
+        val id = call(java.net.http.HttpRequest.newBuilder(
+            uri("/startJob?searchString=error"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.noBody())).trim.toLong
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val take = 500
+        val rows = Iterator.from(0, take)
+          .map(skip => mapper.readTree(call(java.net.http.HttpRequest.newBuilder(
+            uri(s"/jobResults?jobId=$id&skip=$skip&take=$take")).GET()))
+            .get("events"))
+          .takeWhile(_.size() > 0)
+          .flatMap(_.elements().asScala)
+          .map(e => (e.get("Id").asText(), e.get("Raw").asText()))
+          .toSeq
+        import s.implicits._
+        rows.toDF("doc_id", "raw")
+      } finally http.stop()
+    }),
     // O4 sort modes (events/Repository.go:23-29): a surrounding job keeps
     // its own arg order (SortModePreserveArgOrder = offset DESC,
     // SqliteEventRepository.go:400-430) and jobResults pagination slices
@@ -565,6 +598,8 @@ object SparkEntry {
       s"SELECT $DOC AS doc_id FROM events WHERE event_type IN ('purchase', 'view') ORDER BY ts DESC, $DOC LIMIT 50 OFFSET 100",
     "q_keyset" ->
       s"SELECT $DOC AS doc_id FROM events WHERE event_type IN ('purchase', 'view') ORDER BY ts DESC, $DOC LIMIT 50 OFFSET 100",
+    "q_http" ->
+      s"SELECT $DOC AS doc_id, $RAW AS raw FROM events WHERE event_type = 'error'",
     "q_pipeline_sinkcounts" ->
       s"SELECT regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, 'events-host' AS host, count(*) AS n FROM events GROUP BY 1",
     "q_compaction" ->

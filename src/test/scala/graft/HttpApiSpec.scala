@@ -1,0 +1,156 @@
+package graft
+
+import java.net.{URI, URLEncoder}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.{HttpApi, JobsApi}
+import graft.sources.EventsAdapter
+
+/** The REST surface (reference internal/web/Web.go api/v1 group +
+  * ConfigWeb.go) exercised over real HTTP with the JDK client — wire
+  * shapes, error codes, pagination, and the config read/replace path.
+  */
+class HttpApiSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  private def withServer[A](configPath: Option[java.nio.file.Path] = None,
+      forceStatic: Boolean = false)(body: (Int, JobsApi) => A): A = {
+    val api = new JobsApi(EventsAdapter.engine(spark, dir))
+    val http = new HttpApi(api, configPath, forceStatic)
+    val port = http.start()
+    try body(port, api) finally http.stop()
+  }
+
+  private def get(port: Int, pathQ: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$pathQ")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(port: Int, pathQ: String, body: String = ""): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$pathQ"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def enc(s: String) = URLEncoder.encode(s, UTF_8)
+
+  test("startJob/jobStats/jobResults/jobFieldStats over HTTP (Web.go api/v1)") {
+    withServer() { (port, _) =>
+      val start = post(port, s"/api/v1/startJob?searchString=${enc("error")}")
+      assert(start.statusCode() == 200)
+      val id = start.body().trim.toLong
+
+      val stats = mapper.readTree(get(port, s"/api/v1/jobStats?jobId=$id").body())
+      assert(stats.get("State").asInt() == 2) // finished (blocking stats call)
+      assert(stats.get("NumMatchedEvents").asLong() == 201)
+      assert(stats.get("FieldCount").get("eventtype").asLong() == 1)
+
+      val page1 = mapper.readTree(
+        get(port, s"/api/v1/jobResults?jobId=$id&skip=0&take=10").body())
+      assert(page1.get("resultType").asInt() == 1) // PipeTypeEvents
+      val events = page1.get("events")
+      assert(events.size() == 10)
+      val e0 = events.get(0)
+      // the reference's EventWithExtractedFields keys (Event.go:46-54)
+      for (k <- Seq("Id", "Raw", "Timestamp", "Host", "Source", "SourceId", "Fields"))
+        assert(e0.has(k), s"missing wire key $k")
+      assert(e0.get("Fields").get("eventtype").asText() == "error")
+      assert(e0.get("Source").asText() == "events-error.log")
+
+      // newest-first order and page disjointness survive the wire
+      val ts1 = events.elements().asScala.map(_.get("Timestamp").asText()).toSeq
+      assert(ts1.zip(ts1.tail).forall { case (a, b) => a >= b })
+      val page2 = mapper.readTree(
+        get(port, s"/api/v1/jobResults?jobId=$id&skip=10&take=10").body())
+      val ids1 = events.elements().asScala.map(_.get("Id").asText()).toSet
+      val ids2 = page2.get("events").elements().asScala.map(_.get("Id").asText()).toSet
+      assert(ids2.size == 10 && ids1.intersect(ids2).isEmpty)
+
+      val fs = mapper.readTree(
+        get(port, s"/api/v1/jobFieldStats?jobId=$id&fieldName=eventtype").body())
+      assert(fs.get("error").asLong() == 201 && fs.size() == 1)
+    }
+  }
+
+  test("table jobs serve resultType=2 with columnOrder and tableRows") {
+    withServer() { (port, _) =>
+      val q = enc("error | table \"userid,eventtype\"")
+      val id = post(port, s"/api/v1/startJob?searchString=$q").body().trim.toLong
+      val res = mapper.readTree(
+        get(port, s"/api/v1/jobResults?jobId=$id&skip=0&take=5").body())
+      assert(res.get("resultType").asInt() == 2) // PipeTypeTable
+      assert(res.get("columnOrder").elements().asScala.map(_.asText()).toSeq
+        == Seq("userid", "eventtype"))
+      assert(res.get("events").size() == 0)
+      val rows = res.get("tableRows")
+      assert(rows.size() == 5)
+      assert(rows.get(0).get("eventtype").asText() == "error")
+    }
+  }
+
+  test("relativeTime narrows the job's window (parseTimeParametersGin)") {
+    withServer() { (port, _) =>
+      // corpus timestamps are in 2024 — a now-anchored window matches none
+      val id = post(port,
+        s"/api/v1/startJob?searchString=${enc("error")}&relativeTime=${enc("-1h")}")
+        .body().trim.toLong
+      val stats = mapper.readTree(get(port, s"/api/v1/jobStats?jobId=$id").body())
+      assert(stats.get("NumMatchedEvents").asLong() == 0)
+    }
+  }
+
+  test("abort over HTTP moves the job to the aborted state code") {
+    withServer() { (port, _) =>
+      val id = post(port, s"/api/v1/startJob?searchString=${enc("error")}")
+        .body().trim.toLong
+      assert(post(port, s"/api/v1/abortJob?jobId=$id").statusCode() == 200)
+      val stats = mapper.readTree(get(port, s"/api/v1/jobStats?jobId=$id").body())
+      assert(stats.get("State").asInt() == 3) // aborted
+      assert(post(port, "/api/v1/abortJob?jobId=99999").statusCode() == 404)
+    }
+  }
+
+  test("HTTP error mapping: 400 bad params, 404 unknown, 405 wrong method") {
+    withServer() { (port, _) =>
+      assert(get(port, "/api/v1/jobStats?jobId=99999").statusCode() == 404)
+      assert(get(port, "/api/v1/jobStats?jobId=abc").statusCode() == 400)
+      assert(get(port, "/api/v1/jobStats").statusCode() == 400)
+      assert(get(port, "/api/v1/jobResults?jobId=1&skip=x&take=1").statusCode() == 400)
+      assert(post(port,
+        s"/api/v1/startJob?searchString=x&relativeTime=bogus").statusCode() == 400)
+      assert(get(port, "/api/v1/startJob?searchString=x").statusCode() == 405)
+      assert(get(port, "/api/v1/nope").statusCode() == 404)
+      assert(get(port, "/api/v1/config").statusCode() == 404) // no file attached
+    }
+  }
+
+  test("config GET/POST round-trip with atomic replace (ConfigWeb.go)") {
+    val cfg = Files.createTempFile("graft-http-cfg", ".json")
+    val v1 = """{"files":[{"fileName":"events-*.log"}]}"""
+    Files.write(cfg, v1.getBytes(UTF_8))
+    try {
+      withServer(configPath = Some(cfg)) { (port, _) =>
+        assert(get(port, "/api/v1/config").body() == v1)
+        val v2 = """{"files":[{"fileName":"other-*.log"}]}"""
+        assert(post(port, "/api/v1/config", v2).statusCode() == 200)
+        assert(new String(Files.readAllBytes(cfg), UTF_8) == v2)
+        // invalid body: 400 and the file is untouched
+        assert(post(port, "/api/v1/config", "{not json").statusCode() == 400)
+        assert(new String(Files.readAllBytes(cfg), UTF_8) == v2)
+      }
+      withServer(configPath = Some(cfg), forceStatic = true) { (port, _) =>
+        assert(post(port, "/api/v1/config", v1).statusCode() == 400)
+      }
+    } finally { Files.deleteIfExists(cfg): Unit }
+  }
+}
