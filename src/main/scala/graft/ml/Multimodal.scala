@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, batch decode / feature-extract via mapPartitions.
   *
-  * The container-metadata decode is REAL for all three formats — their
+  * The container-metadata decode is REAL for all five formats — their
   * headers are plain binary layouts needing no codec library: WAV (RIFF
   * fmt chunk: sample rate, channels, bits), BMP (BITMAPINFOHEADER: pixel
-  * dimensions), and MP4 (ISO-BMFF box walk to moov/mvhd: timescale,
-  * duration). SAMPLE decode (frames, pcm, pixels) remains an honest,
+  * dimensions), MP4 (ISO-BMFF box walk to moov/mvhd: timescale,
+  * duration), PNG (chunk walk: IHDR dimensions, CRC32-verified — a
+  * flipped header bit is rejected, not misread), and JPEG (marker-segment
+  * walk to the SOF0 frame header: dimensions). SAMPLE decode (frames,
+  * pcm, pixels) remains an honest,
   * clearly marked STUB — no codec libraries in this container. The
   * synthesized payloads carry genuine headers, so the pipeline exercises
   * synthesize -> parse-bytes -> metadata end-to-end and the DuckDB oracle
@@ -153,8 +156,102 @@ object Multimodal {
     None
   }
 
+  private val PNG_SIG =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Full minimal PNG: signature + IHDR (8-bit truecolor) + one IDAT chunk
+    * wrapping the payload + IEND, each chunk carrying its real CRC32 over
+    * type+data per the PNG spec.
+    */
+  def pngBytes(width: Int, height: Int, data: Array[Byte]): Array[Byte] = {
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(payload)
+      val b = ByteBuffer.allocate(12 + payload.length).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(payload.length).put(t).put(payload).putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8.toByte) // bit depth
+      .put(2.toByte) // truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      .array()
+    PNG_SIG ++ chunk("IHDR", ihdr) ++ chunk("IDAT", data) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Parse a PNG: Some((width, height)) iff the signature matches, the
+    * first chunk is a 13-byte IHDR, and the IHDR CRC32 verifies — a
+    * bit-flipped dimension field fails the CRC and yields None instead of
+    * a wrong size.
+    */
+  def parsePng(p: Array[Byte]): Option[(Int, Int)] = {
+    if (p.length < 33) return None // sig 8 + IHDR chunk 25
+    if (!PNG_SIG.indices.forall(i => p(i) == PNG_SIG(i))) return None
+    val b = ByteBuffer.wrap(p).order(ByteOrder.BIG_ENDIAN)
+    if (b.getInt(8) != 13) return None
+    if (!"IHDR".zipWithIndex.forall { case (c, i) => p(12 + i) == c.toByte }) return None
+    val crc = new java.util.zip.CRC32()
+    crc.update(p, 12, 4 + 13) // type + data, per spec
+    if (crc.getValue.toInt != b.getInt(29)) return None
+    val (w, h) = (b.getInt(16), b.getInt(20))
+    if (w > 0 && h > 0) Some((w, h)) else None
+  }
+
+  /** Minimal baseline JFIF JPEG: SOI, APP0/JFIF, SOF0 frame header carrying
+    * the dimensions (3 components, 4:2:0), payload standing in for entropy-
+    * coded data, EOI. 41 bytes of container around the payload.
+    */
+  def jpegBytes(width: Int, height: Int, data: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(41 + data.length).order(ByteOrder.BIG_ENDIAN)
+    b.putShort(0xffd8.toShort) // SOI
+    b.putShort(0xffe0.toShort).putShort(16) // APP0, len 16
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .put(1.toByte).put(2.toByte) // version 1.2
+      .put(0.toByte) // density units
+      .putShort(1).putShort(1) // 1x1 density
+      .put(0.toByte).put(0.toByte) // no thumbnail
+    b.putShort(0xffc0.toShort).putShort(17) // SOF0, len 17
+      .put(8.toByte) // precision
+      .putShort(height.toShort).putShort(width.toShort)
+      .put(3.toByte) // components
+      .put(1.toByte).put(0x22.toByte).put(0.toByte) // Y  2x2
+      .put(2.toByte).put(0x11.toByte).put(1.toByte) // Cb 1x1
+      .put(3.toByte).put(0x11.toByte).put(1.toByte) // Cr 1x1
+    b.put(data)
+    b.putShort(0xffd9.toShort) // EOI
+    b.array()
+  }
+
+  /** Walk JPEG marker segments from SOI to the first SOF frame header
+    * (C0-CF minus the C4/C8/CC non-frame markers): Some((width, height)).
+    * Bounds-checked; reaching SOS/EOI or a malformed length yields None.
+    */
+  def parseJpeg(p: Array[Byte]): Option[(Int, Int)] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
+    def be16(off: Int) = ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
+    var off = 2
+    while (off + 4 <= p.length) {
+      if ((p(off) & 0xff) != 0xff) return None
+      val marker = p(off + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS: no frame header seen
+      val len = be16(off + 2)
+      if (len < 2 || off + 2 + len > p.length) return None
+      if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        if (len < 7) return None
+        val (h, w) = (be16(off + 5), be16(off + 7))
+        return if (w > 0 && h > 0) Some((w, h)) else None
+      }
+      off += 2 + len
+    }
+    None
+  }
+
   /** Synthesize the media table from `documents`: a REAL container header
-    * (bmp/wav/mp4 by doc_id) prepended to the utf-8 text bytes standing in
+    * (bmp/wav/mp4/png/jpeg by doc_id) prepended to the utf-8 text bytes standing in
     * for pixel/sample/stream data. Runs as a typed map on the executors —
     * at scale this stage is wherever the real bytes come from (object
     * store, archive shards).
@@ -163,21 +260,26 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
       val data = text.getBytes("UTF-8")
-      (id % 3) match {
+      (id % 5) match {
         case 0 => MediaRow(id, "image/bmp",
           bmpHeader(widthFor(id), heightFor(id), data.length) ++ data)
         case 1 => MediaRow(id, "audio/wav",
           wavHeader(rateFor(id), channelsFor(id), 16, data.length) ++ data)
-        case _ => MediaRow(id, "video/mp4",
+        case 2 => MediaRow(id, "video/mp4",
           mp4Header(timescaleFor(id), timescaleFor(id) * durationSFor(id),
             data.length) ++ data)
+        case 3 => MediaRow(id, "image/png",
+          pngBytes(widthFor(id), heightFor(id), data))
+        case _ => MediaRow(id, "image/jpeg",
+          jpegBytes(widthFor(id), heightFor(id), data))
       }
     }
   }
 
-  /** Decode pass: container-header parse for all three mimes (REAL — the
+  /** Decode pass: container-header parse for all five mimes (REAL — the
     * bytes are read, not the generation formula): RIFF fmt for wav,
-    * BITMAPINFOHEADER for bmp, the ISO-BMFF box walk to moov/mvhd for mp4.
+    * BITMAPINFOHEADER for bmp, the ISO-BMFF box walk to moov/mvhd for mp4,
+    * the CRC-verified IHDR chunk for png, the marker walk to SOF0 for jpeg.
     * SAMPLE decode (frames, pcm, pixels) remains a stub — no codec
     * libraries in this container; a javacv/ffmpeg decoder drops into this
     * same mapPartitions slot with zero plan change. Every row also gets
@@ -204,10 +306,15 @@ object Multimodal {
         val feature = Array.tabulate(8)(i =>
           if (i < head.length) (head(i) & 0xff) / 255.0f else 0.0f)
         val wav = if (r.mime == "audio/wav") parseWav(r.payload) else None
-        val bmp = if (r.mime == "image/bmp") parseBmp(r.payload) else None
+        val img = r.mime match {
+          case "image/bmp" => parseBmp(r.payload)
+          case "image/png" => parsePng(r.payload)
+          case "image/jpeg" => parseJpeg(r.payload)
+          case _ => None
+        }
         val mp4 = if (r.mime == "video/mp4") parseMp4(r.payload) else None
         MediaFeatures(r.doc_id, r.mime, r.payload.length,
-          bmp.map(_._1), bmp.map(_._2), wav.map(_._1), wav.map(_._2),
+          img.map(_._1), img.map(_._2), wav.map(_._1), wav.map(_._2),
           mp4.map { case (ts, dur) => dur / ts }, // whole seconds by synthesis
           math.rint(entropy * 10000) / 10000, // round for cross-run stability
           head.map(b => f"${b & 0xff}%02x").mkString, feature)
@@ -229,12 +336,12 @@ object Multimodal {
 
   def mediaMetaSql(docsRel: String): String =
     s"""SELECT doc_id,
-       | CASE WHEN doc_id % 3 = 0 THEN 'image/bmp' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
-       | CAST(octet_length(encode(text)) + CASE WHEN doc_id % 3 = 0 THEN 54 WHEN doc_id % 3 = 1 THEN 44 ELSE 144 END AS INT) AS n_bytes,
-       | CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 64 END AS INT) AS width,
-       | CAST(CASE WHEN doc_id % 3 = 0 THEN 9 + doc_id % 32 END AS INT) AS height,
-       | CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 1000 END AS INT) AS sample_rate,
-       | CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 END AS INT) AS channels,
-       | CAST(CASE WHEN doc_id % 3 = 2 THEN 5 + doc_id % 60 END AS INT) AS duration_s
+       | CASE doc_id % 5 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav' WHEN 2 THEN 'video/mp4' WHEN 3 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+       | CAST(octet_length(encode(text)) + CASE doc_id % 5 WHEN 0 THEN 54 WHEN 1 THEN 44 WHEN 2 THEN 144 WHEN 3 THEN 57 ELSE 41 END AS INT) AS n_bytes,
+       | CAST(CASE WHEN doc_id % 5 IN (0, 3, 4) THEN 16 + doc_id % 64 END AS INT) AS width,
+       | CAST(CASE WHEN doc_id % 5 IN (0, 3, 4) THEN 9 + doc_id % 32 END AS INT) AS height,
+       | CAST(CASE WHEN doc_id % 5 = 1 THEN 8000 + (doc_id % 8) * 1000 END AS INT) AS sample_rate,
+       | CAST(CASE WHEN doc_id % 5 = 1 THEN 1 + doc_id % 2 END AS INT) AS channels,
+       | CAST(CASE WHEN doc_id % 5 = 2 THEN 5 + doc_id % 60 END AS INT) AS duration_s
        | FROM $docsRel""".stripMargin.replace("\n", " ")
 }

@@ -206,7 +206,7 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal decode: real wav/bmp/mp4 header parse, deterministic features, balanced partitions") {
+  test("multimodal decode: real wav/bmp/mp4/png/jpeg header parse, deterministic features, balanced partitions") {
     val media = Multimodal.mediaTable(spark, DocsAdapter.docs(spark, dir))
     val feats = Multimodal.decode(spark, media, partitions = 4)
     val rows = feats.collect()
@@ -223,6 +223,16 @@ class MlSpec extends AnyFunSuite {
             f.height.contains((9 + f.doc_id % 32).toInt), s"bmp decode: $f")
           assert(f.sample_rate.isEmpty && f.channels.isEmpty)
           assert(f.head_hex.startsWith("424d")) // 'BM'
+        case "image/png" => // CRC-verified IHDR
+          assert(f.width.contains((16 + f.doc_id % 64).toInt) &&
+            f.height.contains((9 + f.doc_id % 32).toInt), s"png decode: $f")
+          assert(f.sample_rate.isEmpty && f.duration_s.isEmpty)
+          assert(f.head_hex.startsWith("89504e47")) // PNG signature
+        case "image/jpeg" => // marker walk to SOF0
+          assert(f.width.contains((16 + f.doc_id % 64).toInt) &&
+            f.height.contains((9 + f.doc_id % 32).toInt), s"jpeg decode: $f")
+          assert(f.sample_rate.isEmpty && f.duration_s.isEmpty)
+          assert(f.head_hex.startsWith("ffd8ffe0")) // SOI + APP0
         case "audio/wav" =>
           assert(f.sample_rate.contains((8000 + (f.doc_id % 8) * 1000).toInt) &&
             f.channels.contains((1 + f.doc_id % 2).toInt), s"wav decode: $f")
@@ -258,6 +268,23 @@ class MlSpec extends AnyFunSuite {
     assert(Multimodal.parseMp4(mp4.take(30)).isEmpty, "torn box tree must not parse")
     val badSize = mp4.clone(); badSize(20) = 0x7f // corrupt the moov size field
     assert(Multimodal.parseMp4(badSize).isEmpty, "out-of-bounds box size must not parse")
+
+    val png = Multimodal.pngBytes(320, 200, Array.fill(10)(7.toByte))
+    assert(Multimodal.parsePng(png).contains((320, 200)))
+    assert(Multimodal.parseJpeg(png).isEmpty && Multimodal.parseBmp(png).isEmpty)
+    // a flipped bit in the IHDR width fails the CRC: rejected, not misread
+    val bitFlip = png.clone(); bitFlip(18) = (bitFlip(18) ^ 0x01).toByte
+    assert(Multimodal.parsePng(bitFlip).isEmpty, "IHDR CRC must catch corruption")
+    assert(Multimodal.parsePng(png.take(20)).isEmpty, "torn png must not parse")
+
+    val jpeg = Multimodal.jpegBytes(320, 200, Array.fill(10)(7.toByte))
+    assert(Multimodal.parseJpeg(jpeg).contains((320, 200)))
+    assert(Multimodal.parsePng(jpeg).isEmpty && Multimodal.parseWav(jpeg).isEmpty)
+    assert(Multimodal.parseJpeg(jpeg.take(10)).isEmpty, "torn jpeg must not parse")
+    // truncate to strip the SOF0 segment: the walk hits the cut, not a misread
+    assert(Multimodal.parseJpeg(jpeg.take(22)).isEmpty, "no SOF0 -> no dimensions")
+    val badLen = jpeg.clone(); badLen(22) = 0x7f // corrupt SOF0 length
+    assert(Multimodal.parseJpeg(badLen).isEmpty, "out-of-bounds segment must not parse")
   }
 
   test("ngram PPJoin length filter prunes lopsided candidates losslessly") {
