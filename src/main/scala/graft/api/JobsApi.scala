@@ -68,6 +68,27 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
       track(fieldStatsOverride.getOrElse(engine.fieldStats(resultsFrame))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+    /** Partition-offset index over the pinned results cache: prefix row
+      * starts per cached partition, built in ONE narrow pass with the
+      * first results/stats action. Positional pages then read ONLY the
+      * cached partitions containing [skip, skip+take) — no per-page
+      * global shuffle (the previous offset+limit plan funneled the whole
+      * skipped prefix through a single-partition exchange on EVERY page),
+      * no scan of partitions before or after the page. The matched-event
+      * count is the index's last entry, so the pass doubles as the
+      * jobStats count. lazy val = exactly-once, like `results`.
+      */
+    private[JobsApi] lazy val partStarts: Array[Long] = {
+      val counts = results.rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, {
+          var n = 0L
+          while (it.hasNext) { it.next(); n += 1 }
+          n
+        })))
+        .collect().sortBy(_._1).map(_._2)
+      counts.scanLeft(0L)(_ + _)
+    }
+
     // memoized jobStats — the second stats call launches zero Spark jobs
     @volatile private[JobsApi] var statsCache: JobStats = null
 
@@ -272,9 +293,10 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
     withJobGroup(job) {
       // both actions read the persisted results (first action materializes
       // them), so the count and the occurrence agg never re-run the
-      // compiled query — and the distinct-value agg folds the already
-      // persisted fieldStats aggregate
-      val n = job.results.count()
+      // compiled query — the count is the partition index's last prefix
+      // entry (one pass builds both), and the distinct-value agg folds the
+      // already persisted fieldStats aggregate
+      val n = job.partStarts.last
       val occ = job.fieldStatsCached
         .groupBy(col("key")).agg(count(lit(1)).as("n_values")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -289,14 +311,40 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
     * result (O3). Events sorted newest-first (O1/O4 TimestampDesc);
     * surrounding keeps its own offset-desc order (SortModePreserveArgOrder);
     * tables keep declared column order.
+    *
+    * The page is served through the job's partition-offset index: only the
+    * cached partitions overlapping [skip, skip+take) are read (a
+    * one-stage, no-shuffle job of 1-2 tasks for page-sized takes), and
+    * rows are sliced positionally inside them. The sort ran once at
+    * materialization; its range partitioning IS the positional order, so
+    * partition-index order + in-partition slice reproduces exactly the
+    * offset+limit semantics without touching the skipped prefix.
     */
   def jobResults(id: Long, skip: Int, take: Int): DataFrame = {
     val job = jobOrThrow(id)
-    // pages slice the persisted sorted result: the sort ran once when the
-    // job's results store materialized; a page is offset+limit over cached
-    // blocks read in partition order (a user paging through a result no
-    // longer pays a full query + sort per page)
-    job.results.offset(skip).limit(take)
+    require(skip >= 0 && take >= 0, s"skip/take must be non-negative ($skip, $take)")
+    val starts = withJobGroup(job)(job.partStarts) // may materialize the store
+    val spark = job.results.sparkSession
+    val schema = job.results.schema
+    val lo = skip.toLong
+    val hi = lo + take
+    if (take == 0 || lo >= starts.last) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      val touched = (0 until starts.length - 1)
+        .filter(i => starts(i) < hi && starts(i + 1) > lo).toArray
+      val touchedSet = touched.toSet
+      val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
+        job.results.rdd, touchedSet.contains)
+      val rows = pruned.mapPartitionsWithIndex { (pi, it) =>
+        val orig = touched(pi)
+        val base = starts(orig)
+        it.slice((math.max(base, lo) - base).toInt,
+          (math.min(starts(orig + 1), hi) - base).toInt)
+      }
+      spark.createDataFrame(rows, schema)
+    }
   }
 
   /** Keyset pagination (O2 — the reference's scan pages are keyset-anchored,

@@ -86,18 +86,34 @@ class ApiSpec extends AnyFunSuite {
   test("job results persist once: later pages read the cache, later stats launch no jobs") {
     val api = new JobsApi(EventsAdapter.engine(spark, dir))
     val job = api.startJob("error")
-    api.jobResults(job.id, 0, 5).collect() // materializes the results store
-    // a second page must be a slice of the persisted sorted result — an
-    // in-memory scan, never a re-read of the parquet source + re-sort
-    // the live plan is everything ABOVE the InMemoryRelation marker (the
-    // relation's toString embeds its cached provenance plan, which still
-    // mentions the original FileScan — that part does not execute)
+    api.jobResults(job.id, 0, 5).collect() // materializes store + position index
+    // a second page must be a PRUNED slice of the persisted sorted result:
+    // one narrow job over only the cached partitions containing the page —
+    // no shuffle, no scan of the skipped prefix, never a re-read of the
+    // parquet source + re-sort
     def livePart(plan: String): String = plan.split("InMemoryRelation")(0)
-    val plan2 = api.jobResults(job.id, 5, 5).queryExecution.executedPlan.toString
-    assert(plan2.contains("InMemoryTableScan"),
-      s"second page must read the persisted results store:\n$plan2")
-    assert(!livePart(plan2).contains("FileScan"),
-      s"second page must not re-scan the source:\n$plan2")
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val pageListener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        stages.add(s.stageInfo.numTasks): Unit
+    }
+    spark.sparkContext.addSparkListener(pageListener)
+    val page2rows = try {
+      val r = api.jobResults(job.id, 5, 5).collect()
+      // the listener bus is async: give the submit event time to land
+      val deadline = System.nanoTime() + 3000000000L
+      while (stages.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(100) // settle any trailing stage events
+      r
+    } finally spark.sparkContext.removeSparkListener(pageListener)
+    assert(page2rows.length == 5)
+    val stageList = stages.toArray(Array.empty[Integer]).map(_.intValue).toSeq
+    // exactly ONE stage = one job, no shuffle (a shuffle would submit a
+    // ShuffleMapStage first); its task count = touched cached partitions
+    assert(stageList.length == 1, s"a page must be ONE shuffle-free stage: $stageList")
+    assert(stageList.head <= 2,
+      s"a page-sized take must touch at most 2 cached partitions: $stageList")
     // jobFieldStats serves from the persisted (key,value,occurrences) store
     api.jobFieldStats(job.id, "eventtype").collect()
     val planF = api.jobFieldStats(job.id, "userid").queryExecution.executedPlan.toString
