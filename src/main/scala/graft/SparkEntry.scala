@@ -192,7 +192,8 @@ object SparkEntry {
     // direct q_search_fragment scan row-for-row: the oracle is identical.
     "q_http" -> ((s, dir) => {
       import scala.jdk.CollectionConverters._
-      val http = new graft.api.HttpApi(new graft.api.JobsApi(eng(s, dir)))
+      val api = new graft.api.JobsApi(eng(s, dir))
+      val http = new graft.api.HttpApi(api)
       val port = http.start()
       try {
         val client = java.net.http.HttpClient.newHttpClient()
@@ -215,7 +216,9 @@ object SparkEntry {
           .map(e => (e.get("Id").asText(), e.get("Raw").asText()))
           .toSeq
         import s.implicits._
-        rows.toDF("doc_id", "raw")
+        val df = rows.toDF("doc_id", "raw") // driver-local rows: safe to drop the job cache
+        api.releaseJob(id): Unit
+        df
       } finally http.stop()
     }),
     // O4 sort modes (events/Repository.go:23-29): a surrounding job keeps
@@ -436,6 +439,17 @@ object SparkEntry {
     // URL domain frequency (blocklist/provenance stats)
     "q_url_domains" -> ((s, dir) =>
       graft.ml.TextCleaning.domainStats(DocsAdapter.piiDocs(s, dir))),
+    // C4 page-level heuristics (Raffel et al., JMLR'20 §2.2): line keep /
+    // sentence-count / lorem / brace branches over structured pages
+    "q_c4_filters" -> ((s, dir) =>
+      graft.ml.TextCleaning.c4Filters(DocsAdapter.c4Docs(s, dir))),
+    // per-domain quota (Gopher/FineWeb source caps): WindowGroupLimit
+    // keep-first-cap by deterministic hash within the URL domain
+    "q_domain_quota" -> ((s, dir) =>
+      graft.ml.TextCleaning.domainQuota(DocsAdapter.piiDocs(s, dir), cap = 10)),
+    // corpus-wide top-k trigram stats (boilerplate/decontamination analytics)
+    "q_ngram_topk" -> ((s, dir) =>
+      graft.ml.TextAnalysis.ngramTopK(DocsAdapter.docs(s, dir), n = 3, k = 50)),
     // Structured Streaming histogram through the SCALE-REAL serving mode:
     // watermarked windowed agg, UPDATE output into a per-batch delta file
     // sink (state evicts past the watermark; nothing accumulates on the
@@ -672,6 +686,12 @@ object SparkEntry {
       graft.ml.TextCleaning.repetitionMetricsSql("documents"),
     "q_url_domains" ->
       graft.ml.TextCleaning.domainStatsSql(DocsAdapter.piiDocsSql()),
+    "q_c4_filters" ->
+      graft.ml.TextCleaning.c4FiltersSql(DocsAdapter.c4DocsSql()),
+    "q_domain_quota" ->
+      graft.ml.TextCleaning.domainQuotaSql(DocsAdapter.piiDocsSql(), cap = 10),
+    "q_ngram_topk" ->
+      graft.ml.TextAnalysis.ngramTopKSql("documents", n = 3, k = 50),
     "q_stream_histogram" ->
       s"SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n FROM events GROUP BY 1, 2",
     "q_ann_lsh" ->

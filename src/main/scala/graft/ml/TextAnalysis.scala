@@ -31,6 +31,34 @@ object TextAnalysis {
        | length(text) AS n_chars
        | FROM $docsRel""".stripMargin.replace("\n", " ")
 
+  // -------------------------------------------------------- n-gram top-k
+
+  /** Corpus-wide top-k word n-grams over normalized text — the corpus
+    * statistic behind boilerplate detection and n-gram-overlap
+    * decontamination thresholds. One exploded count agg (map-side
+    * combined, shuffle on gram) feeding a TakeOrdered top-k — never a
+    * global sort of the full gram table. Ties at the cut break on the
+    * gram string, so the result is deterministic at any parallelism.
+    */
+  def ngramTopK(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val ws = split(TextDedup.normalizeCol(col("text")), " ")
+    val grams = transform(sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
+    docs.filter(size(ws) >= n)
+      .select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+  }
+
+  def ngramTopKSql(docsRel: String, n: Int, k: Int): String =
+    s"""SELECT gram, count(*) AS n FROM (
+       | SELECT unnest(list_transform(range(len(ws) - ${n - 1}),
+       |   i -> array_to_string(ws[i + 1 : i + $n], ' '))) AS gram
+       | FROM (SELECT string_split(${TextDedup.normalizeSql("text")}, ' ') AS ws
+       |   FROM $docsRel) WHERE len(ws) >= $n)
+       | GROUP BY gram ORDER BY n DESC, gram LIMIT $k""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------- quality
 
   /** Deterministic quality score in [0,1]: blend of alpha ratio, stopword

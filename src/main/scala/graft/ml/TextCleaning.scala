@@ -93,6 +93,85 @@ object TextCleaning {
        |  COALESCE(ba.top_bigram_share, 0.0) AS top_bigram_share
        |FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id""".stripMargin.replace("\n", " ")
 
+  // ------------------------------------------------------------ C4 filters
+
+  val C4_MIN_LINE_WORDS = 5
+  val C4_MIN_SENTENCES = 3
+  val C4_TERMINAL_RX = "[.!?\"]$"
+
+  /** C4's published page-level heuristics (Raffel et al., JMLR'20 §2.2),
+    * map-only per document: a line is kept iff it ends in terminal
+    * punctuation AND has >= 5 words; the page is dropped when it has fewer
+    * than 3 sentences, contains "lorem ipsum", a curly brace, or keeps no
+    * line. Returns the per-page counters, the branch flags, the composite
+    * `keep` verdict, and the cleaned text (kept lines rejoined) — a
+    * pipeline filters on `keep` and feeds `cleaned` downstream. All
+    * whole-stage-codegen'd column work; the 10^12-row shape is a scan.
+    */
+  def c4Filters(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l =>
+      l.rlike(C4_TERMINAL_RX) && size(split(trim(l), " ")) >= C4_MIN_LINE_WORDS)
+    val nSent = size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))
+    val hasLorem = lower(col("text")).contains("lorem ipsum")
+    val hasBrace = col("text").contains("{")
+    docs.select(col("doc_id"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept_lines"),
+      nSent.as("n_sentences"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (nSent >= C4_MIN_SENTENCES && !hasLorem && !hasBrace && size(kept) > 0)
+        .as("keep"),
+      concat_ws("\n", kept).as("cleaned"))
+  }
+
+  def c4FiltersSql(docsRel: String): String =
+    s"""SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept_lines,
+       | n_sentences, has_lorem, has_brace,
+       | (n_sentences >= $C4_MIN_SENTENCES AND NOT has_lorem AND NOT has_brace AND len(kept) > 0) AS keep,
+       | array_to_string(kept, chr(10)) AS cleaned
+       |FROM (SELECT doc_id,
+       |   string_split(text, chr(10)) AS lines,
+       |   list_filter(string_split(text, chr(10)),
+       |     l -> regexp_matches(l, '[.!?"]$$') AND len(string_split(trim(l), ' ')) >= $C4_MIN_LINE_WORDS) AS kept,
+       |   len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+       |   contains(lower(text), 'lorem ipsum') AS has_lorem,
+       |   contains(text, '{') AS has_brace
+       | FROM $docsRel)""".stripMargin.replace("\n", " ")
+
+  // ---------------------------------------------------------- domain quota
+
+  /** Per-domain document quota (the Gopher/FineWeb-style source cap that
+    * stops one giant domain from dominating the mixture): rank documents
+    * within their first-URL domain by the cross-engine deterministic hash
+    * and keep the first `cap`. The rank-le-cap filter over the window
+    * compiles to WindowGroupLimit: each map partition forwards at most
+    * `cap` rows per domain into the single shuffle on domain, so a
+    * hot-domain's population never travels — the same pruned shape as
+    * chunk dedup's keep-first. Deterministic at any parallelism (hash
+    * order, doc_id tiebreak).
+    */
+  def domainQuota(docs: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val domain = coalesce(
+      try_element_at(regexp_extract_all(col("text"), lit(URL_DOMAIN_RX), lit(1)), lit(1)),
+      lit("none"))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(TextDedup.hash64Col(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), domain.as("domain"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= cap)
+  }
+
+  def domainQuotaSql(docsRel: String, cap: Int): String =
+    s"""SELECT doc_id, domain, rnk FROM (
+       | SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
+       |   ORDER BY ${TextDedup.hash64Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rnk
+       | FROM (SELECT doc_id,
+       |   COALESCE(regexp_extract_all(text, 'https?://([a-z0-9.-]+)', 1)[1], 'none') AS domain
+       |  FROM $docsRel)) WHERE rnk <= $cap""".stripMargin.replace("\n", " ")
+
   /** Domain frequency over URLs in the corpus (blocklist/provenance stats). */
   def domainStats(docs: DataFrame): DataFrame =
     docs.select(explode(regexp_extract_all(col("text"), lit(URL_DOMAIN_RX), lit(1))).as("domain"))

@@ -88,4 +88,32 @@ object DocsAdapter {
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spread(spark.read.parquet(s"$sfDir/embeddings.parquet"), spark)
+
+  /** Docs with deterministic page structure (the raw corpus is one line of
+    * unpunctuated word soup, so C4's line/sentence heuristics would see
+    * nothing): every doc gains two well-formed supporting lines and a
+    * short fragment line; doc_id % 3 == 0 terminally punctuates the
+    * original line, % 17 == 0 appends a lorem-ipsum line, % 19 == 0 a
+    * code-brace line — every C4 keep/drop branch fires on some docs. Pure
+    * column arithmetic with a DuckDB twin.
+    */
+  def c4Docs(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).withColumn("text", concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(".")).otherwise(lit("")),
+      lit("\nthe first supporting line reads well.\nanother supporting line follows the first.\ntiny fragment"),
+      when(pmod(col("doc_id"), lit(17)) === 0,
+        lit("\nlorem ipsum dolor sit amet filler text here.")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(19)) === 0,
+        lit("\nconfig = { \"key\": 1 }")).otherwise(lit(""))))
+
+  def c4DocsSql(): String =
+    s"""(SELECT doc_id, text
+       | || CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END
+       | || chr(10) || 'the first supporting line reads well.'
+       | || chr(10) || 'another supporting line follows the first.'
+       | || chr(10) || 'tiny fragment'
+       | || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet filler text here.' ELSE '' END
+       | || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'config = { "key": 1 }' ELSE '' END AS text,
+       | lang, source, n_chars FROM documents)""".stripMargin.replace("\n", " ")
 }

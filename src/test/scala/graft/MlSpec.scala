@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ml.{Multimodal, Similarity, TextDedup}
+import graft.ml.{Multimodal, Similarity, TextAnalysis, TextCleaning, TextDedup}
 import graft.sources.DocsAdapter
 
 /** Training-data operator tests: dedup family, similarity search, multimodal
@@ -496,5 +496,59 @@ class MlSpec extends AnyFunSuite {
     assert(benchIds.nonEmpty && benchIds.forall(flagged.contains),
       "a holdout doc shares all its n-grams with itself")
     assert(flagged.values.forall(_ > 0))
+  }
+
+  test("C4 filters: every published branch fires and the verdict composes") {
+    val out = TextCleaning.c4Filters(DocsAdapter.c4Docs(spark, dir)).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(4) == (id % 17 == 0), s"has_lorem doc $id")
+      assert(r.getBoolean(5) == (id % 19 == 0), s"has_brace doc $id")
+      // keep = enough sentences (original line punctuated) and no
+      // lorem/brace poison — by construction of c4Docs
+      assert(r.getBoolean(6) == (id % 3 == 0 && id % 17 != 0 && id % 19 != 0),
+        s"keep doc $id")
+      // two supporting lines always survive the line filter; the original
+      // line only when terminally punctuated; the fragment line never
+      val expectedKept = 2 + (if (id % 3 == 0) 1 else 0) +
+        (if (id % 17 == 0) 1 else 0) // the lorem line is well-formed too
+      assert(r.getInt(2) == expectedKept, s"n_kept_lines doc $id")
+      assert(!r.getString(7).contains("tiny fragment"))
+    }
+    // doc 0 trips every flag at once: kept lines still counted, page dropped
+    val k0 = out.find(_.getLong(0) == 0L).get
+    assert(k0.getBoolean(4) && k0.getBoolean(5) && !k0.getBoolean(6))
+  }
+
+  test("domain quota caps per-domain membership deterministically with map-side pruning") {
+    val docs = DocsAdapter.piiDocs(spark, dir)
+    val q = TextCleaning.domainQuota(docs, cap = 4)
+    val rows = q.collect()
+    val perDomain = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // 5 site domains (ids = 3 mod 4 hit 5 residues mod 20) + the no-URL bulk
+    assert(perDomain.keySet.size == 6 && perDomain.contains("none"))
+    assert(perDomain.values.forall(_ == 4), "every domain exceeds the cap here")
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 4))
+    // the rank<=cap filter must compile to map-side group-limit pruning:
+    // a hot domain forwards at most cap rows per partition into the shuffle
+    assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    // decisions are a pure function of doc_id: input partitioning is irrelevant
+    val again = TextCleaning.domainQuota(docs.repartition(7), cap = 4).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
+  test("ngram top-k equals the brute-force ranking, deterministically ordered") {
+    val docs = DocsAdapter.docs(spark, dir)
+    val top = TextAnalysis.ngramTopK(docs, 3, 20).collect()
+    assert(top.length == 20)
+    val counts = top.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    val brute = docs.select(TextDedup.normalizeCol(col("text")).as("t"))
+      .collect().map(_.getString(0).split(" "))
+      .flatMap(ws => ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (g, c) => (-c, g) }.take(20)
+    assert(top.map(r => (r.getString(0), r.getLong(1))).toSeq == brute)
   }
 }
