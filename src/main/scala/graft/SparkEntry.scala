@@ -79,6 +79,39 @@ object SparkEntry {
     */
   private[graft] def clearIvfMemoryCache(): Unit = ivfCache.clear()
 
+  // learned BPE merge table (train-once artifact, same lifecycle as the
+  // IVF quantizer: histogram-trained per corpus generation, loaded by
+  // every encode job)
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private[graft] def bpeArtifactPath(dir: String, numMerges: Int): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // v1 = the Bpe.train algorithm generation (tiebreak, stop rule)
+    s"${System.getProperty("java.io.tmpdir")}/graft-bpe-v1-$key-m$numMerges.merges"
+  }
+
+  private[graft] def bpeMergesFor(s: SparkSession, dir: String,
+      numMerges: Int = 200): Seq[(String, String)] =
+    bpeCache.computeIfAbsent(s"$dir#m$numMerges", _ => {
+      val path = bpeArtifactPath(dir, numMerges)
+      if (new java.io.File(path).isFile) {
+        graft.ml.Bpe.loadMerges(s, path)
+      } else {
+        val merges = graft.ml.Bpe.trainOn(DocsAdapter.docs(s, dir), numMerges)
+        val tmp = s"$path.tmp-${ProcessHandle.current().pid()}"
+        graft.ml.Bpe.saveMerges(s, tmp, merges)
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        merges
+      }
+    })
+
+  private[graft] def clearBpeMemoryCache(): Unit = bpeCache.clear()
+
   /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
     * full north-rule pipeline — tokens -> parse -> enrich -> per-sink
     * aggregate with row-set signatures.
@@ -450,6 +483,15 @@ object SparkEntry {
     // corpus-wide top-k trigram stats (boilerplate/decontamination analytics)
     "q_ngram_topk" -> ((s, dir) =>
       graft.ml.TextAnalysis.ngramTopK(DocsAdapter.docs(s, dir), n = 3, k = 50)),
+    // learned BPE tokenizer round-trip: histogram-trained merges (train-once
+    // artifact), map-only encode, and the north rule's row-level
+    // token-equality invariant — rejoining the tokens must reproduce the
+    // normalized text, which the oracle recomputes independently
+    "q_bpe_roundtrip" -> ((s, dir) => {
+      val docs = DocsAdapter.docs(s, dir)
+      graft.ml.Bpe.encode(s, docs, bpeMergesFor(s, dir))
+        .select(col("doc_id"), col("decoded"))
+    }),
     // Structured Streaming histogram through the SCALE-REAL serving mode:
     // watermarked windowed agg, UPDATE output into a per-batch delta file
     // sink (state evicts past the watermark; nothing accumulates on the
@@ -692,6 +734,8 @@ object SparkEntry {
       graft.ml.TextCleaning.domainQuotaSql(DocsAdapter.piiDocsSql(), cap = 10),
     "q_ngram_topk" ->
       graft.ml.TextAnalysis.ngramTopKSql("documents", n = 3, k = 50),
+    "q_bpe_roundtrip" ->
+      s"SELECT doc_id, ${graft.ml.TextDedup.normalizeSql("text")} AS decoded FROM documents",
     "q_stream_histogram" ->
       s"SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n FROM events GROUP BY 1, 2",
     "q_ann_lsh" ->
