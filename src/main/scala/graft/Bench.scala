@@ -60,12 +60,17 @@ object Bench {
       case pidPrefixed(pid) => ProcessHandle.of(pid.toLong).isEmpty
       case _ => now - newestMtime(f) > 30L * 60 * 1000
     }
-    new File(base).listFiles((_, n) =>
-      n.startsWith("graft-bench-") || n.startsWith("probe3-") ||
-        n.startsWith("graft-stream-") || n.startsWith("graft-ckpt-") ||
-        n == "graft-spark-local") match {
-      case null => ()
-      case old => old.filter(stale).foreach(deleteRecursively)
+    // sweep BOTH candidate bases: a crashed run on a tmpfs host leaves its
+    // dirs in /dev/shm, but code paths that fell back (or predate the
+    // tmpfs preference) may have left pid-tagged dirs in /tmp
+    Set(base, System.getProperty("java.io.tmpdir")).foreach { b =>
+      new File(b).listFiles((_, n) =>
+        n.startsWith("graft-bench-") || n.startsWith("probe3-") ||
+          n.startsWith("graft-stream-") || n.startsWith("graft-ckpt-") ||
+          n == "graft-spark-local") match {
+        case null => ()
+        case old => old.filter(stale).foreach(deleteRecursively)
+      }
     }
     Files.createDirectory(Paths.get(base, s"graft-bench-${ProcessHandle.current().pid()}")).toString
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -78,7 +78,11 @@ object GraftExtensions {
     // every dedup/analysis operator funnels through — one compiled pass
     ("graft_normalize",
       new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize"),
-      (es: Seq[Expression]) => NormalizeText(es.head)),
+      // the to-string cast keeps lower()'s coercion contract on the SQL
+      // path too (NormalizeText declares no inputTypes; a bare bigint
+      // argument would otherwise crash mid-query instead of coercing —
+      // redundant casts on string columns are elided by Catalyst)
+      (es: Seq[Expression]) => NormalizeText(Cast(es.head, StringType))),
     // distinct k-word shingles of the normalized text:
     // graft_shingles(text[, k]) (k defaults to the engine's SHINGLE_K)
     ("graft_shingles",
@@ -91,7 +95,8 @@ object GraftExtensions {
         } else graft.ml.TextDedup.SHINGLE_K
         ShingleJoin(
           org.apache.spark.sql.catalyst.expressions.StringSplit(
-            NormalizeText(es.head), Literal(UTF8String.fromString(" "), StringType),
+            NormalizeText(Cast(es.head, StringType)),
+            Literal(UTF8String.fromString(" "), StringType),
             Literal(-1)), k)
       })
   )

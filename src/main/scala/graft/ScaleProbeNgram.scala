@@ -33,11 +33,6 @@ import org.apache.spark.sql.functions._
   * PROBE_FAM (default 4).
   */
 object ScaleProbeNgram {
-  private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
-
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
@@ -100,7 +95,7 @@ object ScaleProbeNgram {
         f""""docs_per_sec":${nDocs / pairSecs}%.0f}""")
     } finally {
       spark.stop()
-      deleteRecursively(new File(root))
+      graft.util.Dirs.deleteRecursively(new File(root))
     }
   }
 }

@@ -36,43 +36,54 @@ object SparkEntry {
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
-  /** Deterministic artifact path for a corpus dir + cell count. The sandbox
-    * stand-in for "next to the data" (/root/testdata is read-only): a
-    * corpus- and param-keyed name under the system temp dir.
+  /** Deterministic corpus key for artifact names. The sandbox stand-in for
+    * "next to the data" (/root/testdata is read-only): a corpus- and
+    * param-keyed name under the system temp dir.
     */
-  private[graft] def ivfArtifactPath(dir: String, nCells: Int): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
+  private def corpusKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    // v1 = the ivfCentroids algorithm generation: bump on any change to the
-    // build (seeding, Lloyd step, rounding) so a stale artifact from an
-    // older build can never serve mismatched centroids
-    s"${System.getProperty("java.io.tmpdir")}/graft-ivf-v1-$key-c$nCells.centroids"
-  }
 
-  /** Build-once quantizer with a store round-trip: load the artifact when
-    * present; otherwise build it ONCE and publish it via write-to-temp +
-    * atomic rename (a concurrent reader never sees a torn file).
+  /** Load-or-build-once artifact: in-memory fast path + on-disk
+    * round-trip, published via write-temp + ATOMIC_MOVE so a concurrent
+    * reader never sees a torn file. One code path for every train-once
+    * artifact (IVF quantizer, BPE merges) — a publish/torn-write fix lands
+    * on all of them at once.
     */
-  private[graft] def ivfCentroidsFor(s: SparkSession, dir: String,
-      nCells: Int = 16): Array[Array[Float]] =
-    // key carries nCells like the artifact name — a dir-only key would
-    // silently serve a wrong-cell-count quantizer to a different caller
-    ivfCache.computeIfAbsent(s"$dir#c$nCells", _ => {
-      val path = ivfArtifactPath(dir, nCells)
-      if (new java.io.File(path).isFile) {
-        graft.ml.Similarity.loadCentroids(s, path)
-      } else {
-        val cents = graft.ml.Similarity.ivfCentroids(
-          graft.sources.DocsAdapter.embeddings(s, dir), nCells)
+  private def artifactCached[A](
+      cache: java.util.concurrent.ConcurrentHashMap[String, A],
+      key: String, path: String)(
+      load: String => A)(build: => A)(save: (String, A) => Unit): A =
+    cache.computeIfAbsent(key, _ => {
+      if (new java.io.File(path).isFile) load(path)
+      else {
+        val artifact = build
         val tmp = s"$path.tmp-${ProcessHandle.current().pid()}"
-        graft.ml.Similarity.saveCentroids(s, tmp, cents)
+        save(tmp, artifact)
         java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
           java.nio.file.Paths.get(path),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-        cents
+        artifact
       }
     })
+
+  // v1 = the build algorithm generation: bump on any change to the build
+  // (seeding, Lloyd step, tiebreaks, rounding) so a stale artifact from an
+  // older build can never serve mismatched state
+  private[graft] def ivfArtifactPath(dir: String, nCells: Int): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-ivf-v1-${corpusKey(dir)}-c$nCells.centroids"
+
+  /** Build-once quantizer with a store round-trip. The cache key carries
+    * nCells like the artifact name — a dir-only key would silently serve a
+    * wrong-cell-count quantizer to a different caller.
+    */
+  private[graft] def ivfCentroidsFor(s: SparkSession, dir: String,
+      nCells: Int = 16): Array[Array[Float]] =
+    artifactCached(ivfCache, s"$dir#c$nCells", ivfArtifactPath(dir, nCells))(
+      graft.ml.Similarity.loadCentroids(s, _))(
+      graft.ml.Similarity.ivfCentroids(DocsAdapter.embeddings(s, dir), nCells))(
+      graft.ml.Similarity.saveCentroids(s, _, _))
 
   /** Test hook: forget the in-process quantizer map (fresh-driver
     * simulation — the artifact on disk must carry the state across).
@@ -85,30 +96,15 @@ object SparkEntry {
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
-  private[graft] def bpeArtifactPath(dir: String, numMerges: Int): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    // v1 = the Bpe.train algorithm generation (tiebreak, stop rule)
-    s"${System.getProperty("java.io.tmpdir")}/graft-bpe-v1-$key-m$numMerges.merges"
-  }
+  private[graft] def bpeArtifactPath(dir: String, numMerges: Int): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-bpe-v1-${corpusKey(dir)}-m$numMerges.merges"
 
   private[graft] def bpeMergesFor(s: SparkSession, dir: String,
       numMerges: Int = 200): Seq[(String, String)] =
-    bpeCache.computeIfAbsent(s"$dir#m$numMerges", _ => {
-      val path = bpeArtifactPath(dir, numMerges)
-      if (new java.io.File(path).isFile) {
-        graft.ml.Bpe.loadMerges(s, path)
-      } else {
-        val merges = graft.ml.Bpe.trainOn(DocsAdapter.docs(s, dir), numMerges)
-        val tmp = s"$path.tmp-${ProcessHandle.current().pid()}"
-        graft.ml.Bpe.saveMerges(s, tmp, merges)
-        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-          java.nio.file.Paths.get(path),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-        merges
-      }
-    })
+    artifactCached(bpeCache, s"$dir#m$numMerges", bpeArtifactPath(dir, numMerges))(
+      graft.ml.Bpe.loadMerges(s, _))(
+      graft.ml.Bpe.trainOn(DocsAdapter.docs(s, dir), numMerges))(
+      graft.ml.Bpe.saveMerges(s, _, _))
 
   private[graft] def clearBpeMemoryCache(): Unit = bpeCache.clear()
 
@@ -215,7 +211,10 @@ object SparkEntry {
       val api = new graft.api.JobsApi(eng(s, dir))
       val job = api.startJob("eventtype IN (purchase, view)")
       val anchor = api.jobResults(job.id, 99, 1).select(col("ts"), col("doc_id")).head()
-      val ts = java.sql.Timestamp.valueOf(anchor.getAs[java.time.LocalDateTime](0))
+      // the collected LocalDateTime is session-TZ (UTC) wall-clock; convert
+      // through ZoneOffset.UTC, NOT Timestamp.valueOf (JVM default zone)
+      val ts = java.sql.Timestamp.from(
+        anchor.getAs[java.time.LocalDateTime](0).toInstant(java.time.ZoneOffset.UTC))
       api.jobResultsAfter(job.id, ts, anchor.getString(1), 50).select(col("doc_id"))
     }),
     // the REST surface (Web.go api/v1) end-to-end: the query runs behind
@@ -502,15 +501,18 @@ object SparkEntry {
     // available and the stateful shuffle is narrowed — the windowed-agg
     // state is tiny, so 32 state-store partitions were pure fixed overhead.
     "q_stream_histogram" -> ((s, dir) => {
+      val shm = new java.io.File("/dev/shm")
+      val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      // staged copy goes under the SAME base as the checkpoints so the
+      // pid-liveness sweep (Bench) covers it — a bare createTempDirectory
+      // would land it in /tmp where a tmpfs-rooted sweep never looks
       val tmp = stagedCache.computeIfAbsent(dir, _ => {
-        val d = java.nio.file.Files.createTempDirectory(
+        val d = java.nio.file.Files.createTempDirectory(ckptBase,
           s"graft-stream-q-${ProcessHandle.current().pid()}-").toString
         EventsAdapter.sequences(s, dir).write.mode("overwrite").parquet(d)
         d
       })
-      val shm = new java.io.File("/dev/shm")
-      val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
       // owner-pid tag BEFORE the random suffix: Bench's tmpfs sweep frees a
       // dead process's leftovers by pid liveness instead of mtime age (an
       // age rule would sweep a live-but-idle sibling's checkpoint state)

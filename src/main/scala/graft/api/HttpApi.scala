@@ -77,6 +77,9 @@ final class HttpApi(api: JobsApi,
     */
   def start(port: Int = 0): Int = synchronized {
     require(server == null, "already started")
+    // stop() shuts the pools down for good — a restarted instance would
+    // bind its socket but reject every dispatched request
+    require(!httpPool.isShutdown, "HttpApi cannot restart; create a new instance")
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/api/v1", (ex: HttpExchange) => handle(ex))
     server.setExecutor(httpPool)

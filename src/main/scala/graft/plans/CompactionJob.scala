@@ -120,17 +120,57 @@ object CompactionJob {
     *
     * Crash safety is the single atomic rename of the verified staging dir
     * to `base-<id>`: until it lands, readers see the old parts untouched;
-    * after it lands, leftover superseded parts (old bases, deltas <= id)
-    * are ignored by the reader and reclaimed here — including ones a
-    * previous crashed compaction left behind. The same refuse-to-commit
-    * signature gate as the data compaction guards the fold itself.
+    * after it lands, superseded parts (old bases, deltas <= id) are
+    * invisible to every NEW reader (the serving view's base floor skips
+    * them) but stay at their paths for `graceMs` so a CONCURRENT reader
+    * whose plan listed them before the commit keeps reading — a
+    * merge-on-read store may never delete under a live scan. Supersede
+    * time is recorded as a tombstone marker (`.graft-reclaim/<part>`);
+    * any marked part older than the grace is reclaimed by a LATER
+    * compaction (including debris a crashed run left behind). The same
+    * refuse-to-commit signature gate as the data compaction guards the
+    * fold itself.
     */
-  def compactHistogram(spark: SparkSession, outDir: String): Result = {
+  def compactHistogram(spark: SparkSession, outDir: String,
+      graceMs: Long = 600000L): Result = {
     import graft.streaming.StreamingPipeline
     val outPath = new Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (oldBase, deltas) = StreamingPipeline.storeParts(spark, outDir)
     val filesBefore = fileCount(spark, outDir)
+    // reclaim pass runs on EVERY call (even a no-op one): delete parts
+    // whose tombstone aged past the grace, then stale staging debris
+    val marks = new Path(outPath, ".graft-reclaim")
+    val now = System.currentTimeMillis()
+    try {
+      if (fs.exists(marks)) fs.listStatus(marks).foreach { m =>
+        if (now - m.getModificationTime > graceMs) {
+          fs.delete(new Path(outPath, m.getPath.getName), true): Unit
+          fs.delete(m.getPath, false): Unit
+        }
+      }
+      if (fs.exists(outPath)) fs.listStatus(outPath)
+        .filter { s =>
+          s.getPath.getName.startsWith(".histbase-staging-") &&
+            now - s.getModificationTime > graceMs
+        }
+        .foreach(s => fs.delete(s.getPath, true): Unit)
+      // a crash between commit and tombstoning leaves superseded parts
+      // unmarked (invisible to readers, never reclaimed): start their
+      // grace clock now
+      if (fs.exists(outPath)) {
+        val floor = oldBase.map(_._1).getOrElse(-1L)
+        fs.listStatus(outPath).map(_.getPath.getName).filter { n =>
+          (n.startsWith("base-") &&
+            n.stripPrefix("base-").toLongOption.exists(_ < floor)) ||
+          (n.startsWith("delta=") &&
+            n.stripPrefix("delta=").toLongOption.exists(_ <= floor))
+        }.foreach { name =>
+          val m = new Path(marks, name)
+          if (!fs.exists(m)) { fs.mkdirs(marks): Unit; fs.create(m, true).close() }
+        }
+      }
+    } catch { case _: java.io.IOException => () }
     if (deltas.isEmpty) // nothing newer than the base: no-op
       return Result(1, 0L, filesBefore, filesBefore)
     val newId = deltas.map(_._1).max
@@ -160,13 +200,16 @@ object CompactionJob {
     } finally {
       if (!committed && fs.exists(staging)) fs.delete(staging, true): Unit
     }
-    // reclaim superseded parts (best-effort: the commit already happened)
+    // tombstone the just-superseded parts (best-effort: the commit already
+    // happened); their marker mtime IS the supersede time, so the grace
+    // clock starts now, not at the part's write time
     try {
-      oldBase.foreach { case (_, p) => fs.delete(new Path(p), true): Unit }
-      deltas.foreach { case (_, p) => fs.delete(new Path(p), true): Unit }
-      fs.listStatus(outPath)
-        .filter(_.getPath.getName.startsWith(".histbase-staging-"))
-        .foreach(s => fs.delete(s.getPath, true): Unit)
+      fs.mkdirs(marks): Unit
+      (oldBase.map { case (id, _) => s"base-$id" } ++
+        deltas.map { case (id, _) => s"delta=$id" }).foreach { name =>
+        val m = new Path(marks, name)
+        if (!fs.exists(m)) fs.create(m, true).close()
+      }
     } catch { case _: java.io.IOException => () }
     Result(1, before._1, filesBefore, fileCount(spark, outDir))
   }

@@ -147,7 +147,7 @@ class ApiSpec extends AnyFunSuite {
     // of the previous page
     val offsetRows = api.jobResults(job.id, 10, 5).collect()
     val anchor = api.jobResults(job.id, 9, 1).head()
-    val ts = Timestamp.valueOf(anchor.getAs[java.time.LocalDateTime]("ts"))
+    val ts = Timestamp.from(anchor.getAs[java.time.LocalDateTime]("ts").toInstant(java.time.ZoneOffset.UTC))
     val keysetRows = api.jobResultsAfter(job.id, ts, anchor.getAs[String]("doc_id"), 5).collect()
     assert(keysetRows.map(_.getAs[String]("doc_id")).toSeq ==
       offsetRows.map(_.getAs[String]("doc_id")).toSeq)
@@ -192,7 +192,7 @@ class ApiSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
     // keyset pagination still works on the imported timestampDesc job
     val anchor = api2.jobResults(imported.id, 9, 1).head()
-    val ts = Timestamp.valueOf(anchor.getAs[java.time.LocalDateTime]("ts"))
+    val ts = Timestamp.from(anchor.getAs[java.time.LocalDateTime]("ts").toInstant(java.time.ZoneOffset.UTC))
     assert(api2.jobResultsAfter(imported.id, ts, anchor.getAs[String]("doc_id"), 5)
       .collect().map(_.getAs[String]("doc_id")).toSeq ==
       api2.jobResults(imported.id, 10, 5).collect().map(_.getAs[String]("doc_id")).toSeq)

@@ -232,19 +232,24 @@ class PipelineSpec extends AnyFunSuite {
       s"each micro-batch writes its own delta dir, saw ${Option(deltaDirs).map(_.length)}")
 
     // --- delta compaction: fold deltas into one base snapshot ---
-    // (allWindows was captured above — the pre-compaction `served` plan
-    // references delta files the compaction reclaims)
     val res = graft.plans.CompactionJob.compactHistogram(spark, sink)
     assert(res.rows == allWindows)
     val afterCompact = graft.streaming.StreamingPipeline.servedHistogram(spark, sink)
     assert(afterCompact.exceptAll(batch).isEmpty && batch.exceptAll(afterCompact).isEmpty,
       "compacted store must serve the identical histogram")
+    // grace window: the superseded parts stay at their paths, so the
+    // PRE-compaction reader plan (which listed the delta files) still
+    // executes — a merge-on-read store never deletes under a live scan
+    assert(served.count() == allWindows,
+      "a reader planned before compaction must survive the commit")
+    assert(new java.io.File(sink).listFiles((_, n) => n.startsWith("delta=")).nonEmpty,
+      "superseded deltas persist through the grace window")
+    // a later compaction past the grace reclaims them (grace -1 = expired)
+    val res2 = graft.plans.CompactionJob.compactHistogram(spark, sink, graceMs = -1L)
+    assert(res2.rows == 0L) // no new deltas: the fold itself is a no-op
     val left = new java.io.File(sink).listFiles((_, n) => n.startsWith("delta="))
-    assert(left == null || left.isEmpty, "superseded deltas must be reclaimed")
+    assert(left == null || left.isEmpty, "aged-out superseded deltas must be reclaimed")
     assert(new java.io.File(sink).listFiles((_, n) => n.startsWith("base-")).length == 1)
-    // a second compaction with no new deltas is a no-op
-    val res2 = graft.plans.CompactionJob.compactHistogram(spark, sink)
-    assert(res2.rows == 0L)
 
     // --- streaming continues AFTER compaction: new deltas compose with base ---
     // run 3: ids 60000..61000 -> ~20.6 h, past run-2's ~15.5 h watermark
