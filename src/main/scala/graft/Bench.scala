@@ -46,7 +46,7 @@ object Bench {
     // mtime — the graft-spark-local root's own mtime only refreshes when a
     // session creates its app subdir, not while shuffle files are written
     // below.
-    val pidTagged = "^(?:graft-bench|probe3-cluster|probe3-ngram)-([0-9]+)$".r
+    val pidTagged = "^(?:graft-bench|probe3-[a-z0-9]+)-([0-9]+)$".r
     val pidPrefixed = "^(?:graft-ckpt|graft-stream-q)-([0-9]+)-.*$".r
     // full recursive newest mtime: shuffle writes land 3+ levels deep
     // (spark-<app>/executor-<id>/blockmgr-<id>/<hex>/...), so a shallow

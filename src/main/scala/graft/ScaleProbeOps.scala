@@ -1,0 +1,118 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe for the round-4 operator additions whose scale story the
+  * tiny oracle corpora cannot exercise:
+  *
+  *   - BPE: histogram-bounded training (the word-count agg collapses the
+  *     corpus; the merge loop cost depends on DISTINCT words only) and
+  *     map-only encode throughput with the per-partition word memo.
+  *   - domainQuota: the WindowGroupLimit keep-first under a pathologically
+  *     HOT domain (75% of the corpus shares one domain). The probe reads
+  *     the actual shuffle-write record counts off the listener: map-side
+  *     group-limit pruning must forward ~cap rows per (domain, partition),
+  *     not the hot domain's population.
+  *
+  * Corpus: `nDocs` docs of 50 words drawn from a ~10k-word synthetic
+  * vocabulary with a product-skewed frequency distribution (hash%100 *
+  * hash%100 — many small ids, a long tail), so the BPE histogram is
+  * realistic-shaped and the memo hit rate matters.
+  *
+  * Env: PROBE_DOCS (default 1,000,000), PROBE_CPUS (default 32),
+  * PROBE_MERGES (default 300), PROBE_CAP (default 100).
+  */
+object ScaleProbeOps {
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def corpus(spark: SparkSession, nDocs: Long): DataFrame = {
+    val wid = (k: Int) =>
+      pmod(xxhash64(col("id"), lit(k)), lit(100L)) *
+        pmod(xxhash64(col("id"), lit(k + 1000)), lit(100L))
+    val words = (0 until 50).map(k => concat(lit("w"), wid(k)))
+    // 75% of docs share ONE domain; the rest spread over 20
+    val url = when(pmod(col("id"), lit(4)) =!= 0,
+      lit(" see https://hot.example.org/page"))
+      .otherwise(concat(lit(" see https://site"), pmod(col("id"), lit(20)),
+        lit(".example.org/page")))
+    spark.range(nDocs).select(col("id").as("doc_id"),
+      concat(concat_ws(" ", words: _*), url).as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("PROBE_DOCS", "1000000").toLong
+    val cpus = sys.env.getOrElse("PROBE_CPUS", "32").toInt
+    val nMerges = sys.env.getOrElse("PROBE_MERGES", "300").toInt
+    val cap = sys.env.getOrElse("PROBE_CAP", "100").toInt
+    val shm = new File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val root = Files.createDirectory(
+      Paths.get(base, s"probe3-ops-${ProcessHandle.current().pid()}")).toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-ops-probe")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", s"$root/spark-local")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val in = s"$root/docs"
+      corpus(spark, nDocs).write.mode("overwrite").parquet(in)
+      val docs = spark.read.parquet(in)
+
+      // ---- BPE: train on the histogram, encode the corpus -------------
+      graft.ml.Bpe.encode(spark,
+        docs.filter(col("doc_id") < nDocs / 16), // JIT warmup, not measured
+        graft.ml.Bpe.trainOn(docs.filter(col("doc_id") < nDocs / 16), 50)).count()
+      val (hist, histSecs) = time {
+        graft.ml.Bpe.wordHistogram(docs).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+      }
+      val (merges, trainSecs) = time { graft.ml.Bpe.train(hist, nMerges) }
+      val ((nTokens, nRows), encodeSecs) = time {
+        val agg = graft.ml.Bpe.encode(spark, docs, merges)
+          .agg(sum(col("n_tok")), count(lit(1))).head()
+        (agg.getLong(0), agg.getLong(1))
+      }
+      println(f"""{"probe":"bpe","docs":$nDocs,"distinct_words":${hist.length},""" +
+        f""""hist_secs":$histSecs%.2f,"merges":${merges.size},"train_secs":$trainSecs%.2f,""" +
+        f""""encode_secs":$encodeSecs%.2f,"tokens":$nTokens,""" +
+        f""""docs_per_sec":${nRows / encodeSecs}%.0f}""")
+
+      // ---- domain quota under a hot domain ----------------------------
+      val shuffleRecords = new AtomicLong()
+      val listener = new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+          Option(s.stageInfo.taskMetrics).foreach(m =>
+            shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten): Unit)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val (outRows, quotaSecs) = try time {
+        graft.ml.TextCleaning.domainQuota(docs, cap).count()
+      } finally {
+        Thread.sleep(500) // async listener bus settle
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      println(f"""{"probe":"quota","docs":$nDocs,"hot_frac":0.75,"cap":$cap,""" +
+        f""""out_rows":$outRows,"shuffle_records":${shuffleRecords.get()},""" +
+        f""""secs":$quotaSecs%.2f,"docs_per_sec":${nDocs / quotaSecs}%.0f}""")
+    } finally {
+      spark.stop()
+      graft.util.Dirs.deleteRecursively(new File(root))
+    }
+  }
+}
