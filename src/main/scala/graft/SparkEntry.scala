@@ -23,6 +23,8 @@ object SparkEntry {
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // staged streaming-input copy, once per scale dir
   private val stagedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // staged double-shipped corpus (streaming dedup input), once per scale dir
+  private val dedupStagedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // staged raw log-text files (S2/S3 ingestion surface), once per scale dir
   private val ingestCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // staged multi-batch routed output (compaction input), once per scale dir
@@ -551,6 +553,51 @@ object SparkEntry {
         graft.util.Dirs.deleteRecursively(new java.io.File(sink))
       }
     }),
+    // S5 dedup insert on the STREAMING path: the corpus is shipped twice
+    // as two files, forced into separate micro-batches
+    // (maxFilesPerTrigger=1) — the second delivery is dropped entirely by
+    // the stateful unique-key dedup (reference UNIQUE(host,source,ts,
+    // offset) ON CONFLICT ignore), so the routed union equals the distinct
+    // corpus. Scratch dirs per call; 8 state partitions like the histogram.
+    "q_stream_dedup" -> ((s, dir) => {
+      val shm = new java.io.File("/dev/shm")
+      val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      def scratch(prefix: String) = java.nio.file.Files.createTempDirectory(ckptBase,
+        s"$prefix-${ProcessHandle.current().pid()}-").toString
+      val in = dedupStagedCache.computeIfAbsent(dir, _ => {
+        val d = java.nio.file.Files.createTempDirectory(ckptBase,
+          s"graft-stream-q-${ProcessHandle.current().pid()}-").toString
+        val seq = EventsAdapter.sequences(s, dir).coalesce(1)
+        seq.write.mode("overwrite").parquet(s"$d/copy1")
+        seq.write.mode("overwrite").parquet(s"$d/copy2")
+        // one input dir holding the SAME corpus twice (distinct file names)
+        val inDir = java.nio.file.Paths.get(d, "in")
+        java.nio.file.Files.createDirectory(inDir): Unit
+        Seq("copy1", "copy2").zipWithIndex.foreach { case (c, i) =>
+          val part = new java.io.File(s"$d/$c").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.copy(part.toPath, inDir.resolve(s"ship-$i.parquet")): Unit
+        }
+        inDir.toString
+      })
+      val out = scratch("graft-ckpt")
+      val ckpt = scratch("graft-ckpt")
+      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.streaming.StreamingPipeline.ingestDedup(s, in, out, ckpt,
+          EventsAdapter.configs, horizon = "10 days",
+          maxFilesPerTrigger = Some(1)).awaitTermination()
+        s.read.parquet(out).select(col("doc_id"))
+          .localCheckpoint(eager = true) // outlives the scratch dirs below
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+        org.apache.spark.sql.graftbridge.Bridge.stopStateStoreMaintenance()
+        graft.util.Dirs.deleteRecursively(new java.io.File(ckpt))
+        graft.util.Dirs.deleteRecursively(new java.io.File(out))
+      }
+    }),
     // LSH-bucketed ANN pairs (signature + banding replicated in the oracle;
     // recall additionally asserted against the exact baseline in MlSpec)
     "q_ann_lsh" -> ((s, dir) =>
@@ -658,6 +705,8 @@ object SparkEntry {
       s"SELECT $DOC AS doc_id FROM events WHERE event_type IN ('purchase', 'view') ORDER BY ts DESC, $DOC LIMIT 50 OFFSET 100",
     "q_http" ->
       s"SELECT $DOC AS doc_id, $RAW AS raw FROM events WHERE event_type = 'error'",
+    "q_stream_dedup" ->
+      s"SELECT $DOC AS doc_id FROM events",
     "q_pipeline_sinkcounts" ->
       s"SELECT regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, 'events-host' AS host, count(*) AS n FROM events GROUP BY 1",
     "q_compaction" ->

@@ -154,6 +154,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(c2 == 1500L, "restart must process only the new file (no dupes)")
   }
 
+  test("streaming ingest dedup drops re-shipped rows across batches via checkpointed state") {
+    val in = Files.createTempDirectory("graft-sdedup-in").toString
+    val out = Files.createTempDirectory("graft-sdedup-out").toString
+    val ckpt = Files.createTempDirectory("graft-sdedup-ckpt").toString
+    SequenceGen.sequences(spark, 1000, 2).write.mode("overwrite").parquet(in)
+    graft.streaming.StreamingPipeline.ingestDedup(
+      spark, in, out, ckpt, SequenceGen.configs, horizon = "2 days")
+      .awaitTermination()
+    assert(spark.read.parquet(out).count() == 1000L)
+    // a shipper replays docs 600-999 and delivers new docs 1000-1199: the
+    // re-shipped 400 must be dropped by the dedup STATE (this is a new
+    // file, hence a new micro-batch in a new run — per-batch overwrite
+    // idempotence alone cannot catch it), the 200 new ones must land
+    SequenceGen.sequences(spark, 1200, 2)
+      .filter(col("doc_id") >= "doc-000000000600")
+      .write.mode("append").parquet(in)
+    graft.streaming.StreamingPipeline.ingestDedup(
+      spark, in, out, ckpt, SequenceGen.configs, horizon = "2 days")
+      .awaitTermination()
+    val docs = spark.read.parquet(out).select("doc_id").collect().map(_.getString(0))
+    assert(docs.length == 1200,
+      s"state dedup: expected 1000 + 200 new rows, got ${docs.length}")
+    assert(docs.distinct.length == 1200, "no doc may be routed twice")
+    org.apache.spark.sql.graftbridge.Bridge.stopStateStoreMaintenance()
+  }
+
   test("streaming route replay is idempotent (same batch id overwrites)") {
     val out = Files.createTempDirectory("graft-replay").toString
     val enriched = LogPipeline.run(spark,
