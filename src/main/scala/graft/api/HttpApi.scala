@@ -107,6 +107,10 @@ final class HttpApi(api: JobsApi,
         case ("GET", "/api/v1/jobFieldStats") => jobFieldStats(ex)
         case ("GET", "/api/v1/config") => configGet(ex)
         case ("POST", "/api/v1/config") => configPost(ex)
+        // the reference serves its embedded schema (ConfigWeb.go:28-30);
+        // here it is authored against exactly the subset ConfigJson honors
+        case ("GET", "/api/v1/config/schema") =>
+          sendJson(ex, 200, graft.config.ConfigJson.SCHEMA_JSON)
         case (_, p) if routes(p) => sendText(ex, 405, "method not allowed")
         case _ => sendText(ex, 404, "not found")
       }
@@ -122,7 +126,7 @@ final class HttpApi(api: JobsApi,
 
   private val routes = Set("/api/v1/startJob", "/api/v1/abortJob",
     "/api/v1/jobStats", "/api/v1/jobResults", "/api/v1/jobFieldStats",
-    "/api/v1/config")
+    "/api/v1/config", "/api/v1/config/schema")
 
   // ------------------------------------------------------------- handlers
 

@@ -127,4 +127,72 @@ object ConfigJson {
   def parseFile(path: String): Parsed =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
+
+  /** JSON Schema of the config subset THIS reader honors (served by the
+    * REST surface like the reference's `GET config/schema`,
+    * internal/web/ConfigWeb.go:28-30). Authored against [[parse]] — one
+    * schema per supported knob, defaults matching the code — rather than
+    * shipping the reference's full schema file, most of which (forwarder,
+    * recipient, web, tasks blocks) maps to Spark machinery here and would
+    * advertise knobs the engine ignores.
+    */
+  val SCHEMA_JSON: String =
+    """{
+      |  "$schema": "http://json-schema.org/draft-07/schema#",
+      |  "title": "graft engine configuration (logsuck.json subset)",
+      |  "type": "object",
+      |  "properties": {
+      |    "host": {
+      |      "type": "object",
+      |      "properties": {
+      |        "name": {"type": "string", "default": "localhost"},
+      |        "type": {"type": "string", "default": "DEFAULT"}
+      |      }
+      |    },
+      |    "files": {
+      |      "type": "array",
+      |      "items": {
+      |        "type": "object",
+      |        "properties": {
+      |          "fileName": {"type": "string", "description": "glob over sources"},
+      |          "fileTypes": {"type": "array", "items": {"type": "string"},
+      |            "description": "first listed type wins; DEFAULT backs every file"}
+      |        },
+      |        "required": ["fileName"]
+      |      }
+      |    },
+      |    "fileTypes": {
+      |      "type": "array",
+      |      "items": {
+      |        "type": "object",
+      |        "properties": {
+      |          "name": {"type": "string"},
+      |          "timeLayout": {"type": "string", "default": "2006/01/02 15:04:05"},
+      |          "parser": {
+      |            "type": "object",
+      |            "properties": {
+      |              "type": {"type": "string", "enum": ["Regex", "JSON"], "default": "Regex"},
+      |              "regexConfig": {
+      |                "type": "object",
+      |                "properties": {
+      |                  "fieldExtractors": {"type": "array", "items": {"type": "string"}},
+      |                  "timeField": {"type": "string", "default": "_time"},
+      |                  "eventDelimiter": {"type": "string", "default": "\n"}
+      |                }
+      |              },
+      |              "jsonConfig": {
+      |                "type": "object",
+      |                "properties": {
+      |                  "timeField": {"type": "string", "default": "ts"},
+      |                  "eventDelimiter": {"type": "string", "default": "\n"}
+      |                }
+      |              }
+      |            }
+      |          }
+      |        },
+      |        "required": ["name"]
+      |      }
+      |    }
+      |  }
+      |}""".stripMargin
 }

@@ -153,4 +153,19 @@ class HttpApiSpec extends AnyFunSuite {
       }
     } finally { Files.deleteIfExists(cfg): Unit }
   }
+
+  test("config schema endpoint describes exactly the honored subset (ConfigWeb.go:28-30)") {
+    withServer() { (port, _) =>
+      val resp = get(port, "/api/v1/config/schema")
+      assert(resp.statusCode() == 200)
+      val schema = mapper.readTree(resp.body()) // parses = valid JSON
+      val props = schema.get("properties")
+      for (k <- Seq("host", "files", "fileTypes")) assert(props.has(k), s"schema key $k")
+      // the schema's defaults must match the parser's actual defaults
+      assert(props.get("fileTypes").get("items").get("properties")
+        .get("timeLayout").get("default").asText()
+        == graft.config.ConfigJson.DEFAULT_TIME_LAYOUT)
+      assert(post(port, "/api/v1/config/schema").statusCode() == 405)
+    }
+  }
 }
