@@ -25,8 +25,16 @@ import org.apache.spark.sql.functions._
   * hash%100 — many small ids, a long tail), so the BPE histogram is
   * realistic-shaped and the memo hit rate matters.
   *
+  *   - semanticDedup: the SemDeDup shape at 1M vectors with 10% planted
+  *     exact duplicates. The cost model is explicit: assignment is linear
+  *     in nCells (the argmax expression computes every centroid dot
+  *     product per row) while the within-cell verify is quadratic in the
+  *     MEAN CELL SIZE — so the cell count must scale with the corpus
+  *     (n/cells ~ a few hundred), exactly the knob the probe exposes.
+  *
   * Env: PROBE_DOCS (default 1,000,000), PROBE_CPUS (default 32),
-  * PROBE_MERGES (default 300), PROBE_CAP (default 100).
+  * PROBE_MERGES (default 300), PROBE_CAP (default 100),
+  * PROBE_VECS (default 1,000,000), PROBE_CELLS (default 1024).
   */
 object ScaleProbeOps {
   private def time[A](f: => A): (A, Double) = {
@@ -110,6 +118,38 @@ object ScaleProbeOps {
       println(f"""{"probe":"quota","docs":$nDocs,"hot_frac":0.75,"cap":$cap,""" +
         f""""out_rows":$outRows,"shuffle_records":${shuffleRecords.get()},""" +
         f""""secs":$quotaSecs%.2f,"docs_per_sec":${nDocs / quotaSecs}%.0f}""")
+
+      // ---- semantic dedup (SemDeDup) at forced scale -------------------
+      val nVecs = sys.env.getOrElse("PROBE_VECS", "1000000").toLong
+      val nCells = sys.env.getOrElse("PROBE_CELLS", "1024").toInt
+      val dim = 16
+      // every 10th vector is an exact copy of its decade's first -> the
+      // copy shares its source's cell and must be dropped
+      val seedId = when(pmod(col("id"), lit(10)) === 9, col("id") - 9)
+        .otherwise(col("id"))
+      spark.range(nVecs).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          d => (pmod(xxhash64(seedId, d), lit(1000)).cast("double") / lit(500.0) - lit(1.0))
+            .cast("float")).as("embedding"))
+        .write.mode("overwrite").parquet(s"$root/vecs")
+      val emb = spark.read.parquet(s"$root/vecs")
+      val (cents, buildSecs) = time {
+        graft.ml.Similarity.ivfCentroids(emb, nCells, sampleMod = 64)
+      }
+      val (_, assignSecs) = time { // assignment pass alone (linear in nCells)
+        emb.select(graft.ml.Similarity.ivfCell(col("embedding"), cents).as("cell"))
+          .agg(max(col("cell"))).head()
+      }
+      val (survivors, dedupSecs) = time {
+        graft.ml.Similarity.semanticDedup(emb, 0.99, centroids = Some(cents)).count()
+      }
+      val expected = nVecs - nVecs / 10
+      println(f"""{"probe":"semdedup","vecs":$nVecs,"dim":$dim,"cells":$nCells,""" +
+        f""""build_secs":$buildSecs%.2f,"assign_secs":$assignSecs%.2f,""" +
+        f""""dedup_secs":$dedupSecs%.2f,"survivors":$survivors,"expected":$expected,""" +
+        f""""vecs_per_sec":${nVecs / dedupSecs}%.0f}""")
+      require(survivors == expected,
+        s"semantic dedup at scale must drop exactly the planted copies ($survivors != $expected)")
     } finally {
       spark.stop()
       graft.util.Dirs.deleteRecursively(new File(root))

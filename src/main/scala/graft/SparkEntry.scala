@@ -620,7 +620,27 @@ object SparkEntry {
       val emb = DocsAdapter.embeddings(s, dir)
       graft.ml.Similarity.embeddingClusters(emb, 16,
         centroids = Some(ivfCentroidsFor(s, dir)))
-    })
+    }),
+    // SEMANTIC dedup (SemDeDup): cluster with the build-once quantizer,
+    // keep-first within-cluster cosine near-dups — per-cell equi-joins,
+    // never all-pairs; the oracle replicates the quantizer build + rule
+    "q_semantic_dedup" -> ((s, dir) =>
+      graft.ml.Similarity.semanticDedup(
+        DocsAdapter.augmentedEmbeddings(s, dir), 0.999,
+        centroids = Some(ivfCentroidsFor(s, dir)))),
+    // temperature-scaled source mixing (T=2 scaled sampling): one tiny
+    // per-source agg + broadcast join + deterministic hash filter
+    "q_source_mix" -> ((s, dir) =>
+      graft.ml.Sampling.temperatureMix(DocsAdapter.docs(s, dir), "lang")),
+    // Gopher document-quality rules (published thresholds, map-only)
+    "q_gopher_rules" -> ((s, dir) =>
+      graft.ml.TextCleaning.gopherRules(DocsAdapter.c4Docs(s, dir))),
+    // video frame sampling: a real ISO-BMFF sample table (stts/stss/stsz/
+    // stsc/stco) synthesized per doc, parsed back OUT of the bytes, and
+    // reduced to keyframes — the oracle recomputes the sample map from the
+    // shared formulas incl. the closed-form header length
+    "q_frame_sample" -> ((s, dir) =>
+      graft.ml.Multimodal.videoFrameSample(s, DocsAdapter.docs(s, dir)))
   )
 
   /** Per-sink count + cross-engine row-set signature over a compacted
@@ -796,6 +816,15 @@ object SparkEntry {
     "q_simhash_pairs" ->
       graft.ml.TextDedup.simhashPairsSql(DocsAdapter.augmentedDocsSql(), 6),
     "q_embed_clusters" ->
-      graft.ml.Similarity.embeddingClustersSql("embeddings", 16)
+      graft.ml.Similarity.embeddingClustersSql("embeddings", 16),
+    "q_semantic_dedup" ->
+      graft.ml.Similarity.semanticDedupSql(
+        "embeddings", DocsAdapter.augmentedEmbeddingsSql(), 0.999),
+    "q_source_mix" ->
+      graft.ml.Sampling.temperatureMixSql("documents", "lang"),
+    "q_gopher_rules" ->
+      graft.ml.TextCleaning.gopherRulesSql(DocsAdapter.c4DocsSql()),
+    "q_frame_sample" ->
+      graft.ml.Multimodal.videoFrameSampleSql("documents")
   )
 }

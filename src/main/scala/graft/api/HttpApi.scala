@@ -40,6 +40,10 @@ import graft.compile.{EventsFrame, TableFrame}
   *     EventWithExtractedFields keys (pkg/logsuck/events/Event.go:46-54).
   *     `Id` is the engine's string doc_id, not a storage rowid — the one
   *     documented wire divergence (a distributed engine has no autoint).
+  *   - `GET /api/v1/jobResultsAfter?jobId=&lastTs=&lastDocId=&take=` ->
+  *     same events shape; keyset pagination strictly after the RFC3339
+  *     (lastTs, lastDocId) anchor (extension — no reference analog; its
+  *     scan-side keyset is SqliteEventRepository.go:37,353)
   *   - `GET /api/v1/jobFieldStats?jobId=&fieldName=` -> `{value: count}`
   *     (jobs/Repository.go:32 GetFieldValues)
   *   - `GET|POST /api/v1/config` -> read / atomically replace the
@@ -104,6 +108,10 @@ final class HttpApi(api: JobsApi,
         case ("POST", "/api/v1/abortJob") => abortJob(ex)
         case ("GET", "/api/v1/jobStats") => jobStats(ex)
         case ("GET", "/api/v1/jobResults") => jobResults(ex)
+        // non-reference extension (O2): keyset page strictly after the
+        // (lastTs, lastDocId) anchor — O(page) where skip/take pagination
+        // would scan the prefix; same events wire shape as jobResults
+        case ("GET", "/api/v1/jobResultsAfter") => jobResultsAfter(ex)
         case ("GET", "/api/v1/jobFieldStats") => jobFieldStats(ex)
         case ("GET", "/api/v1/config") => configGet(ex)
         case ("POST", "/api/v1/config") => configPost(ex)
@@ -125,8 +133,8 @@ final class HttpApi(api: JobsApi,
   }
 
   private val routes = Set("/api/v1/startJob", "/api/v1/abortJob",
-    "/api/v1/jobStats", "/api/v1/jobResults", "/api/v1/jobFieldStats",
-    "/api/v1/config", "/api/v1/config/schema")
+    "/api/v1/jobStats", "/api/v1/jobResults", "/api/v1/jobResultsAfter",
+    "/api/v1/jobFieldStats", "/api/v1/config", "/api/v1/config/schema")
 
   // ------------------------------------------------------------- handlers
 
@@ -187,12 +195,7 @@ final class HttpApi(api: JobsApi,
       case _: EventsFrame =>
         o.put("resultType", 1) // PipeTypeEvents
         // rendered on the executors: reference wire keys, fields map last
-        pageJson(page.select(
-          col("doc_id").as("Id"), col("raw").as("Raw"),
-          col("ts").as("Timestamp"), col("host").as("Host"),
-          col("source").as("Source"), col("source_id").as("SourceId"),
-          col("fields").as("Fields")))
-          .foreach(s => events.add(mapper.readTree(s)))
+        pageJson(eventsWire(page)).foreach(s => events.add(mapper.readTree(s)))
       case TableFrame(_, order) =>
         o.put("resultType", 2) // PipeTypeTable
         order.foreach(columnOrder.add)
@@ -200,6 +203,40 @@ final class HttpApi(api: JobsApi,
     }
     sendJson(ex, 200, mapper.writeValueAsString(o))
   }
+
+  /** `GET /api/v1/jobResultsAfter?jobId=&lastTs=&lastDocId=&take=` —
+    * keyset pagination (extension; [[JobsApi.jobResultsAfter]]). `lastTs`
+    * is RFC3339. Only timestampDesc jobs carry the total (ts, doc_id)
+    * key; other sort modes answer 400 (the require inside JobsApi).
+    */
+  private def jobResultsAfter(ex: HttpExchange): Unit = {
+    val q = params(ex)
+    val id = long(q, "jobId")
+    val take = int(q, "take")
+    val lastTs = rfc3339(q.getOrElse("lastTs",
+      throw new IllegalArgumentException("lastTs is required")))
+    val lastDocId = q.getOrElse("lastDocId",
+      throw new IllegalArgumentException("lastDocId is required"))
+    api.job(id).getOrElse(throw JobsApi.NoSuchJobException(id))
+    val page = api.jobResultsAfter(id, lastTs, lastDocId, take)
+    val o = mapper.createObjectNode()
+    val events = o.putArray("events")
+    o.putArray("tableRows")
+    o.putArray("columnOrder")
+    o.put("resultType", 1) // PipeTypeEvents (keyset implies the events sort)
+    pageJson(eventsWire(page)).foreach(s => events.add(mapper.readTree(s)))
+    sendJson(ex, 200, mapper.writeValueAsString(o))
+  }
+
+  /** Reference wire keys for an events page
+    * (pkg/logsuck/events/Event.go:46-54).
+    */
+  private def eventsWire(page: DataFrame): DataFrame =
+    page.select(
+      col("doc_id").as("Id"), col("raw").as("Raw"),
+      col("ts").as("Timestamp"), col("host").as("Host"),
+      col("source").as("Source"), col("source_id").as("SourceId"),
+      col("fields").as("Fields"))
 
   private def jobFieldStats(ex: HttpExchange): Unit = {
     val q = params(ex)

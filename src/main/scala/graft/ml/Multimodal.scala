@@ -94,16 +94,14 @@ object Multimodal {
     else Some((b.getInt(18), b.getInt(22)))
   }
 
-  /** 144-byte minimal ISO-BMFF (mp4) container prefix: `ftyp` (isom) +
-    * `moov`/`mvhd` v0 carrying timescale + duration, then an `mdat` box
-    * header wrapping the payload. All fields big-endian per the spec.
-    */
-  def mp4Header(timescale: Int, durationUnits: Int, dataLen: Int): Array[Byte] = {
-    val b = ByteBuffer.allocate(144).order(ByteOrder.BIG_ENDIAN)
+  private def writeFtyp(b: ByteBuffer): Unit = {
     b.putInt(20).put("ftyp".getBytes("US-ASCII"))
       .put("isom".getBytes("US-ASCII")).putInt(0)
-      .put("mp41".getBytes("US-ASCII"))
-    b.putInt(116).put("moov".getBytes("US-ASCII"))
+      .put("mp41".getBytes("US-ASCII")): Unit
+  }
+
+  /** 108-byte `mvhd` v0 box (timescale + duration + boilerplate). */
+  private def writeMvhd(b: ByteBuffer, timescale: Int, durationUnits: Int): Unit = {
     b.putInt(108).put("mvhd".getBytes("US-ASCII"))
       .putInt(0) // version 0 + flags
       .putInt(0).putInt(0) // creation, modification
@@ -115,10 +113,203 @@ object Multimodal {
       .putInt(0).putInt(0x00010000).putInt(0)
       .putInt(0).putInt(0).putInt(0x40000000)
       .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0) // predefined
-      .putInt(2) // next track id
+      .putInt(2): Unit // next track id
+  }
+
+  /** 144-byte minimal ISO-BMFF (mp4) container prefix: `ftyp` (isom) +
+    * `moov`/`mvhd` v0 carrying timescale + duration, then an `mdat` box
+    * header wrapping the payload. All fields big-endian per the spec.
+    */
+  def mp4Header(timescale: Int, durationUnits: Int, dataLen: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(144).order(ByteOrder.BIG_ENDIAN)
+    writeFtyp(b)
+    b.putInt(116).put("moov".getBytes("US-ASCII"))
+    writeMvhd(b, timescale, durationUnits)
     b.putInt(8 + dataLen).put("mdat".getBytes("US-ASCII"))
     b.array()
   }
+
+  /** How often the synthesized video track places a sync sample. */
+  val KEYFRAME_EVERY = 4
+
+  /** Full minimal mp4 with ONE track and a REAL sample table: `ftyp` +
+    * `moov`{`mvhd`, `trak`{`mdia`{`mdhd`, `minf`{`stbl`{`stts` one-entry
+    * (every sample lasts one `timescale` tick run — here delta ==
+    * timescale, i.e. 1 s/sample), `stss` sync-sample list (every
+    * [[KEYFRAME_EVERY]]th), `stsz` per-sample sizes, `stsc` one
+    * sample per chunk, `stco` absolute chunk offsets}}}}} + `mdat` whose
+    * length is exactly the sample-size sum and whose offsets in `stco` are
+    * the true byte positions. Everything a frame sampler needs to seek —
+    * the shape real preprocessing reads via the same four boxes.
+    */
+  def mp4TrackBytes(timescale: Int, sizes: Array[Int]): Array[Byte] = {
+    val n = sizes.length
+    val keys = (1 to n by KEYFRAME_EVERY).toArray // 1-based sample numbers
+    val dataLen = sizes.sum
+    val sttsL = 24; val stssL = 16 + 4 * keys.length; val stszL = 20 + 4 * n
+    val stscL = 28; val stcoL = 16 + 4 * n
+    val stblL = 8 + sttsL + stssL + stszL + stscL + stcoL
+    val minfL = 8 + stblL; val mdhdL = 32; val mdiaL = 8 + mdhdL + minfL
+    val trakL = 8 + mdiaL; val moovL = 8 + 108 + trakL
+    val headerLen = 20 + moovL + 8
+    val b = ByteBuffer.allocate(headerLen + dataLen).order(ByteOrder.BIG_ENDIAN)
+    writeFtyp(b)
+    b.putInt(moovL).put("moov".getBytes("US-ASCII"))
+    writeMvhd(b, timescale, n * timescale)
+    b.putInt(trakL).put("trak".getBytes("US-ASCII"))
+    b.putInt(mdiaL).put("mdia".getBytes("US-ASCII"))
+    b.putInt(mdhdL).put("mdhd".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0) // vf, creation, modification
+      .putInt(timescale).putInt(n * timescale)
+      .putShort(0x55c4.toShort).putShort(0) // language "und" + quality
+    b.putInt(minfL).put("minf".getBytes("US-ASCII"))
+    b.putInt(stblL).put("stbl".getBytes("US-ASCII"))
+    b.putInt(sttsL).put("stts".getBytes("US-ASCII"))
+      .putInt(0).putInt(1).putInt(n).putInt(timescale)
+    b.putInt(stssL).put("stss".getBytes("US-ASCII")).putInt(0).putInt(keys.length)
+    keys.foreach(k => b.putInt(k): Unit)
+    b.putInt(stszL).put("stsz".getBytes("US-ASCII")).putInt(0).putInt(0).putInt(n)
+    sizes.foreach(s => b.putInt(s): Unit)
+    b.putInt(stscL).put("stsc".getBytes("US-ASCII"))
+      .putInt(0).putInt(1).putInt(1).putInt(1).putInt(1) // one sample per chunk
+    b.putInt(stcoL).put("stco".getBytes("US-ASCII")).putInt(0).putInt(n)
+    var off = headerLen
+    sizes.foreach { s => b.putInt(off): Unit; off += s }
+    b.putInt(8 + dataLen).put("mdat".getBytes("US-ASCII"))
+    var i = 0
+    while (i < dataLen) { b.put((i % 251).toByte): Unit; i += 1 }
+    b.array()
+  }
+
+  /** One parsed track sample: 1-based number, presentation second, byte
+    * size, absolute byte offset, sync-sample flag.
+    */
+  case class Mp4Sample(sample_no: Int, pts_s: Long, n_bytes: Int,
+      offset: Long, key: Boolean)
+
+  /** Walk a [[mp4TrackBytes]]-shaped container down
+    * moov/trak/mdia/minf/stbl and rebuild the sample map from the four
+    * sample-table boxes (stts run-length deltas -> pts via the mdhd
+    * timescale, stss sync set, stsz sizes, stco + one-sample-per-chunk stsc
+    * -> offsets). Bounds-checked at every hop; anything malformed yields
+    * Nil, never a misread. This is the real seek map a frame sampler uses.
+    */
+  def parseMp4Samples(p: Array[Byte]): Seq[Mp4Sample] = {
+    val b = ByteBuffer.wrap(p).order(ByteOrder.BIG_ENDIAN)
+    def boxType(off: Int): String = new String(p, off + 4, 4, "US-ASCII")
+    // find the single child box named `t` inside [from, end)
+    def child(from: Int, end: Int, t: String): Option[(Int, Int)] = {
+      var off = from
+      while (off + 8 <= end) {
+        val size = b.getInt(off)
+        if (size < 8 || off + size > end) return None
+        if (boxType(off) == t) return Some((off + 8, off + size))
+        off += size
+      }
+      None
+    }
+    if (p.length < 16 || boxType(0) != "ftyp") return Nil
+    val parsed = for {
+      (moovS, moovE) <- child(0, p.length, "moov")
+      (trakS, trakE) <- child(moovS, moovE, "trak")
+      (mdiaS, mdiaE) <- child(trakS, trakE, "mdia")
+      (mdhdS, mdhdE) <- child(mdiaS, mdiaE, "mdhd")
+      if mdhdE - mdhdS >= 24 && b.get(mdhdS) == 0
+      timescale = b.getInt(mdhdS + 12)
+      if timescale > 0
+      (minfS, minfE) <- child(mdiaS, mdiaE, "minf")
+      (stblS, stblE) <- child(minfS, minfE, "stbl")
+      (sttsS, sttsE) <- child(stblS, stblE, "stts")
+      (stssS, stssE) <- child(stblS, stblE, "stss")
+      (stszS, stszE) <- child(stblS, stblE, "stsz")
+      (stscS, stscE) <- child(stblS, stblE, "stsc")
+      (stcoS, stcoE) <- child(stblS, stblE, "stco")
+    } yield {
+      // stsc must describe the one-sample-per-chunk layout we synthesize
+      val stscOk = stscE - stscS == 20 && b.getInt(stscS + 4) == 1 &&
+        b.getInt(stscS + 8) == 1 && b.getInt(stscS + 12) == 1
+      val nStts = if (sttsE - sttsS >= 8) b.getInt(sttsS + 4) else -1
+      val nSz = if (stszE - stszS >= 12) b.getInt(stszS + 8) else -1
+      val nCo = if (stcoE - stcoS >= 8) b.getInt(stcoS + 4) else -1
+      val nKeys = if (stssE - stssS >= 8) b.getInt(stssS + 4) else -1
+      val lensOk = stscOk && nSz >= 0 && nSz == nCo && nKeys >= 0 &&
+        nStts >= 1 && sttsE - sttsS >= 8 + 8 * nStts &&
+        stszE - stszS >= 12 + 4 * nSz && stcoE - stcoS >= 8 + 4 * nCo &&
+        stssE - stssS >= 8 + 4 * nKeys && b.getInt(stszS + 4) == 0
+      if (!lensOk) Nil
+      else {
+        val keys = (0 until nKeys).map(i => b.getInt(stssS + 8 + 4 * i)).toSet
+        // expand stts run-length (count, delta) entries into per-sample pts
+        val deltas = Iterator.range(0, nStts).flatMap { e =>
+          val cnt = b.getInt(sttsS + 8 + 8 * e)
+          val delta = b.getInt(sttsS + 8 + 8 * e + 4)
+          Iterator.fill(cnt)(delta.toLong)
+        }.take(nSz).toArray
+        if (deltas.length != nSz) Nil
+        else {
+          var elapsed = 0L
+          (0 until nSz).map { i =>
+            val pts = elapsed / timescale
+            elapsed += deltas(i)
+            Mp4Sample(i + 1, pts, b.getInt(stszS + 12 + 4 * i),
+              b.getInt(stcoS + 8 + 4 * i).toLong, keys.contains(i + 1))
+          }
+        }
+      }
+    }
+    parsed.getOrElse(Nil)
+  }
+
+  // per-doc video sample-size formula (shared with the SQL oracle)
+  private def sampleSizeFor(id: Long, i0: Int): Int =
+    (200 + (id * 31 + i0 * 7) % 100).toInt
+
+  /** Video table: every document becomes an mp4 with a real sample table
+    * ([[mp4TrackBytes]]): `durationSFor(id)` one-second samples, sizes from
+    * the shared deterministic formula, a keyframe every
+    * [[KEYFRAME_EVERY]]th sample.
+    */
+  def videoTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = durationSFor(id)
+      MediaRow(id, "video/mp4",
+        mp4TrackBytes(timescaleFor(id), Array.tabulate(n)(sampleSizeFor(id, _))))
+    }
+  }
+
+  /** Frame sampling over the video table: parse each container's sample
+    * map OUT OF THE BYTES and keep the sync samples (keyframes) — the
+    * standard vision-preprocessing reduction (decode only seekable frames,
+    * never the full stream). Map-only flatMap per row: the 10^12-row shape
+    * is a scan whose output is ~1/[[KEYFRAME_EVERY]] of the sample count.
+    */
+  def videoFrameSample(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    videoTable(spark, docs).flatMap { r =>
+      parseMp4Samples(r.payload).iterator.filter(_.key).map(s =>
+        (r.doc_id, s.sample_no.toLong, s.pts_s, s.n_bytes.toLong, s.offset))
+    }.toDF("doc_id", "sample_no", "pts_s", "n_bytes", "offset")
+  }
+
+  /** DuckDB twin of [[videoFrameSample]]: recomputes the sample map from
+    * the shared synthesis formulas — sample count 5 + id % 60, sizes
+    * 200 + (id*31 + i0*7) % 100, one-second pts, keyframes every 4th, and
+    * byte offsets = the closed-form header length (312 + 4*ceil(n/4) + 8n,
+    * the sum of the fixed box sizes plus the per-sample stsz/stco entries)
+    * plus the running size prefix sum.
+    */
+  def videoFrameSampleSql(docsRel: String): String =
+    s"""WITH base AS (SELECT doc_id, CAST(5 + doc_id % 60 AS BIGINT) AS n FROM $docsRel),
+       |samples AS (SELECT doc_id, n, (n + 3) // 4 AS k, unnest(range(1, n + 1)) AS i FROM base),
+       |sized AS (SELECT doc_id, n, k, i,
+       |    200 + (doc_id * 31 + (i - 1) * 7) % 100 AS sz FROM samples),
+       |placed AS (SELECT doc_id, i, sz,
+       |    312 + 4 * k + 8 * n + COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM sized)
+       |SELECT doc_id, CAST(i AS BIGINT) AS sample_no, CAST(i - 1 AS BIGINT) AS pts_s,
+       |  CAST(sz AS BIGINT) AS n_bytes, CAST(off AS BIGINT) AS offset
+       |FROM placed WHERE (i - 1) % $KEYFRAME_EVERY = 0""".stripMargin.replace("\n", " ")
 
   /** Walk the ISO-BMFF box tree: Some((timescale, durationUnits)) iff an
     * `ftyp`-led file carries a `moov`/`mvhd` v0 box at sane offsets.

@@ -47,4 +47,47 @@ object Sampling {
     s"""SELECT * FROM $docsRel
        | WHERE ${bucketSql("doc_id", salt)} < (CASE $cases ELSE ${default * BUCKETS} END)""".stripMargin.replace("\n", " ")
   }
+
+  /** Temperature-scaled source mixing (the multilingual "sampling with
+    * temperature" recipe, e.g. XLM-R, Conneau et al. ACL'20): reweight
+    * source shares s_i to s_i^(1/T) so oversized sources shrink relative
+    * to rare ones, realized by downsampling only (no upsampling) — the
+    * keep probability normalizes so the rarest source keeps everything:
+    * p_i = s_i^(1/T-1) / max_j s_j^(1/T-1), which at the standard T=2
+    * collapses to sqrt(n_min / n_i) — a pure function of the integer
+    * per-source counts through IEEE-exact divide + sqrt, hence
+    * bit-reproducible in any engine (general T would need pow(), which is
+    * only ~1-ulp and out of oracle scope).
+    *
+    * Plan shape: ONE tiny per-source aggregate (partial map-side combine,
+    * source-cardinality rows), a 1-row min, then a broadcast equi-join back
+    * and the deterministic hash filter — the 10^12-row side is touched by
+    * exactly one agg pass and one map-only filter pass, and the decision is
+    * a pure function of (doc_id, salt, counts): reproducible and resumable
+    * at any parallelism.
+    */
+  def temperatureMix(docs: DataFrame, sourceCol: String,
+      salt: String = "tmix-v1"): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol).as("src")).agg(count(lit(1)).as("n"))
+    val minN = counts.agg(min(col("n")).as("n_min"))
+    val probs = counts.crossJoin(broadcast(minN))
+      .select(col("src"),
+        round(sqrt(col("n_min").cast("double") / col("n")), 6).as("keep_prob"))
+    docs.join(broadcast(probs), col(sourceCol) === col("src"))
+      .filter(bucket(col("doc_id"), salt) < col("keep_prob") * BUCKETS)
+      .select(col("doc_id"), col("src"), col("keep_prob"))
+  }
+
+  /** DuckDB twin of [[temperatureMix]] (same rounded keep probability and
+    * hash threshold).
+    */
+  def temperatureMixSql(docsRel: String, sourceCol: String,
+      salt: String = "tmix-v1"): String =
+    s"""WITH counts AS (SELECT $sourceCol AS src, count(*) AS n FROM $docsRel GROUP BY 1),
+       |probs AS (SELECT src,
+       |    round(sqrt(CAST((SELECT min(n) FROM counts) AS DOUBLE) / n), 6) AS keep_prob
+       |  FROM counts)
+       |SELECT d.doc_id, p.src, p.keep_prob FROM $docsRel d
+       |JOIN probs p ON d.$sourceCol = p.src
+       |WHERE ${bucketSql("d.doc_id", salt)} < p.keep_prob * $BUCKETS""".stripMargin.replace("\n", " ")
 }

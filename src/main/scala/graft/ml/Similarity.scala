@@ -282,6 +282,47 @@ object Similarity {
     s"""${ivfIndexCtes(embRel, nCells)}
        |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM indexed""".stripMargin.replace("\n", " ")
 
+  /** SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the build-once coarse
+    * quantizer, then drop every vector that has a higher-priority
+    * (lower-id) near-duplicate WITHIN ITS CLUSTER at >= `threshold`
+    * cosine. The quadratic dedup becomes per-cell equi-joins: assignment
+    * is map-only, the pair join shuffles once on `cell` and each task only
+    * compares within one cell's population — at 100 TB the cell count
+    * scales with the corpus so no task ever sees the whole table. Returns
+    * the surviving (vec_id, cell).
+    *
+    * `centroids` takes the per-corpus build-once artifact (same lifecycle
+    * as [[ivfTopK]]'s quantizer); omitting it rebuilds per call.
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double, nCells: Int = 16,
+      centroids: Option[Array[Array[Float]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(emb, nCells))
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      ivfCell(col("embedding"), cents).cast("long").as("cell"))
+    val dropped = assigned.as("l").join(assigned.as("r"),
+        col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
+      .filter(round(cosine(col("l.embedding"), col("r.embedding")), 6) >= threshold)
+      .select(col("r.vec_id").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** DuckDB twin of [[semanticDedup]]: the quantizer build is replicated
+    * from `baseRel` (exactly what the shipped artifact was trained on) and
+    * the cluster assignment + within-cell keep-first run over `augRel`.
+    */
+  def semanticDedupSql(baseRel: String, augRel: String, threshold: Double,
+      nCells: Int = 16): String =
+    s"""${ivfIndexCtes(baseRel, nCells)},
+       |aug AS (SELECT vec_id, embedding FROM $augRel),
+       |ai AS (SELECT a.vec_id, a.embedding,
+       |    CAST(${nearestSql("a.embedding", "cents", 1)}[1] AS BIGINT) AS cell FROM aug a),
+       |dropped AS (SELECT DISTINCT r.vec_id FROM ai l JOIN ai r
+       |  ON l.cell = r.cell AND l.vec_id < r.vec_id
+       |  WHERE round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), 6) >= $threshold)
+       |SELECT vec_id, cell FROM ai WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin.replace("\n", " ")
+
   /** DuckDB twin of [[lshNearDupPairs]]: same signature bit-mix, banding,
     * candidate join, and 6-dp cosine verification.
     */

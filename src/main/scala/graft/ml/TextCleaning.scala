@@ -140,6 +140,92 @@ object TextCleaning {
        |   contains(text, '{') AS has_brace
        | FROM $docsRel)""".stripMargin.replace("\n", " ")
 
+  // ---------------------------------------------------------- Gopher rules
+
+  val GOPHER_MIN_WORDS = 50
+  val GOPHER_MAX_WORDS = 100000
+  val GOPHER_MIN_MEAN_WORD_LEN = 3.0
+  val GOPHER_MAX_MEAN_WORD_LEN = 10.0
+  val GOPHER_MAX_SYMBOL_RATIO = 0.1
+  val GOPHER_MAX_BULLET_RATIO = 0.9
+  val GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+  val GOPHER_MIN_ALPHA_RATIO = 0.8
+  val GOPHER_MIN_STOPWORDS = 2
+  val GOPHER_STOPWORDS = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher's published document-quality rules (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1), map-only per document: word-count bounds,
+    * mean word length 3-10, symbol-to-word ratio (# or ...) <= 0.1, bullet-
+    * started lines <= 90%, ellipsis-ended lines <= 30%, >= 80% of words
+    * carrying an alphabetic character, and >= 2 distinct stop words from
+    * the published 8-word list. Emits every per-doc metric (rounded to 4 dp
+    * — the keep verdict compares the ROUNDED values so both engines decide
+    * identically) plus the composite `keep`. Pure column work over one
+    * whitespace split; the 10^12-row shape is a scan.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val ws = filter(split(lower(col("text")), "\\s+"), w => w =!= "")
+    val lines = split(col("text"), "\n")
+    val nWords = size(col("ws"))
+    val nLines = size(col("lines"))
+    // total word chars = doc chars minus whitespace (avoids a per-word fold)
+    val meanLen = round(
+      length(regexp_replace(lower(col("text")), "\\s+", "")).cast("double") / nWords, 4)
+    val symbolRatio = round(
+      (size(regexp_extract_all(col("text"), lit("#"), lit(0))) +
+        size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0)))).cast("double") / nWords, 4)
+    val bulletRatio = round(
+      size(filter(col("lines"), l => trim(l).rlike("^[-*] "))).cast("double") / nLines, 4)
+    val ellipsisRatio = round(
+      size(filter(col("lines"), l => trim(l).rlike("\\.\\.\\.$"))).cast("double") / nLines, 4)
+    val alphaRatio = round(
+      size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("double") / nWords, 4)
+    val nStop = size(array_intersect(col("ws"),
+      array(GOPHER_STOPWORDS.map(lit): _*)))
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("ws", ws).withColumn("lines", lines)
+      .select(col("doc_id"),
+        nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
+        ellipsisRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_ratio"),
+        nStop.as("n_stop"))
+      .withColumn("keep",
+        col("n_words") >= GOPHER_MIN_WORDS && col("n_words") <= GOPHER_MAX_WORDS &&
+        col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN &&
+        col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN &&
+        col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO &&
+        col("bullet_ratio") <= GOPHER_MAX_BULLET_RATIO &&
+        col("ellipsis_ratio") <= GOPHER_MAX_ELLIPSIS_RATIO &&
+        col("alpha_ratio") >= GOPHER_MIN_ALPHA_RATIO &&
+        col("n_stop") >= GOPHER_MIN_STOPWORDS)
+  }
+
+  /** DuckDB twin of [[gopherRules]] (same splits, rounding, thresholds). */
+  def gopherRulesSql(docsRel: String): String = {
+    val stops = GOPHER_STOPWORDS.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+       | ellipsis_ratio, alpha_ratio, n_stop,
+       | (n_words >= $GOPHER_MIN_WORDS AND n_words <= $GOPHER_MAX_WORDS
+       |  AND mean_word_len >= $GOPHER_MIN_MEAN_WORD_LEN AND mean_word_len <= $GOPHER_MAX_MEAN_WORD_LEN
+       |  AND symbol_ratio <= $GOPHER_MAX_SYMBOL_RATIO
+       |  AND bullet_ratio <= $GOPHER_MAX_BULLET_RATIO
+       |  AND ellipsis_ratio <= $GOPHER_MAX_ELLIPSIS_RATIO
+       |  AND alpha_ratio >= $GOPHER_MIN_ALPHA_RATIO
+       |  AND n_stop >= $GOPHER_MIN_STOPWORDS) AS keep
+       |FROM (SELECT doc_id,
+       |   len(ws) AS n_words,
+       |   round(CAST(len(regexp_replace(lower(text), '\\s+', '', 'g')) AS DOUBLE) / len(ws), 4) AS mean_word_len,
+       |   round(CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / len(ws), 4) AS symbol_ratio,
+       |   round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*] '))) AS DOUBLE) / len(lines), 4) AS bullet_ratio,
+       |   round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$$'))) AS DOUBLE) / len(lines), 4) AS ellipsis_ratio,
+       |   round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws), 4) AS alpha_ratio,
+       |   len(list_intersect(ws, [$stops])) AS n_stop
+       | FROM (SELECT doc_id, text,
+       |     list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS ws,
+       |     string_split(text, chr(10)) AS lines
+       |   FROM $docsRel))""".stripMargin.replace("\n", " ")
+  }
+
   // ---------------------------------------------------------- domain quota
 
   /** Per-domain document quota (the Gopher/FineWeb-style source cap that

@@ -168,4 +168,41 @@ class HttpApiSpec extends AnyFunSuite {
       assert(post(port, "/api/v1/config/schema").statusCode() == 405)
     }
   }
+
+  test("jobResultsAfter pages by keyset over HTTP (O2 extension)") {
+    withServer() { (port, api) =>
+      val id = post(port,
+        s"/api/v1/startJob?searchString=${enc("eventtype IN (purchase, view)")}")
+        .body().trim.toLong
+      // anchor = position-9 row read through the store (full ts precision)
+      val anchor = api.jobResults(id, 9, 1).select("ts", "doc_id").head()
+      val ts = java.time.OffsetDateTime.of(
+        anchor.getAs[java.time.LocalDateTime](0), java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+      val docId = anchor.getString(1)
+      val next = mapper.readTree(get(port,
+        s"/api/v1/jobResultsAfter?jobId=$id&lastTs=${enc(ts)}&lastDocId=${enc(docId)}&take=5")
+        .body())
+      assert(next.get("resultType").asInt() == 1)
+      val viaKeyset = next.get("events").elements().asScala
+        .map(_.get("Id").asText()).toSeq
+      val viaSkip = mapper.readTree(
+        get(port, s"/api/v1/jobResults?jobId=$id&skip=10&take=5").body())
+        .get("events").elements().asScala.map(_.get("Id").asText()).toSeq
+      assert(viaKeyset == viaSkip, "keyset page must equal the offset page")
+
+      // a preserveArgOrder job has no total (ts, doc_id) key -> 400
+      val id2 = post(port,
+        s"/api/v1/startJob?searchString=${enc("| surrounding count=6 eventId=50")}")
+        .body().trim.toLong
+      assert(get(port,
+        s"/api/v1/jobResultsAfter?jobId=$id2&lastTs=${enc(ts)}&lastDocId=x&take=5")
+        .statusCode() == 400)
+      // missing anchor param -> 400; unknown id -> 404
+      assert(get(port, s"/api/v1/jobResultsAfter?jobId=$id&take=5").statusCode() == 400)
+      assert(get(port,
+        s"/api/v1/jobResultsAfter?jobId=99999&lastTs=${enc(ts)}&lastDocId=x&take=5")
+        .statusCode() == 404)
+    }
+  }
 }

@@ -551,4 +551,93 @@ class MlSpec extends AnyFunSuite {
       .sortBy { case (g, c) => (-c, g) }.take(20)
     assert(top.map(r => (r.getString(0), r.getLong(1))).toSeq == brute)
   }
+
+  test("semantic dedup drops the planted embedding copies and keeps originals") {
+    val emb = DocsAdapter.augmentedEmbeddings(spark, dir)
+    val cents = Similarity.ivfCentroids(DocsAdapter.embeddings(spark, dir), 16)
+    val surv = Similarity.semanticDedup(emb, 0.999, centroids = Some(cents))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val copies = emb.filter(col("vec_id") >= DocsAdapter.VEC_SHIFT)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // an exact copy shares its source's cell (identical vector, identical
+    // deterministic argmax) and has the larger id — keep-first must drop it
+    assert(copies.nonEmpty && copies.intersect(surv).isEmpty,
+      s"planted copies must be dropped: ${copies.intersect(surv)}")
+    val originals = emb.filter(col("vec_id") < DocsAdapter.VEC_SHIFT)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(originals.subsetOf(surv),
+      "no original has a smaller-id 0.999-near-dup in this corpus")
+  }
+
+  test("temperature mix keeps the rarest source whole and downsamples at sqrt scale") {
+    import graft.ml.Sampling
+    val docs = DocsAdapter.docs(spark, dir)
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    val mix = Sampling.temperatureMix(docs, "lang")
+    val kept = mix.groupBy("src").agg(count(lit(1)).as("k"), first("keep_prob").as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    counts.foreach { case (src, n) =>
+      val (k, p) = kept(src)
+      assert(math.abs(p - math.sqrt(nMin.toDouble / n)) < 1e-6,
+        s"$src keep_prob $p != sqrt($nMin/$n)")
+      assert(k <= n)
+      if (p > 0.999) assert(k == n, s"rarest source $src must keep everything")
+      // hash uniformity: the kept count tracks p*n (loose 3-sigma-ish band)
+      val tol = 4 * math.sqrt(n.toDouble) + 2
+      assert(math.abs(k - p * n) <= tol, s"$src kept $k, expected ~${p * n}")
+    }
+    // deterministic: a second run keeps the identical document set
+    val a = mix.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMix(docs, "lang")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("gopher rules compute the published metrics on a hand-built page") {
+    import spark.implicits._
+    val text = "the cat and the dog have fun with all of that...\n- bullet line\nplain words here"
+    val row = TextCleaning.gopherRules(
+      Seq((1L, text)).toDF("doc_id", "text")).collect().head
+    val nWords = 17 // 11 + 3 + 3 whitespace tokens
+    assert(row.getAs[Int]("n_words") == nWords)
+    val charSum = text.replaceAll("\\s+", "").length // words keep their punctuation
+    assert(row.getAs[Double]("mean_word_len") ==
+      math.rint(charSum.toDouble / nWords * 10000) / 10000)
+    assert(row.getAs[Double]("symbol_ratio") ==
+      math.rint(1.0 / nWords * 10000) / 10000) // one "..." occurrence, no '#'
+    assert(row.getAs[Double]("bullet_ratio") == 0.3333) // 1 of 3 lines
+    assert(row.getAs[Double]("ellipsis_ratio") == 0.3333)
+    assert(row.getAs[Double]("alpha_ratio") ==
+      math.rint(16.0 / nWords * 10000) / 10000) // "-" is the only non-alpha word
+    assert(row.getAs[Int]("n_stop") == 5) // the, and, have, with, of ("that..." != "that")
+    assert(!row.getAs[Boolean]("keep")) // fails the 50-word minimum
+  }
+
+  test("mp4 sample table round-trips and rejects corruption") {
+    val sizes = Array(100, 150, 200, 250, 300)
+    val p = Multimodal.mp4TrackBytes(1000, sizes)
+    val samples = Multimodal.parseMp4Samples(p)
+    assert(samples.map(_.n_bytes) == sizes.toSeq)
+    assert(samples.map(_.pts_s) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(samples.filter(_.key).map(_.sample_no) == Seq(1, 5))
+    // the first stco offset points at the byte right after the mdat header
+    val first = samples.head.offset.toInt
+    assert(new String(p.slice(first - 4, first), "US-ASCII") == "mdat")
+    assert(samples.map(_.offset) ==
+      sizes.scanLeft(first.toLong)(_ + _).init.toSeq, "offsets are the size prefix sum")
+    // mdat really holds the declared bytes (deterministic fill)
+    assert(p.length == first + sizes.sum && p(first) == 0 && p(first + 1) == 1)
+    // the plain metadata parser still reads this container's moov/mvhd
+    assert(Multimodal.parseMp4(p).contains((1000, 5000)))
+    // corruption paths: truncation, a track-less container, a corrupt stsc
+    assert(Multimodal.parseMp4Samples(p.take(60)).isEmpty)
+    assert(Multimodal.parseMp4Samples(
+      Multimodal.mp4Header(1000, 5000, 10) ++ Array.fill(10)(7.toByte)).isEmpty)
+    val badStsc = p.clone()
+    val stscAt = new String(p, "ISO-8859-1").indexOf("stsc")
+    badStsc(stscAt + 12) = 9 // samples_per_chunk != 1
+    assert(Multimodal.parseMp4Samples(badStsc).isEmpty)
+  }
 }

@@ -113,6 +113,18 @@ class PlanSpec extends AnyFunSuite {
       s"no non-equi join in packing:\n$plan")
   }
 
+  test("source mix joins the corpus against broadcast probabilities") {
+    // the only nested-loop in the plan may be the 1-row scalar n_min
+    // broadcast; the corpus-side probability join must be a broadcast
+    // equi-join (per-source probs are dim-sized), never a shuffle of the
+    // big side beyond its single aggregation pass
+    val plan = SparkEntry.queries("q_source_mix")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probs must broadcast-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no big-side shuffle join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("no shipped dedup/ANN query plans a cartesian or big-big nested-loop join") {
     // q_ann_topk is the documented exact BASELINE: its BroadcastNestedLoopJoin
     // carries a bounded query frame (nQueries rows) — linear scan, fine at
@@ -121,7 +133,7 @@ class PlanSpec extends AnyFunSuite {
     val spark0 = spark
     val checks = Seq("q_dedup_ngram", "q_dedup_minhash", "q_dedup_embedding",
       "q_ann_lsh", "q_ann_ivf", "q_simhash_pairs", "q_packing", "q_contamination",
-      "q_dedup_chunks")
+      "q_dedup_chunks", "q_semantic_dedup")
     checks.foreach { name =>
       val plan = SparkEntry.queries(name)(spark0, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
