@@ -22,10 +22,11 @@ import graft.compile.{EventsFrame, TableFrame}
   * jobFieldStats, plus internal/web/ConfigWeb.go:25-85's config
   * endpoints) rebuilt over [[JobsApi]] with the JDK's built-in
   * `com.sun.net.httpserver` — zero added dependencies, loopback-bound by
-  * default. The web GUI's static assets and its schema/enum helper
-  * endpoints stay out of scope (README boundary): this is the machine
-  * face of the engine, speaking the reference's wire shapes so an
-  * existing API client can point here:
+  * default. The web GUI ships too ([[WebGui]]: `/`, `/search`, `/config`
+  * plus the `GET /api/v1/enums/{name}` helper the reference's config page
+  * uses, internal/web/EnumProvider.go) — hand-written static pages that
+  * are pure clients of this machine face, which speaks the reference's
+  * wire shapes so an existing API client can point here:
   *
   *   - `POST /api/v1/startJob?searchString=&relativeTime=|startTime=&endTime=`
   *     -> the job id as a bare JSON number (Web.go:163-176). relativeTime
@@ -86,6 +87,8 @@ final class HttpApi(api: JobsApi,
     require(!httpPool.isShutdown, "HttpApi cannot restart; create a new instance")
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/api/v1", (ex: HttpExchange) => handle(ex))
+    // longest-prefix routing: the root context only sees non-api paths
+    server.createContext("/", (ex: HttpExchange) => handleGui(ex))
     server.setExecutor(httpPool)
     server.start()
     server.getAddress.getPort
@@ -119,7 +122,12 @@ final class HttpApi(api: JobsApi,
         // here it is authored against exactly the subset ConfigJson honors
         case ("GET", "/api/v1/config/schema") =>
           sendJson(ex, 200, graft.config.ConfigJson.SCHEMA_JSON)
-        case (_, p) if routes(p) => sendText(ex, 405, "method not allowed")
+        // the GUI's enum providers (internal/web/EnumProvider.go via
+        // ConfigWeb.go:31-44) — values of the attached config's maps
+        case ("GET", p) if p.startsWith("/api/v1/enums/") =>
+          enums(ex, p.stripPrefix("/api/v1/enums/"))
+        case (_, p) if routes(p) || p.startsWith("/api/v1/enums/") =>
+          sendText(ex, 405, "method not allowed")
         case _ => sendText(ex, 404, "not found")
       }
     } catch {
@@ -249,6 +257,41 @@ final class HttpApi(api: JobsApi,
       .sortBy(_.getString(0))
       .foreach(r => o.put(r.getString(0), r.getLong(1)))
     sendJson(ex, 200, mapper.writeValueAsString(o))
+  }
+
+  /** The GUI pages (reference Web.go:138-160: `/`, `/search`, `/config`
+    * serve the embedded bundle; here [[WebGui]]'s static HTML).
+    */
+  private def handleGui(ex: HttpExchange): Unit = {
+    try {
+      (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+        case ("GET", "/") | ("GET", "/search") =>
+          send(ex, 200, WebGui.searchPage, "text/html; charset=utf-8")
+        case ("GET", "/config") =>
+          send(ex, 200, WebGui.configPage, "text/html; charset=utf-8")
+        case ("GET", _) => sendText(ex, 404, "not found")
+        case _ => sendText(ex, 405, "method not allowed")
+      }
+    } finally ex.close()
+  }
+
+  /** `GET /api/v1/enums/{name}` -> JSON string array. Provider names are
+    * the reference's three (fileTypes / files / hostTypes); values come
+    * from the attached config with [[graft.config.ConfigJson]]'s
+    * normalization. Unknown provider -> 404 (the reference 500s — a typed
+    * client error fits this surface's error mapping better).
+    */
+  private def enums(ex: HttpExchange, name: String): Unit = configPath match {
+    case None => sendText(ex, 404, "no config file attached")
+    case Some(p) =>
+      val json = new String(Files.readAllBytes(p), UTF_8)
+      graft.config.ConfigJson.enumValues(json, name) match {
+        case None => sendText(ex, 404, s"no enum provider named $name")
+        case Some(values) =>
+          val arr = mapper.createArrayNode()
+          values.foreach(arr.add)
+          sendJson(ex, 200, mapper.writeValueAsString(arr))
+      }
   }
 
   private def configGet(ex: HttpExchange): Unit = configPath match {

@@ -128,6 +128,28 @@ object ConfigJson {
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
 
+  /** The GUI's enum-provider values (internal/web/EnumProvider.go: the
+    * fileTypes / files / hostTypes providers read the live config source
+    * and answer the map keys). Derived from the same JSON the engine
+    * parses, with the same normalization [[parse]] applies — fileTypes
+    * always includes the implicit DEFAULT backing type, hostTypes the
+    * DEFAULT host type. Unknown provider name -> None.
+    */
+  def enumValues(json: String, name: String): Option[Seq[String]] = {
+    val root = new ObjectMapper().readTree(json)
+    def arr(field: String): Seq[JsonNode] =
+      Option(root.get(field)).toSeq.flatMap(_.elements().asScala)
+    name match {
+      case "fileTypes" =>
+        Some(("DEFAULT" +: arr("fileTypes").map(text(_, "name"))).distinct)
+      case "files" => Some(arr("files").map(text(_, "fileName")).distinct)
+      case "hostTypes" =>
+        Some(("DEFAULT" +: Option(root.get("host"))
+          .flatMap(h => Option(h.get("type")).map(_.asText())).toSeq).distinct)
+      case _ => None
+    }
+  }
+
   /** JSON Schema of the config subset THIS reader honors (served by the
     * REST surface like the reference's `GET config/schema`,
     * internal/web/ConfigWeb.go:28-30). Authored against [[parse]] — one

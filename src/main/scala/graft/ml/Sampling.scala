@@ -90,4 +90,85 @@ object Sampling {
        |SELECT d.doc_id, p.src, p.keep_prob FROM $docsRel d
        |JOIN probs p ON d.$sourceCol = p.src
        |WHERE ${bucketSql("d.doc_id", salt)} < p.keep_prob * $BUCKETS""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------- importance resampling
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+    * 2023): pick raw documents whose hashed-n-gram distribution looks like
+    * a small target corpus. Features are words hashed into `buckets` bins;
+    * two add-one-smoothed bag-of-words models p̂_target / p̂_raw are fit
+    * over the bins; a document's log importance weight is
+    * Σ_b c_b·(log p̂_t[b] − log p̂_r[b]); and the selection samples k raw
+    * documents without replacement ∝ weight via the Gumbel top-k trick —
+    * with the uniform drawn from the deterministic md5 hash of the doc id,
+    * so the "random" resample is a pure function of the corpus and salt
+    * (reproducible and resumable at any parallelism, like every sampler
+    * here).
+    *
+    * Scale shape (the 10^12-row side is `docs`): one explode+agg stages
+    * per-(doc, bin) counts — that exchange is consumed twice (model fit
+    * and scoring) so ReuseExchange evaluates the normalize+split pipeline
+    * once; the two models come from ONE conditional aggregation over the
+    * bins (bucket-cardinality rows, never a second corpus pass); scoring
+    * joins the broadcast bin table and re-aggregates per doc; the final
+    * selection is a global top-k (TakeOrdered — never a full sort). The
+    * Gumbel key ordering uses the unrounded double (cross-engine libm
+    * drift ~1e-15 relative — far inside the key spacing); outputs round
+    * for the oracle like every fp-emitting operator here.
+    */
+  def dsirSelect(docs: DataFrame, isTarget: Column, k: Int,
+      buckets: Int = 1024, salt: String = "dsir-v1"): DataFrame = {
+    val feat = docs.select(col("doc_id"), isTarget.as("is_tgt"),
+        explode(split(TextDedup.normalizeCol(col("text")), " ")).as("w"))
+      .select(col("doc_id"), col("is_tgt"),
+        pmod(TextDedup.hash64Col(col("w")), lit(buckets.toLong)).as("b"))
+      .groupBy("doc_id", "is_tgt", "b").agg(count(lit(1)).as("cnt"))
+    val dist = feat.groupBy("b").agg(
+      sum(when(col("is_tgt"), col("cnt")).otherwise(0L)).as("ct"),
+      sum(when(!col("is_tgt"), col("cnt")).otherwise(0L)).as("cr"))
+    val tot = dist.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val llr = dist.crossJoin(broadcast(tot)).select(col("b"),
+      (log((col("ct") + 1).cast("double") / (col("tt") + buckets).cast("double")) -
+        log((col("cr") + 1).cast("double") / (col("tr") + buckets).cast("double"))).as("llr"))
+    val logw = feat.filter(!col("is_tgt"))
+      .join(broadcast(llr), Seq("b"))
+      .groupBy("doc_id").agg(sum(col("cnt") * col("llr")).as("lw"))
+    // Gumbel top-k = sample-without-replacement ∝ exp(lw); the uniform is
+    // the doc's hash bucket midpoint, identical in both engines
+    val u = (bucket(col("doc_id"), salt).cast("double") + 0.5) / BUCKETS.toDouble
+    logw.select(col("doc_id"), col("lw"), (col("lw") - log(-log(u))).as("gk"))
+      .orderBy(col("gk").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("lw"), 4).as("log_w"),
+        round(col("gk"), 6).as("gumbel_key"))
+  }
+
+  /** DuckDB twin of [[dsirSelect]] — same bins, same smoothing, same
+    * Gumbel key, same unrounded ordering. `isTargetSql` is a boolean SQL
+    * expression over the doc relation's columns.
+    */
+  def dsirSelectSql(docsRel: String, isTargetSql: String, k: Int,
+      buckets: Int = 1024, salt: String = "dsir-v1"): String = {
+    val norm = TextDedup.normalizeSql("text")
+    s"""WITH feat AS (
+       |  SELECT doc_id, is_tgt, ${TextDedup.hash64Sql("w")} % $buckets AS b, count(*) AS cnt
+       |  FROM (SELECT doc_id, ($isTargetSql) AS is_tgt,
+       |          unnest(string_split($norm, ' ')) AS w FROM $docsRel)
+       |  GROUP BY 1, 2, 3),
+       |dist AS (SELECT b,
+       |    CAST(sum(CASE WHEN is_tgt THEN cnt ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(sum(CASE WHEN NOT is_tgt THEN cnt ELSE 0 END) AS BIGINT) AS cr
+       |  FROM feat GROUP BY b),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM dist),
+       |llr AS (SELECT b,
+       |    ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + $buckets AS DOUBLE))
+       |      - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + $buckets AS DOUBLE)) AS llr
+       |  FROM dist, tot),
+       |w AS (SELECT doc_id, sum(cnt * llr) AS lw
+       |  FROM feat JOIN llr USING (b) WHERE NOT is_tgt GROUP BY doc_id),
+       |keyed AS (SELECT doc_id, lw,
+       |    lw - ln(-ln((${bucketSql("doc_id", salt)} + 0.5) / $BUCKETS.0)) AS gk FROM w)
+       |SELECT doc_id, round(lw, 4) AS log_w, round(gk, 6) AS gumbel_key
+       |FROM keyed ORDER BY gk DESC, doc_id LIMIT $k""".stripMargin.replace("\n", " ")
+  }
 }

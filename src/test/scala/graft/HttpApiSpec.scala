@@ -169,6 +169,54 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("web GUI pages serve at /, /search and /config (Web.go:138-160)") {
+    withServer() { (port, _) =>
+      for (path <- Seq("/", "/search")) {
+        val resp = get(port, path)
+        assert(resp.statusCode() == 200)
+        assert(resp.headers().firstValue("Content-Type").get().startsWith("text/html"))
+        // the search UI's working parts: input, time window, start/abort,
+        // results table — all driving the api/v1 endpoints
+        for (marker <- Seq("search-input", "time-select", "/api/v1/startJob",
+            "/api/v1/jobStats", "/api/v1/jobResults", "/api/v1/jobFieldStats",
+            "/api/v1/abortJob"))
+          assert(resp.body().contains(marker), s"$path missing $marker")
+      }
+      val cfg = get(port, "/config")
+      assert(cfg.statusCode() == 200)
+      for (marker <- Seq("config-text", "/api/v1/config/schema", "/api/v1/enums/"))
+        assert(cfg.body().contains(marker), s"/config missing $marker")
+      assert(get(port, "/nope").statusCode() == 404)
+      assert(post(port, "/search").statusCode() == 405)
+    }
+  }
+
+  test("enum providers serve the config's map keys (EnumProvider.go)") {
+    val cfg = Files.createTempFile("graft-enums", ".json")
+    Files.write(cfg,
+      """{"host":{"name":"h1","type":"edge"},
+        |"fileTypes":[{"name":"access"},{"name":"kvpairs"}],
+        |"files":[{"fileName":"events-*.log"},{"fileName":"other.log"}]}"""
+        .stripMargin.getBytes(UTF_8))
+    try withServer(configPath = Some(cfg)) { (port, _) =>
+      def values(name: String): Seq[String] =
+        mapper.readTree(get(port, s"/api/v1/enums/$name").body())
+          .elements().asScala.map(_.asText()).toSeq
+      // DEFAULT is implicit in both maps, exactly like ConfigJson.parse
+      assert(values("fileTypes") == Seq("DEFAULT", "access", "kvpairs"))
+      assert(values("files") == Seq("events-*.log", "other.log"))
+      assert(values("hostTypes") == Seq("DEFAULT", "edge"))
+      assert(get(port, "/api/v1/enums/bogus").statusCode() == 404)
+      assert(post(port, "/api/v1/enums/fileTypes").statusCode() == 405)
+    } finally { Files.deleteIfExists(cfg): Unit }
+  }
+
+  test("enum providers without an attached config answer 404") {
+    withServer() { (port, _) =>
+      assert(get(port, "/api/v1/enums/fileTypes").statusCode() == 404)
+    }
+  }
+
   test("jobResultsAfter pages by keyset over HTTP (O2 extension)") {
     withServer() { (port, api) =>
       val id = post(port,
