@@ -632,6 +632,12 @@ object SparkEntry {
     // per-source agg + broadcast join + deterministic hash filter
     "q_source_mix" -> ((s, dir) =>
       graft.ml.Sampling.temperatureMix(DocsAdapter.docs(s, dir), "lang")),
+    // DSIR importance resampling (Xie et al. NeurIPS'23): hashed-word
+    // target/raw models from ONE conditional agg, broadcast bin scores,
+    // deterministic Gumbel top-k selection of raw docs toward the target
+    "q_dsir" -> ((s, dir) =>
+      graft.ml.Sampling.dsirSelect(DocsAdapter.docs(s, dir),
+        col("lang") === "en", k = 60)),
     // Gopher document-quality rules (published thresholds, map-only)
     "q_gopher_rules" -> ((s, dir) =>
       graft.ml.TextCleaning.gopherRules(DocsAdapter.c4Docs(s, dir))),
@@ -822,6 +828,8 @@ object SparkEntry {
         "embeddings", DocsAdapter.augmentedEmbeddingsSql(), 0.999),
     "q_source_mix" ->
       graft.ml.Sampling.temperatureMixSql("documents", "lang"),
+    "q_dsir" ->
+      graft.ml.Sampling.dsirSelectSql("documents", "lang = 'en'", k = 60),
     "q_gopher_rules" ->
       graft.ml.TextCleaning.gopherRulesSql(DocsAdapter.c4DocsSql()),
     "q_frame_sample" ->

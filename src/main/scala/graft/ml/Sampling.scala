@@ -130,9 +130,14 @@ object Sampling {
     val llr = dist.crossJoin(broadcast(tot)).select(col("b"),
       (log((col("ct") + 1).cast("double") / (col("tt") + buckets).cast("double")) -
         log((col("cr") + 1).cast("double") / (col("tr") + buckets).cast("double"))).as("llr"))
-    val logw = feat.filter(!col("is_tgt"))
-      .join(broadcast(llr), Seq("b"))
-      .groupBy("doc_id").agg(sum(col("cnt") * col("llr")).as("lw"))
+    // score ALL docs and drop targets on the AGGREGATED flag: a plain
+    // feat.filter(!is_tgt) would push down to the scan, fork the two
+    // consumers into separate corpus scans, and defeat ReuseExchange —
+    // this way the normalize+explode pipeline runs once (plan-asserted)
+    val logw = feat.join(broadcast(llr), Seq("b"))
+      .groupBy("doc_id").agg(sum(col("cnt") * col("llr")).as("lw"),
+        max(col("is_tgt")).as("tgt"))
+      .filter(!col("tgt"))
     // Gumbel top-k = sample-without-replacement ∝ exp(lw); the uniform is
     // the doc's hash bucket midpoint, identical in both engines
     val u = (bucket(col("doc_id"), salt).cast("double") + 0.5) / BUCKETS.toDouble
@@ -164,10 +169,11 @@ object Sampling {
        |    ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + $buckets AS DOUBLE))
        |      - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + $buckets AS DOUBLE)) AS llr
        |  FROM dist, tot),
-       |w AS (SELECT doc_id, sum(cnt * llr) AS lw
-       |  FROM feat JOIN llr USING (b) WHERE NOT is_tgt GROUP BY doc_id),
+       |w AS (SELECT doc_id, sum(cnt * llr) AS lw, max(is_tgt) AS tgt
+       |  FROM feat JOIN llr USING (b) GROUP BY doc_id),
        |keyed AS (SELECT doc_id, lw,
-       |    lw - ln(-ln((${bucketSql("doc_id", salt)} + 0.5) / $BUCKETS.0)) AS gk FROM w)
+       |    lw - ln(-ln((${bucketSql("doc_id", salt)} + 0.5) / $BUCKETS.0)) AS gk
+       |  FROM w WHERE NOT tgt)
        |SELECT doc_id, round(lw, 4) AS log_w, round(gk, 6) AS gumbel_key
        |FROM keyed ORDER BY gk DESC, doc_id LIMIT $k""".stripMargin.replace("\n", " ")
   }

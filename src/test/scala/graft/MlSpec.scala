@@ -595,6 +595,39 @@ class MlSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("DSIR selects the target-like raw docs and resamples deterministically") {
+    import spark.implicits._
+    import graft.ml.Sampling
+    // target corpus speaks vocabulary A; raw pool is half A-like, half
+    // B-like. With 60-word docs the log importance weights separate by
+    // hundreds of nats — far beyond the Gumbel noise — so top-k must be
+    // exactly the A-like half.
+    val vocabA = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    val vocabB = Vector("omega", "sigma", "lambda", "kappa", "zeta")
+    def doc(v: Vector[String], seed: Int): String =
+      (0 until 60).map(i => v((i * 7 + seed) % v.size)).mkString(" ")
+    val rows =
+      (0 until 30).map(i => (1000L + i, doc(vocabA, i), "tgt")) ++
+      (0 until 20).map(i => (1L + i, doc(vocabA, i + 3), "rawA")) ++
+      (0 until 20).map(i => (100L + i, doc(vocabB, i), "rawB"))
+    val docs = rows.toDF("doc_id", "text", "grp")
+    val sel = Sampling.dsirSelect(docs, col("grp") === "tgt", k = 20)
+    val ids = sel.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (0 until 20).map(1L + _).toSet,
+      s"top-20 must be exactly the A-like raw docs, got $ids")
+    // weights order: every A-like raw doc outweighs every B-like one
+    val all = Sampling.dsirSelect(docs, col("grp") === "tgt", k = 40)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val minA = (0 until 20).map(i => all(1L + i)).min
+    val maxB = (0 until 20).map(i => all(100L + i)).max
+    assert(minA > maxB + 100, s"A-like min $minA must clear B-like max $maxB")
+    // deterministic resample: identical rows on a second run
+    val a = sel.collect().map(_.toSeq).toSeq
+    val b = Sampling.dsirSelect(docs, col("grp") === "tgt", k = 20)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("gopher rules compute the published metrics on a hand-built page") {
     import spark.implicits._
     val text = "the cat and the dog have fun with all of that...\n- bullet line\nplain words here"

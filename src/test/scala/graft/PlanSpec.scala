@@ -125,6 +125,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
+  test("DSIR plans a broadcast score join and a top-k, never a full sort") {
+    val df = SparkEntry.queries("q_dsir")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // bin scores are bucket-cardinality — the corpus-side join broadcasts
+    assert(plan.contains("BroadcastHashJoin"), s"bin scores must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no big-side shuffle join:\n$plan")
+    // the k-selection is TakeOrdered (global top-k), not Sort+Limit
+    assert(plan.contains("TakeOrderedAndProject"), s"selection must be top-k:\n$plan")
+    // the (doc, bin) aggregation exchange feeds the model fit, its total
+    // AND the scoring pass — AQE must reuse it at runtime, so the
+    // normalize+explode corpus pipeline executes once, not three times
+    df.collect(): Unit
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), s"AQE must finalize:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("ReusedQueryStage"),
+      s"feat exchange must be reused:\n$finalPlan")
+  }
+
   test("no shipped dedup/ANN query plans a cartesian or big-big nested-loop join") {
     // q_ann_topk is the documented exact BASELINE: its BroadcastNestedLoopJoin
     // carries a bounded query frame (nQueries rows) — linear scan, fine at
