@@ -632,6 +632,10 @@ object SparkEntry {
     // per-source agg + broadcast join + deterministic hash filter
     "q_source_mix" -> ((s, dir) =>
       graft.ml.Sampling.temperatureMix(DocsAdapter.docs(s, dir), "lang")),
+    // exact duplicate-substring spans (Lee et al. ACL'22 ExactSubstr as
+    // distributed gram fingerprints + gaps-and-islands window merge)
+    "q_dup_spans" -> ((s, dir) =>
+      graft.ml.TextDedup.dupSpans(DocsAdapter.docs(s, dir))),
     // DSIR importance resampling (Xie et al. NeurIPS'23): hashed-word
     // target/raw models from ONE conditional agg, broadcast bin scores,
     // deterministic Gumbel top-k selection of raw docs toward the target
@@ -828,6 +832,8 @@ object SparkEntry {
         "embeddings", DocsAdapter.augmentedEmbeddingsSql(), 0.999),
     "q_source_mix" ->
       graft.ml.Sampling.temperatureMixSql("documents", "lang"),
+    "q_dup_spans" ->
+      graft.ml.TextDedup.dupSpansSql("documents"),
     "q_dsir" ->
       graft.ml.Sampling.dsirSelectSql("documents", "lang = 'en'", k = 60),
     "q_gopher_rules" ->

@@ -142,6 +142,67 @@ object TextDedup {
        |SELECT b.doc_id, b.n_chunks, COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.text, '') AS text
        |FROM (SELECT doc_id, n_chunks FROM base) b LEFT JOIN reb r ON b.doc_id = r.doc_id""".stripMargin.replace("\n", " ")
 
+  // ------------------------------------------------- duplicate substrings
+
+  /** Exact duplicate-substring spans (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL'22 — the ExactSubstr
+    * dedup): every maximal run of >= `L` consecutive normalized words
+    * whose L-grams all occur more than once in the corpus (across
+    * documents or repeated within one) is reported as a half-open token
+    * span `(doc_id, span_start, span_end)`.
+    *
+    * The reference algorithm builds a single-node suffix array; the
+    * Spark-native re-expression is sliding L-gram fingerprints:
+    * positioned grams are one array projection + posexplode (O(n_tok)
+    * rows, no shuffle), the duplicated-gram set is ONE shuffle on the
+    * gram hash (count > 1), hits come back via an equi-join (AQE
+    * broadcasts the dup set when it is small), and overlapping/adjacent
+    * hits merge per document with a gaps-and-islands window (lag +
+    * running flag sum — one doc-keyed shuffle). A hit at p covers
+    * [p, p+L); the next hit p' extends it iff p' <= p + L, so merged
+    * islands are exactly the maximal duplicated runs.
+    */
+  def dupSpans(docs: DataFrame, L: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(col("doc_id"), split(normalizeCol(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= L)
+    val gramArr = transform(sequence(lit(0), size(col("ws")) - L),
+      i => hash64Col(concat_ws(" ", slice(col("ws"), i + 1, lit(L)))))
+    val grams = words.select(col("doc_id"), posexplode(gramArr).as(Seq("pos", "gh")))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    val hits = grams.join(dup, Seq("gh")).select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("newi",
+        when(col("pos") > lag(col("pos"), 1, -L).over(byDoc) + L, 1).otherwise(0))
+      .withColumn("island", sum(col("newi")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + L).cast("long").as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** DuckDB twin of [[dupSpans]]: same grams, duplicate set, and island
+    * merge.
+    */
+  def dupSpansSql(docsRel: String, L: Int = 8): String =
+    s"""WITH wsrc AS (SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS ws FROM $docsRel),
+       |pos_t AS (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - $L)) AS pos
+       |  FROM wsrc WHERE len(ws) >= $L),
+       |grams AS (SELECT doc_id, pos,
+       |    ${hash64Sql(s"array_to_string(ws[pos + 1 : pos + $L], ' ')")} AS gh FROM pos_t),
+       |dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1),
+       |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)),
+       |isl AS (SELECT doc_id, pos,
+       |    CASE WHEN pos > lag(pos, 1, -$L) OVER (PARTITION BY doc_id ORDER BY pos) + $L
+       |      THEN 1 ELSE 0 END AS newi FROM hits),
+       |isl2 AS (SELECT doc_id, pos,
+       |    sum(newi) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + $L AS BIGINT) AS span_end
+       |FROM isl2 GROUP BY doc_id, island""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------- jaccard
 
   /** Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin

@@ -595,6 +595,32 @@ class MlSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("duplicate-substring spans merge to the exact planted runs") {
+    import spark.implicits._
+    // distinct filler words guarantee no accidental 8-gram repeats; the
+    // shared phrase is 12 words -> one maximal span per occurrence
+    val phrase = (0 until 12).map(i => s"shared$i").mkString(" ")
+    def filler(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val docA = filler("aa", 5) + " " + phrase + " " + filler("ab", 6)   // span [5, 17)
+    val docB = filler("ba", 9) + " " + phrase + " " + filler("bb", 4)   // span [9, 21)
+    // within-doc repetition: the same phrase twice in one doc, disjoint
+    val docC = phrase + " " + filler("ca", 10) + " " + phrase           // [0,12) and [22,34)
+    val docD = filler("da", 30)                                         // no dups
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD)).toDF("doc_id", "text")
+    val spans = TextDedup.dupSpans(docs, L = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 5L, 17L), (2L, 9L, 21L), (3L, 0L, 12L), (3L, 22L, 34L)),
+      s"got $spans")
+    // adjacent-run merging: two back-to-back copies of an 8-gram in one
+    // doc and once elsewhere -> one contiguous island, not two
+    val run = (0 until 8).map(i => s"r$i").mkString(" ")
+    val docs2 = Seq((1L, run + " " + run + " " + filler("xa", 5)),
+      (2L, filler("ya", 4) + " " + run)).toDF("doc_id", "text")
+    val spans2 = TextDedup.dupSpans(docs2, L = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans2 == Set((1L, 0L, 16L), (2L, 4L, 12L)), s"got $spans2")
+  }
+
   test("DSIR selects the target-like raw docs and resamples deterministically") {
     import spark.implicits._
     import graft.ml.Sampling
