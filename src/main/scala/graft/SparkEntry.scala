@@ -650,7 +650,19 @@ object SparkEntry {
     // reduced to keyframes — the oracle recomputes the sample map from the
     // shared formulas incl. the closed-form header length
     "q_frame_sample" -> ((s, dir) =>
-      graft.ml.Multimodal.videoFrameSample(s, DocsAdapter.docs(s, dir)))
+      graft.ml.Multimodal.videoFrameSample(s, DocsAdapter.docs(s, dir))),
+    // ExactSubstr scrub: cut every duplicated >=L-token run; the tiny span
+    // set joins back doc-keyed, the corpus text never shuffles
+    "q_scrub_spans" -> ((s, dir) =>
+      graft.ml.TextDedup.scrubDupSpans(DocsAdapter.augmentedDocs(s, dir))),
+    // incremental ingest dedup: broadcast bloom gate (provably-new docs
+    // pass map-only) + exact anti-join rescue of the positive sliver only
+    "q_incr_dedup" -> ((s, dir) => {
+      val aug = DocsAdapter.augmentedDocs(s, dir)
+      graft.ml.TextDedup.incrementalDedup(
+        aug.filter(col("doc_id") >= DocsAdapter.EXACT_SHIFT),
+        aug.filter(col("doc_id") < DocsAdapter.EXACT_SHIFT))
+    })
   )
 
   /** Per-sink count + cross-engine row-set signature over a compacted
@@ -839,6 +851,12 @@ object SparkEntry {
     "q_gopher_rules" ->
       graft.ml.TextCleaning.gopherRulesSql(DocsAdapter.c4DocsSql()),
     "q_frame_sample" ->
-      graft.ml.Multimodal.videoFrameSampleSql("documents")
+      graft.ml.Multimodal.videoFrameSampleSql("documents"),
+    "q_scrub_spans" ->
+      graft.ml.TextDedup.scrubDupSpansSql(DocsAdapter.augmentedDocsSql()),
+    "q_incr_dedup" ->
+      graft.ml.TextDedup.incrementalDedupSql(
+        s"(SELECT * FROM ${DocsAdapter.augmentedDocsSql()} WHERE doc_id >= ${DocsAdapter.EXACT_SHIFT})",
+        s"(SELECT * FROM ${DocsAdapter.augmentedDocsSql()} WHERE doc_id < ${DocsAdapter.EXACT_SHIFT})")
   )
 }

@@ -389,11 +389,22 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
     val stats = jobStats(id)
     require(stats.state == JobsApi.Finished, s"cannot export a ${stats.state} job")
     withJobGroup(job) {
+      // A small result written through the full cached partitioning is a
+      // store of dozens of near-empty part files — size the store by row
+      // count instead (the stats pass above already counted). Narrow
+      // coalesce concatenates the cached partitions IN ORDER, so `_pos`
+      // (partition-indexed monotonically_increasing_id, computed on either
+      // side of the coalesce) still sorts back to the pinned cache order.
+      val parts = math.max(1L, math.min(
+        job.results.rdd.getNumPartitions.toLong,
+        (stats.numMatchedEvents + JobsApi.StoreRowsPerFile - 1) /
+          JobsApi.StoreRowsPerFile)).toInt
       // monotonically_increasing_id over the PINNED cache is a stable
       // order key (partition-indexed, and the cached partitions are fixed)
       job.results.withColumn("_pos", monotonically_increasing_id())
+        .coalesce(parts)
         .write.mode("overwrite").parquet(s"$dir/results")
-      job.fieldStatsCached.write.mode("overwrite").parquet(s"$dir/fieldstats")
+      job.fieldStatsCached.coalesce(parts).write.mode("overwrite").parquet(s"$dir/fieldstats")
       val spark = job.results.sparkSession
       import spark.implicits._
       Seq((job.query, job.sortMode, job.columnOrder, stats.numMatchedEvents))
@@ -435,6 +446,12 @@ object JobsApi {
   val Running = "running"
   val Finished = "finished"
   val Aborted = "aborted"
+
+  /** Target rows per part file in an [[JobsApi.exportJob]] store — sized so
+    * a typical page-serving read touches one file, while a huge result
+    * still splits across writers.
+    */
+  private[api] val StoreRowsPerFile = 1000000L
 
   /** Unknown job id — the typed stand-in for the reference's 404 response
     * (internal/web/Web.go:192-257 looks the job up and errors the request).

@@ -203,6 +203,90 @@ object TextDedup {
        |  CAST(max(pos) + $L AS BIGINT) AS span_end
        |FROM isl2 GROUP BY doc_id, island""".stripMargin.replace("\n", " ")
 
+  /** Cut every duplicated run found by [[dupSpans]] out of the corpus — the
+    * "drop the duplicated bytes" action of the ExactSubstr pipeline (Lee et
+    * al. ACL'22 §4.1; the released tool removes each occurrence of a
+    * duplicated range, so back-to-back copies collapse to nothing rather
+    * than to one canonical copy). Spans aggregate per doc (one doc-keyed
+    * shuffle of the TINY span set), rejoin to the corpus on doc_id, and the
+    * rebuild is a map-side indexed array filter — the corpus text itself
+    * never shuffles, and docs without spans pass through the left join
+    * untouched. Spans are token-addressed over the normalized stream, so
+    * the rebuild is exact. Returns (doc_id, n_words, n_dropped, text).
+    */
+  def scrubDupSpans(docs: DataFrame, L: Int = 8): DataFrame = {
+    val spans = dupSpans(docs, L)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs
+      .select(col("doc_id"), split(normalizeCol(col("text")), " ").as("ws"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ws"),
+        when(col("spans").isNull, col("ws"))
+          .otherwise(filter(col("ws"), (_, i) =>
+            !exists(col("spans"), sp =>
+              i >= sp.getField("span_start") && i < sp.getField("span_end"))))
+          .as("kept"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        (size(col("ws")) - size(col("kept"))).cast("long").as("n_dropped"),
+        concat_ws(" ", col("kept")).as("text"))
+  }
+
+  /** DuckDB twin of [[scrubDupSpans]]: the [[dupSpansSql]] spans as a
+    * nested CTE, positional tokens, NOT EXISTS span cover, ordered rebuild.
+    */
+  def scrubDupSpansSql(docsRel: String, L: Int = 8): String =
+    s"""WITH spans AS (${dupSpansSql(docsRel, L)}),
+       |swsrc AS (SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS ws FROM $docsRel),
+       |stok AS (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1)) AS i FROM swsrc),
+       |skept AS (SELECT t.doc_id, t.i, t.ws[t.i + 1] AS w FROM stok t
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |    WHERE s.doc_id = t.doc_id AND t.i >= s.span_start AND t.i < s.span_end)),
+       |sreb AS (SELECT doc_id, count(*) AS n_kept,
+       |  string_agg(w, ' ' ORDER BY i) AS text FROM skept GROUP BY doc_id)
+       |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+       |  CAST(len(w.ws) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       |  COALESCE(r.text, '') AS text
+       |FROM swsrc w LEFT JOIN sreb r ON w.doc_id = r.doc_id""".stripMargin.replace("\n", " ")
+
+  // --------------------------------------------- incremental ingest dedup
+
+  /** Dedup a NEW batch against an already-ingested HISTORY corpus without
+    * shuffling the batch: a Bloom filter over history's content hashes (one
+    * tree-aggregated pass; ~1.2 bytes/doc at 1% fpp, so even a billion-doc
+    * history broadcasts in ~1 GB) ships to the executors, and every doc the
+    * filter rejects is PROVABLY new — it passes through map-only, which at
+    * 100 TB is the overwhelming bulk of the batch. Only the bloom-positive
+    * sliver (true duplicates + the fpp share) enters the exact anti-join
+    * that rescues false positives, so the result is EXACT, not
+    * probabilistic: the bloom only decides which rows pay for the join.
+    * The join's history side is a single hash-column projection (AQE
+    * broadcasts it when small). The mightContain probe is a plain Scala
+    * UDF — non-codegen but a cheap map-only gate, and the alternative
+    * (anti-joining the full batch) shuffles everything.
+    */
+  def incrementalDedup(incoming: DataFrame, history: DataFrame,
+      expectedHistoryDocs: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val hist = history.select(hash64Col(normalizeCol(col("text"))).as("h"))
+    val bloom = hist.stat.bloomFilter("h", math.max(expectedHistoryDocs, 1L), fpp)
+    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val mightDup = udf((h: java.lang.Long) => h != null && bc.value.mightContainLong(h))
+    val hashed = incoming.withColumn("_h", hash64Col(normalizeCol(col("text"))))
+    val fresh = hashed.filter(!mightDup(col("_h")))
+    val rescued = hashed.filter(mightDup(col("_h")))
+      .join(hist, col("_h") === col("h"), "left_anti")
+    fresh.unionByName(rescued).drop("_h")
+  }
+
+  /** DuckDB twin of [[incrementalDedup]]: the bloom is invisible to the
+    * result by construction, so the twin is the plain exact anti-join.
+    */
+  def incrementalDedupSql(incomingRel: String, historyRel: String): String =
+    s"""SELECT i.* FROM $incomingRel i WHERE NOT EXISTS (
+       |SELECT 1 FROM $historyRel h
+       |WHERE ${hash64Sql(normalizeSql("h.text"))} = ${hash64Sql(normalizeSql("i.text"))})""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------- jaccard
 
   /** Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin

@@ -167,6 +167,13 @@ class ApiSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val store = Files.createTempDirectory("graft-jobstore").toString
     api.exportJob(job.id, store)
+    // a small result must land as ONE part file per store, not one per
+    // cached partition (tiny-file debt at every export otherwise)
+    for (sub <- Seq("results", "fieldstats")) {
+      val parts = new java.io.File(s"$store/$sub").listFiles()
+        .count(_.getName.startsWith("part-"))
+      assert(parts == 1, s"$sub store has $parts part files, expected 1")
+    }
     // fresh-process simulation: a NEW JobsApi instance opens the snapshot
     val api2 = new JobsApi(EventsAdapter.engine(spark, dir))
     val imported = api2.importJob(spark, store)

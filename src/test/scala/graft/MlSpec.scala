@@ -621,6 +621,47 @@ class MlSpec extends AnyFunSuite {
     assert(spans2 == Set((1L, 0L, 16L), (2L, 4L, 12L)), s"got $spans2")
   }
 
+  test("scrubDupSpans cuts exactly the duplicated runs and rebuilds the rest") {
+    import spark.implicits._
+    // same planted corpus as the span test: every occurrence of the shared
+    // phrase is cut (ExactSubstr removes each occurrence, not all-but-one)
+    val phrase = (0 until 12).map(i => s"shared$i").mkString(" ")
+    def filler(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val docA = filler("aa", 5) + " " + phrase + " " + filler("ab", 6)
+    val docB = filler("ba", 9) + " " + phrase + " " + filler("bb", 4)
+    val docC = phrase + " " + filler("ca", 10) + " " + phrase
+    val docD = filler("da", 30)
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD)).toDF("doc_id", "text")
+    val out = TextDedup.scrubDupSpans(docs, L = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((23L, 12L, filler("aa", 5) + " " + filler("ab", 6))))
+    assert(out(2L) == ((25L, 12L, filler("ba", 9) + " " + filler("bb", 4))))
+    assert(out(3L) == ((34L, 24L, filler("ca", 10))))
+    assert(out(4L) == ((30L, 0L, docD)))
+  }
+
+  test("incrementalDedup is the exact anti-join at any bloom saturation") {
+    import spark.implicits._
+    val hist = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "alpha beta gamma"),    // byte-exact dup of 1
+      (11L, "Alpha,  BETA gamma!"), // dup of 1 after normalization
+      (12L, "totally new words here"),
+      (13L, "delta epsilon zeta"),  // dup of 2
+      (14L, "another fresh document")).toDF("doc_id", "text")
+    val kept = TextDedup.incrementalDedup(inc, hist, expectedHistoryDocs = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 14L))
+    // exactness must not depend on the bloom's error rate: a deliberately
+    // saturated filter (everything positive -> everything joins) and a
+    // roomy one must both give the exact anti-join answer
+    val keptSat = TextDedup.incrementalDedup(inc, hist,
+        expectedHistoryDocs = 1, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptSat == kept)
+  }
+
   test("DSIR selects the target-like raw docs and resamples deterministically") {
     import spark.implicits._
     import graft.ml.Sampling
