@@ -150,6 +150,44 @@ object ScaleProbeOps {
         f""""vecs_per_sec":${nVecs / dedupSecs}%.0f}""")
       require(survivors == expected,
         s"semantic dedup at scale must drop exactly the planted copies ($survivors != $expected)")
+
+      // ---- incremental ingest dedup at forced scale ---------------------
+      // history = the nDocs corpus; incoming = 10% exact dups of it + nDocs
+      // fresh docs. The bloom gate must keep the fresh bulk out of the
+      // anti-join: shuffled records stay ~ history's hash column + the
+      // positive sliver (dups + fpp share), never the whole batch.
+      corpus(spark, 2 * nDocs)
+        .filter(col("doc_id") % 10 === 0 || col("doc_id") >= nDocs)
+        .write.mode("overwrite").parquet(s"$root/incoming")
+      val incoming = spark.read.parquet(s"$root/incoming")
+      val (bloom, bloomSecs) = time {
+        graft.ml.TextDedup.buildHistoryBloom(docs, nDocs, 0.01)
+      }
+      val dedupShuffle = new AtomicLong()
+      val l2 = new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+          Option(s.stageInfo.taskMetrics).foreach(m =>
+            dedupShuffle.addAndGet(m.shuffleWriteMetrics.recordsWritten): Unit)
+      }
+      spark.sparkContext.addSparkListener(l2)
+      val (survivors2, incrSecs) = try time {
+        graft.ml.TextDedup.incrementalDedup(incoming, docs, nDocs, 0.01,
+          prebuilt = Some(bloom)).count()
+      } finally {
+        Thread.sleep(500)
+        spark.sparkContext.removeSparkListener(l2)
+      }
+      val nIncoming = nDocs + nDocs / 10
+      require(survivors2 == nDocs,
+        s"incremental dedup must keep exactly the fresh docs ($survivors2 != $nDocs)")
+      require(dedupShuffle.get() <= nDocs + nIncoming / 4,
+        s"bloom gate failed: ${dedupShuffle.get()} records shuffled " +
+          s"(bound ${nDocs + nIncoming / 4} = history hashes + positive sliver)")
+      println(f"""{"probe":"incrdedup","history":$nDocs,"incoming":$nIncoming,""" +
+        f""""bloom_secs":$bloomSecs%.2f,"bloom_bits":${bloom.bitSize()},""" +
+        f""""dedup_secs":$incrSecs%.2f,"survivors":$survivors2,""" +
+        f""""shuffle_records":${dedupShuffle.get()},""" +
+        f""""docs_per_sec":${nIncoming / incrSecs}%.0f}""")
     } finally {
       spark.stop()
       graft.util.Dirs.deleteRecursively(new File(root))

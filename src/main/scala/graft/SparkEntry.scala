@@ -110,6 +110,26 @@ object SparkEntry {
 
   private[graft] def clearBpeMemoryCache(): Unit = bpeCache.clear()
 
+  // history content-hash bloom (build-once artifact, same lifecycle as the
+  // IVF quantizer: one tree-aggregated pass per history generation; every
+  // ingest batch loads it instead of re-scanning history)
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.sketch.BloomFilter]()
+
+  private[graft] def bloomArtifactPath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-bloom-v1-${corpusKey(dir)}.bloom"
+
+  private[graft] def historyBloomFor(s: SparkSession, dir: String)
+      : org.apache.spark.util.sketch.BloomFilter =
+    artifactCached(bloomCache, dir, bloomArtifactPath(dir))(
+      graft.ml.TextDedup.loadBloom(s, _))(
+      graft.ml.TextDedup.buildHistoryBloom(
+        DocsAdapter.augmentedDocs(s, dir)
+          .filter(col("doc_id") < DocsAdapter.EXACT_SHIFT), 1L << 20))(
+      graft.ml.TextDedup.saveBloom(s, _, _))
+
+  private[graft] def clearBloomMemoryCache(): Unit = bloomCache.clear()
+
   /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
     * full north-rule pipeline — tokens -> parse -> enrich -> per-sink
     * aggregate with row-set signatures.
@@ -445,6 +465,10 @@ object SparkEntry {
     // CCNet-style unigram LM quality score (corpus-trained, add-one)
     "q_lm_score" -> ((s, dir) =>
       graft.ml.TextAnalysis.lmScore(DocsAdapter.docs(s, dir))),
+    // CCNet perplexity partition: head/middle/tail thirds over lm_score,
+    // cuts from the tiny 4-dp score histogram — never a global sort
+    "q_ppl_buckets" -> ((s, dir) =>
+      graft.ml.TextAnalysis.perplexityBuckets(DocsAdapter.docs(s, dir))),
     // document fingerprints (md5 + shared 64-bit int hash)
     "q_fingerprint" -> ((s, dir) =>
       graft.ml.TextAnalysis.fingerprints(DocsAdapter.docs(s, dir))),
@@ -656,12 +680,14 @@ object SparkEntry {
     "q_scrub_spans" -> ((s, dir) =>
       graft.ml.TextDedup.scrubDupSpans(DocsAdapter.augmentedDocs(s, dir))),
     // incremental ingest dedup: broadcast bloom gate (provably-new docs
-    // pass map-only) + exact anti-join rescue of the positive sliver only
+    // pass map-only) + exact anti-join rescue of the positive sliver only;
+    // the bloom is a build-once per-history artifact like the IVF quantizer
     "q_incr_dedup" -> ((s, dir) => {
       val aug = DocsAdapter.augmentedDocs(s, dir)
       graft.ml.TextDedup.incrementalDedup(
         aug.filter(col("doc_id") >= DocsAdapter.EXACT_SHIFT),
-        aug.filter(col("doc_id") < DocsAdapter.EXACT_SHIFT))
+        aug.filter(col("doc_id") < DocsAdapter.EXACT_SHIFT),
+        prebuilt = Some(historyBloomFor(s, dir)))
     })
   )
 
@@ -802,6 +828,8 @@ object SparkEntry {
       graft.ml.TextAnalysis.langIdSql("documents"),
     "q_lm_score" ->
       graft.ml.TextAnalysis.lmScoreSql("documents"),
+    "q_ppl_buckets" ->
+      graft.ml.TextAnalysis.perplexityBucketsSql("documents"),
     "q_fingerprint" ->
       graft.ml.TextAnalysis.fingerprintsSql("documents"),
     "q_multimodal_meta" ->

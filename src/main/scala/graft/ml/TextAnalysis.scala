@@ -160,6 +160,65 @@ object TextAnalysis {
        |FROM occ JOIN freq USING (w), tot GROUP BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** The two head/middle cut scores for [[perplexityBuckets]], derived
+    * from the score HISTOGRAM, never a global sort: lm_score is 4-dp
+    * rounded, so distinct scores are bounded (score range × 1e4 — a few
+    * thousand in practice) and the cumulative walk is driver-side over
+    * that tiny table, like BPE's histogram-bounded training. cut1/cut2 =
+    * the highest scores whose top-down cumulative count reaches 1/3 and
+    * 2/3 of the corpus.
+    */
+  def perplexityCuts(scored: DataFrame): (Double, Double) = {
+    val h = scored.groupBy("lm_score").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(-_._1)
+    val total = h.map(_._2).sum.toDouble
+    var cum = 0L
+    var cut1 = Double.NegativeInfinity
+    var cut2 = Double.NegativeInfinity
+    for ((score, n) <- h) {
+      cum += n
+      if (cut1.isNegInfinity && cum >= total / 3.0) cut1 = score
+      if (cut2.isNegInfinity && cum >= 2.0 * total / 3.0) cut2 = score
+    }
+    (cut1, cut2)
+  }
+
+  /** CCNet's perplexity partition (Wenzek et al. LREC'20 §4.3): split the
+    * corpus into head/middle/tail thirds by [[lmScore]] — head = most
+    * target-like. Docs AT a cut score share its bucket (buckets cut by
+    * score VALUE, so ties never straddle a boundary and the split is
+    * deterministic). Assignment is a map-only comparison against the two
+    * broadcast-literal cuts; `cuts` supplies precomputed thresholds (the
+    * corpus-level build artifact, like the IVF centroids) — the default
+    * path derives them inline, which re-runs the scoring pass once for
+    * the histogram (CCNet itself is two-pass: fit the LM, then bucket).
+    */
+  def perplexityBuckets(docs: DataFrame,
+      cuts: Option[(Double, Double)] = None): DataFrame = {
+    val scored = lmScore(docs)
+    val (cut1, cut2) = cuts.getOrElse(perplexityCuts(scored))
+    scored.select(col("doc_id"), col("lm_score"),
+      when(col("lm_score") >= cut1, "head")
+        .when(col("lm_score") >= cut2, "middle")
+        .otherwise("tail").as("bucket"))
+  }
+
+  /** DuckDB twin of [[perplexityBuckets]]: same histogram walk as a
+    * descending cumulative window, same >= comparisons against t/3, 2t/3.
+    */
+  def perplexityBucketsSql(docsRel: String): String =
+    s"""WITH pscored AS (${lmScoreSql(docsRel)}),
+       |phisto AS (SELECT lm_score, count(*) AS n FROM pscored GROUP BY lm_score),
+       |pcum AS (SELECT lm_score, CAST(sum(n) OVER (ORDER BY lm_score DESC) AS BIGINT) AS c FROM phisto),
+       |ptot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM phisto),
+       |pc1 AS (SELECT max(lm_score) AS cut1 FROM pcum, ptot WHERE c >= t / 3.0),
+       |pc2 AS (SELECT max(lm_score) AS cut2 FROM pcum, ptot WHERE c >= 2.0 * t / 3.0)
+       |SELECT doc_id, lm_score,
+       |  CASE WHEN lm_score >= cut1 THEN 'head'
+       |       WHEN lm_score >= cut2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM pscored, pc1, pc2""".stripMargin.replace("\n", " ")
+
   // -------------------------------------------------------------- lang id
 
   /** Marker-word language heuristic. Marker sets are deliberately tiny (the

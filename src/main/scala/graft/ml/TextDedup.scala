@@ -267,9 +267,11 @@ object TextDedup {
     * (anti-joining the full batch) shuffles everything.
     */
   def incrementalDedup(incoming: DataFrame, history: DataFrame,
-      expectedHistoryDocs: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+      expectedHistoryDocs: Long = 1L << 20, fpp: Double = 0.01,
+      prebuilt: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
     val hist = history.select(hash64Col(normalizeCol(col("text"))).as("h"))
-    val bloom = hist.stat.bloomFilter("h", math.max(expectedHistoryDocs, 1L), fpp)
+    val bloom = prebuilt.getOrElse(
+      hist.stat.bloomFilter("h", math.max(expectedHistoryDocs, 1L), fpp))
     val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
     val mightDup = udf((h: java.lang.Long) => h != null && bc.value.mightContainLong(h))
     val hashed = incoming.withColumn("_h", hash64Col(normalizeCol(col("text"))))
@@ -277,6 +279,36 @@ object TextDedup {
     val rescued = hashed.filter(mightDup(col("_h")))
       .join(hist, col("_h") === col("h"), "left_anti")
     fresh.unionByName(rescued).drop("_h")
+  }
+
+  /** Build the history bloom alone — the train-once artifact for
+    * [[incrementalDedup]], same lifecycle as the IVF quantizer: built once
+    * per history generation, loaded by every subsequent ingest batch
+    * (rebuilding it per batch would re-scan the full history every time).
+    */
+  def buildHistoryBloom(history: DataFrame, expectedHistoryDocs: Long,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    history.select(hash64Col(normalizeCol(col("text"))).as("h"))
+      .stat.bloomFilter("h", math.max(expectedHistoryDocs, 1L), fpp)
+
+  /** Persist a [[buildHistoryBloom]] artifact through the Hadoop FS API
+    * (BloomFilter's own binary format), like the IVF centroids.
+    */
+  def saveBloom(spark: SparkSession, path: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try bloom.writeTo(out) finally out.close()
+  }
+
+  /** Load a [[saveBloom]] artifact. */
+  def loadBloom(spark: SparkSession,
+      path: String): org.apache.spark.util.sketch.BloomFilter = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
   }
 
   /** DuckDB twin of [[incrementalDedup]]: the bloom is invisible to the

@@ -443,6 +443,31 @@ class MlSpec extends AnyFunSuite {
     assert(real.forall(r => r.getDouble(2) < 0 && r.getLong(1) > 0))
   }
 
+  test("perplexity buckets split head/middle/tail with value-cut ties") {
+    import graft.ml.TextAnalysis
+    import spark.implicits._
+    // three score plateaus by construction: all-frequent words (head),
+    // frequent + per-doc-repeated rares (middle), all-unique words (tail);
+    // docs within a group share a word multiset, hence an identical score
+    val common = "ca cb cc cd ce"
+    val g1 = (1 to 3).map(i => (i.toLong, Seq.fill(4)(common).mkString(" ")))
+    val g2 = (4 to 6).map(j =>
+      (j.toLong, Seq.fill(4)(s"ca cb u${j}x u${j}y u${j}z").mkString(" ")))
+    val g3 = (7 to 9).map(k =>
+      (k.toLong, (0 until 20).map(w => s"zz${k}w$w").mkString(" ")))
+    val docs = (g1 ++ g2 ++ g3).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((1 to 3).forall(i => out(i.toLong) == "head"), s"$out")
+    assert((4 to 6).forall(i => out(i.toLong) == "middle"), s"$out")
+    assert((7 to 9).forall(i => out(i.toLong) == "tail"), s"$out")
+    // the build-once path: precomputed cuts serve the identical partition
+    val cuts = TextAnalysis.perplexityCuts(TextAnalysis.lmScore(docs))
+    val out2 = TextAnalysis.perplexityBuckets(docs, Some(cuts)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out2 == out)
+  }
+
   test("chunk dedup: copies keep nothing, near copies keep only their novel tail") {
     val docs = DocsAdapter.augmentedDocs(spark, dir)
     val res = TextDedup.chunkDedup(docs, 20)
@@ -660,6 +685,31 @@ class MlSpec extends AnyFunSuite {
         expectedHistoryDocs = 1, fpp = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptSat == kept)
+  }
+
+  test("history bloom round-trips the store; fresh process serves from the artifact") {
+    import spark.implicits._
+    val hist = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val inc = Seq((10L, "alpha beta gamma"), (12L, "totally new words here"))
+      .toDF("doc_id", "text")
+    val bloom = TextDedup.buildHistoryBloom(hist, 16)
+    val path = java.nio.file.Files.createTempDirectory("graft-bloom")
+      .resolve("hist.bloom").toString
+    TextDedup.saveBloom(spark, path, bloom)
+    val loaded = TextDedup.loadBloom(spark, path)
+    assert(loaded.bitSize == bloom.bitSize && loaded.isCompatible(bloom))
+    val kept = TextDedup.incrementalDedup(inc, hist, prebuilt = Some(loaded))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L), "a loaded bloom must serve like the built one")
+    // shipped path: the first q_incr_dedup call publishes the artifact; a
+    // fresh-driver simulation (cleared memory map) must load it from disk
+    SparkEntry.queries("q_incr_dedup")(spark, dir).collect()
+    val artifact = new java.io.File(SparkEntry.bloomArtifactPath(dir))
+    assert(artifact.isFile && artifact.length() > 0,
+      s"q_incr_dedup must publish the bloom artifact at $artifact")
+    SparkEntry.clearBloomMemoryCache()
+    assert(SparkEntry.queries("q_incr_dedup")(spark, dir).collect().nonEmpty)
   }
 
   test("DSIR selects the target-like raw docs and resamples deterministically") {
