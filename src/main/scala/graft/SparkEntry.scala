@@ -130,6 +130,22 @@ object SparkEntry {
 
   private[graft] def clearBloomMemoryCache(): Unit = bloomCache.clear()
 
+  // PQ codebooks (build-once artifact, IVF-quantizer lifecycle)
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Float]]]]()
+
+  private[graft] def pqArtifactPath(dir: String, m: Int, kCodes: Int): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-pq-v1-${corpusKey(dir)}-m$m-k$kCodes.books"
+
+  private[graft] def pqBooksFor(s: SparkSession, dir: String,
+      m: Int = 8, kCodes: Int = 16): Array[Array[Array[Float]]] =
+    artifactCached(pqCache, s"$dir#m$m#k$kCodes", pqArtifactPath(dir, m, kCodes))(
+      graft.ml.Similarity.loadPqBooks(s, _))(
+      graft.ml.Similarity.pqCodebooks(DocsAdapter.embeddings(s, dir), m, kCodes))(
+      graft.ml.Similarity.savePqBooks(s, _, _))
+
+  private[graft] def clearPqMemoryCache(): Unit = pqCache.clear()
+
   /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
     * full north-rule pipeline — tokens -> parse -> enrich -> per-sink
     * aggregate with row-set signatures.
@@ -638,6 +654,14 @@ object SparkEntry {
     }),
     "q_simhash_pairs" -> ((s, dir) =>
       graft.ml.TextDedup.simhashPairs(DocsAdapter.augmentedDocs(s, dir), 6)),
+    // PQ-ADC ANN (compressed-domain scan: stored side is m code bytes, the
+    // query side carries its subspace-distance LUT on the broadcast);
+    // codebooks are a build-once per-corpus artifact like the IVF quantizer
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = DocsAdapter.embeddings(s, dir)
+      graft.ml.Similarity.pqTopK(emb, 5, 10,
+        codebooks = Some(pqBooksFor(s, dir)))
+    }),
     // embedding-space clustering (IVF quantizer as k-means bucketing);
     // reuses the per-dir build-once centroids — serving is map-only
     "q_embed_clusters" -> ((s, dir) => {
@@ -863,6 +887,8 @@ object SparkEntry {
       graft.ml.Similarity.lshNearDupPairsSql(DocsAdapter.augmentedEmbeddingsSql(), 0.999),
     "q_ann_ivf" ->
       graft.ml.Similarity.ivfTopKSql("embeddings", 5, 10),
+    "q_ann_pq" ->
+      graft.ml.Similarity.pqTopKSql("embeddings", 5, 10),
     "q_simhash_pairs" ->
       graft.ml.TextDedup.simhashPairsSql(DocsAdapter.augmentedDocsSql(), 6),
     "q_embed_clusters" ->

@@ -382,4 +382,198 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  // ------------------------------------------------------------------
+  // PQ (product quantization) ANN — the compressed-domain scale path
+  // (Jégou et al., "Product quantization for nearest neighbor search",
+  // TPAMI'11). The vector splits into `m` subspaces; each subspace gets a
+  // tiny codebook (same one-Lloyd-step build as the IVF quantizer), and a
+  // vector is stored as m small code ids — here 64 floats (256 B) become
+  // 8 codes (8 B), a 32x compression, which is what makes a 10^12-row
+  // table scannable: the ANN scan reads codes, never raw vectors. Query
+  // scoring is ADC (asymmetric distance computation): the query computes
+  // one m x k lookup table of exact subspace distances ON THE TINY
+  // BROADCAST SIDE, and every stored vector's approximate distance is m
+  // array lookups + adds — no per-pair vector math at all.
+  // ------------------------------------------------------------------
+
+  /** Job-description tag on codebook-build jobs (mirrors IVF_BUILD_TAG). */
+  val PQ_BUILD_TAG = "graft-pq-build"
+
+  /** Squared L2 distance from the `off`-sliced subvector of `v` to the
+    * literal codeword `w` — explicit per-dim arithmetic (codegen, no
+    * lambdas), left-associated additions so the fp fold order is
+    * reproducible in the SQL twin.
+    */
+  private def pqSubDist(v: Column, off: Int, w: Array[Float]): Column =
+    w.indices.map { d =>
+      val x = element_at(v, off + d + 1).cast("double") - w(d).toDouble
+      x * x
+    }.reduce(_ + _)
+
+  /** Nearest codeword id for a subvector: first-index argmin over the 9-dp
+    * rounded distance array (ties -> lowest id, like [[ivfCell]]).
+    */
+  def pqCodeCol(v: Column, off: Int, codebook: Array[Array[Float]]): Column = {
+    val ds = array(codebook.map(w => round(pqSubDist(v, off, w), 9)): _*)
+    (array_position(ds, array_min(ds)) - 1).cast("int")
+  }
+
+  /** Per-subspace codebooks: seeds = the `kCodes` lowest vec_ids' subvectors,
+    * then ONE Lloyd step for all m subspaces in a single pass (posexplode
+    * the whole vector once; (subspace, code, dim)-keyed tiny agg). Driver
+    * result is m x kCodes x (dim/m) floats — a build-once artifact with the
+    * IVF-quantizer lifecycle.
+    */
+  def pqCodebooks(emb: DataFrame, m: Int = 8, kCodes: Int = 16,
+      sampleMod: Int = 1): Array[Array[Array[Float]]] = {
+    val sc = emb.sparkSession.sparkContext
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(PQ_BUILD_TAG)
+    try {
+      val sample =
+        if (sampleMod > 1) emb.filter(pmod(col("vec_id"), lit(sampleMod)) === 0) else emb
+      val seedRows = sample.orderBy("vec_id").limit(kCodes)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val dim = seedRows.head.length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+      val sub = dim / m
+      val seeds = (0 until m).map(mi => seedRows.map(_.slice(mi * sub, mi * sub + sub)))
+      val mi = (col("d") / sub).cast("int")
+      val means = sample
+        .select(array((0 until m).map(i =>
+            pqCodeCol(col("embedding"), i * sub, seeds(i))): _*).as("codes"),
+          posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(mi.as("mi"), element_at(col("codes"), mi + 1).as("code"),
+          pmod(col("d"), lit(sub)).as("sd"), col("x"))
+        .groupBy("mi", "code", "sd").agg(avg(col("x")).as("mn"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat)
+        }
+      (0 until m).map(i => seeds(i).indices.map(c =>
+        means.getOrElse((i, c), seeds(i)(c))).toArray).toArray
+    } finally sc.setJobDescription(prevDesc)
+  }
+
+  /** Map-only PQ encoding: (vec_id, codes: array<int>) — the compressed
+    * table a 100-TB ANN serving layer scans instead of raw vectors.
+    */
+  def pqEncode(emb: DataFrame, books: Array[Array[Array[Float]]]): DataFrame = {
+    val sub = books(0)(0).length
+    emb.select(col("vec_id"), array(books.indices.map(mi =>
+      pqCodeCol(col("embedding"), mi * sub, books(mi))): _*).as("codes"))
+  }
+
+  /** PQ-ADC top-k: the query side (tiny, broadcast) carries its m x kCodes
+    * exact-subspace-distance lookup table; the stored side carries only
+    * codes, so each candidate costs m array lookups. Approximate distance
+    * ranks ascending (9-dp rounded, ties -> lowest vec_id). `codebooks`
+    * supplies the build-once artifact; omitting it rebuilds per call.
+    */
+  def pqTopK(emb: DataFrame, nQueries: Int, k: Int, m: Int = 8,
+      kCodes: Int = 16, sampleMod: Int = 1,
+      codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val books = codebooks.getOrElse(pqCodebooks(emb, m, kCodes, sampleMod))
+    val sub = books(0)(0).length
+    val coded = pqEncode(emb, books)
+    val lut = array(books.indices.map(mi =>
+      array(books(mi).map(w => pqSubDist(col("qv"), mi * sub, w)): _*)): _*)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("lut", lut)
+      .select(col("qid"), col("lut"))
+    val adist = round(books.indices.map(mi =>
+        element_at(element_at(col("lut"), mi + 1),
+          element_at(col("codes"), mi + 1) + 1))
+      .reduce(_ + _), 9)
+    val scored = coded.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adist", adist)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("adist"))
+  }
+
+  /** Persist the codebooks as a text artifact (`mi;cid;f,f,...` lines,
+    * Float.toString round-trips exactly), like [[saveCentroids]].
+    */
+  def savePqBooks(spark: org.apache.spark.sql.SparkSession, path: String,
+      books: Array[Array[Array[Float]]]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    val text = books.indices.flatMap(mi => books(mi).indices.map(c =>
+      s"$mi;$c;${books(mi)(c).mkString(",")}")).mkString("\n")
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Load a [[savePqBooks]] artifact. */
+  def loadPqBooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Float]]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty)
+      .map { line =>
+        val Array(mi, c, fs0) = line.split(";", 3)
+        (mi.toInt, c.toInt, fs0.split(",").map(_.toFloat))
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+  }
+
+  /** DuckDB twin of [[pqTopK]] (sampleMod=1): replicates the per-subspace
+    * seed choice, the shared one-Lloyd-step (argmin at 9 dp,
+    * float-truncated means), the encoding, and the ADC ranking — same
+    * per-subspace left-associated fp adds, same final 9-dp round.
+    */
+  def pqTopKSql(embRel: String, nQueries: Int, k: Int, dim: Int = 64,
+      m: Int = 8, kCodes: Int = 16): String = {
+    val sub = dim / m
+    def dist(vExpr: String, off: Int, cExpr: String): String =
+      (0 until sub).map { d =>
+        val t = s"($vExpr[${off + d + 1}] - $cExpr[${d + 1}])"
+        s"($t * $t)"
+      }.mkString(" + ")
+    def argmin(vExpr: String, off: Int, rel: String): String =
+      s"(SELECT list(cid ORDER BY round(${dist(vExpr, off, "cc")}, 9) ASC, cid ASC)[1] " +
+        s"FROM (SELECT cid, CAST(c AS DOUBLE[]) AS cc FROM $rel))"
+    val subCtes = (0 until m).flatMap { mi =>
+      val off = mi * sub
+      Seq(
+        s"""seeds$mi AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+           | v[${off + 1} : ${off + sub}] AS c
+           | FROM (SELECT vec_id, v FROM embd ORDER BY vec_id LIMIT $kCodes))""",
+        s"""assign$mi AS (SELECT e.vec_id, e.v, ${argmin("e.v", off, s"seeds$mi")} AS code
+           | FROM embd e)""",
+        s"""means$mi AS (SELECT code, d, CAST(avg(x) AS REAL) AS mn
+           | FROM (SELECT code, unnest(v[${off + 1} : ${off + sub}]) AS x,
+           |   generate_subscripts(v[${off + 1} : ${off + sub}], 1) AS d FROM assign$mi)
+           | GROUP BY code, d)""",
+        s"""cents$mi AS (SELECT s.cid,
+           | COALESCE((SELECT list(mm.mn ORDER BY mm.d) FROM means$mi mm WHERE mm.code = s.cid), s.c) AS c
+           | FROM seeds$mi s)""")
+    }
+    val encCols = (0 until m).map(mi =>
+      s"${argmin("e.v", mi * sub, s"cents$mi")} AS k$mi").mkString(", ")
+    val adcTerms = (0 until m).map { mi =>
+      s"""(SELECT ${dist("p.qv", mi * sub, "cc")}
+         | FROM (SELECT CAST(c AS DOUBLE[]) AS cc FROM cents$mi WHERE cid = e.k$mi))"""
+    }.mkString(" + ")
+    s"""WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embRel),
+       |${subCtes.mkString(", ")},
+       |enc AS (SELECT e.vec_id, $encCols FROM embd e),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM embd WHERE vec_id < $nQueries),
+       |scored AS (SELECT p.qid, e.vec_id, round($adcTerms, 9) AS adist
+       |  FROM enc e CROSS JOIN q p WHERE e.vec_id <> p.qid),
+       |ranked AS (SELECT qid, vec_id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id) AS rank FROM scored)
+       |SELECT qid, rank, vec_id, adist FROM ranked WHERE rank <= $k""".stripMargin.replace("\n", " ")
+  }
 }

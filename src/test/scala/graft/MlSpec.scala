@@ -443,6 +443,54 @@ class MlSpec extends AnyFunSuite {
     assert(real.forall(r => r.getDouble(2) < 0 && r.getLong(1) > 0))
   }
 
+  test("PQ: identical vectors share codes; a planted copy is the ADC optimum") {
+    val emb = DocsAdapter.augmentedEmbeddings(spark, dir)
+    val books = Similarity.pqCodebooks(emb, m = 8, kCodes = 16)
+    assert(books.length == 8 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_.length == 8)), "m x kCodes x (dim/m) shape")
+    val codes = Similarity.pqEncode(emb, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // exact copies (vec_id % 5 == 0 shifted by VEC_SHIFT) carry identical
+    // embeddings -> the map-only encode must give identical codes
+    val copied = codes.keys.filter(_ >= DocsAdapter.VEC_SHIFT)
+    assert(copied.nonEmpty)
+    copied.foreach(id => assert(codes(id) == codes(id - DocsAdapter.VEC_SHIFT)))
+    // ADC: a query's own copy reaches the per-subspace minimum distance in
+    // every subspace, so rank 1's adist must equal the copy's adist
+    // the augmented subset keeps vec_id % 25 == 0, so a 100-wide query
+    // window selects ids 0, 25, 50, 75 (every one has a planted copy)
+    val top = Similarity.pqTopK(emb, 100, 10, codebooks = Some(books)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQ = top.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 25L, 50L, 75L))
+    val copyOf0 = top.find(t => t._1 == 0L && t._3 == DocsAdapter.VEC_SHIFT).get
+    val rank1Of0 = byQ(0L).minBy(_._2)
+    assert(rank1Of0._4 == copyOf0._4,
+      "rank 1 must sit at the copy's (globally minimal) ADC distance")
+  }
+
+  test("PQ codebooks round-trip the store; fresh process serves from the artifact") {
+    val emb = DocsAdapter.embeddings(spark, dir)
+    val books = Similarity.pqCodebooks(emb, m = 8, kCodes = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft-pq")
+      .resolve("books.txt").toString
+    Similarity.savePqBooks(spark, path, books)
+    val loaded = Similarity.loadPqBooks(spark, path)
+    assert(loaded.length == books.length)
+    for (mi <- books.indices) {
+      assert(loaded(mi).length == books(mi).length)
+      assert(loaded(mi).zip(books(mi)).forall { case (a, b) => a.sameElements(b) },
+        s"subspace $mi must round-trip float-exact")
+    }
+    // shipped path: q_ann_pq publishes the artifact; a cleared memory map
+    // must reload it from disk and serve
+    SparkEntry.queries("q_ann_pq")(spark, dir).collect()
+    val artifact = new java.io.File(SparkEntry.pqArtifactPath(dir, 8, 16))
+    assert(artifact.isFile && artifact.length() > 0)
+    SparkEntry.clearPqMemoryCache()
+    assert(SparkEntry.queries("q_ann_pq")(spark, dir).collect().nonEmpty)
+  }
+
   test("perplexity buckets split head/middle/tail with value-cut ties") {
     import graft.ml.TextAnalysis
     import spark.implicits._
