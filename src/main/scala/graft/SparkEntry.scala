@@ -146,6 +146,26 @@ object SparkEntry {
 
   private[graft] def clearPqMemoryCache(): Unit = pqCache.clear()
 
+  // IVF-PQ residual codebooks (build-once artifact; pairs with the nCells
+  // coarse quantizer it was trained against, so the key/path carry both)
+  private val ivfPqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Float]]]]()
+
+  private[graft] def ivfPqArtifactPath(dir: String, nCells: Int, m: Int,
+      kCodes: Int): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-v1-${corpusKey(dir)}-c$nCells-m$m-k$kCodes.books"
+
+  private[graft] def ivfPqBooksFor(s: SparkSession, dir: String,
+      nCells: Int = 16, m: Int = 8, kCodes: Int = 16): Array[Array[Array[Float]]] =
+    artifactCached(ivfPqCache, s"$dir#c$nCells#m$m#k$kCodes",
+        ivfPqArtifactPath(dir, nCells, m, kCodes))(
+      graft.ml.Similarity.loadPqBooks(s, _))(
+      graft.ml.Similarity.ivfPqCodebooks(DocsAdapter.embeddings(s, dir),
+        ivfCentroidsFor(s, dir, nCells), m, kCodes))(
+      graft.ml.Similarity.savePqBooks(s, _, _))
+
+  private[graft] def clearIvfPqMemoryCache(): Unit = ivfPqCache.clear()
+
   /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
     * full north-rule pipeline — tokens -> parse -> enrich -> per-sink
     * aggregate with row-set signatures.
@@ -662,6 +682,16 @@ object SparkEntry {
       graft.ml.Similarity.pqTopK(emb, 5, 10,
         codebooks = Some(pqBooksFor(s, dir)))
     }),
+    // IVFADC: coarse probes prune the scan to nProbe cells, residual-PQ
+    // codes give the compressed-domain distance within them; both models
+    // served from build-once artifacts (shared coarse quantizer, residual
+    // codebooks) — no build jobs at query time
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = DocsAdapter.embeddings(s, dir)
+      graft.ml.Similarity.ivfPqTopK(emb, 5, 10,
+        centroids = Some(ivfCentroidsFor(s, dir)),
+        codebooks = Some(ivfPqBooksFor(s, dir)))
+    }),
     // embedding-space clustering (IVF quantizer as k-means bucketing);
     // reuses the per-dir build-once centroids — serving is map-only
     "q_embed_clusters" -> ((s, dir) => {
@@ -889,6 +919,8 @@ object SparkEntry {
       graft.ml.Similarity.ivfTopKSql("embeddings", 5, 10),
     "q_ann_pq" ->
       graft.ml.Similarity.pqTopKSql("embeddings", 5, 10),
+    "q_ann_ivfpq" ->
+      graft.ml.Similarity.ivfPqTopKSql("embeddings", 5, 10),
     "q_simhash_pairs" ->
       graft.ml.TextDedup.simhashPairsSql(DocsAdapter.augmentedDocsSql(), 6),
     "q_embed_clusters" ->

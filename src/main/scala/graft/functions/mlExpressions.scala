@@ -446,6 +446,137 @@ case class IvfProbesExpr(child: Expression, centroids: Array[Array[Float]], nPro
   override protected def withNewChildInternal(c: Expression): IvfProbesExpr = copy(child = c)
 }
 
+/** Float residual of the vector against `centroids(cell)`: exact double
+  * subtraction per dim, truncated to float — the IVFADC encode/query input
+  * (SQL twin: `CAST(v[d] - c[d] AS REAL)`). Carries the centroid matrix as
+  * plain expression data like [[IvfCellExpr]]; the unrolled literal-tree
+  * form embedded the matrix once PER DIM and serialized ~10 MB task
+  * binaries.
+  */
+case class IvfResidualExpr(left: Expression, right: Expression,
+    centroids: Array[Array[Float]]) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  def doResidual(arr: ArrayData, cell: Int): ArrayData = {
+    val c = centroids(cell)
+    val out = new Array[Any](c.length)
+    var d = 0
+    while (d < c.length) {
+      out(d) = Float.box((arr.getFloat(d).toDouble - c(d).toDouble).toFloat)
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any, cell: Any): Any =
+    doResidual(v.asInstanceOf[ArrayData], cell.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfresid", this, classOf[IvfResidualExpr].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.doResidual($a, $b)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IvfResidualExpr =
+    copy(left = l, right = r)
+}
+
+/** ADC lookup table for a query vector: per subspace `mi`, the exact
+  * squared L2 distance from the query's subvector to every codeword —
+  * `m x kCodes` unrounded doubles, summed in ascending-dim order (the same
+  * left-associated fold as the unrolled `pqSubDist` column form and the
+  * SQL twin). As a composed column this was ~1024 expressions in one
+  * projection and broke whole-stage codegen's method limit.
+  */
+case class PqLutExpr(child: Expression, books: Array[Array[Array[Float]]])
+  extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+
+  def doLut(arr: ArrayData): ArrayData = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val outer = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      val off = mi * sub
+      val row = new Array[Any](books(mi).length)
+      var c = 0
+      while (c < books(mi).length) {
+        val w = books(mi)(c)
+        var s = 0.0
+        var d = 0
+        while (d < sub) {
+          val x = arr.getFloat(off + d).toDouble - w(d).toDouble
+          s += x * x
+          d += 1
+        }
+        row(c) = Double.box(s)
+        c += 1
+      }
+      outer(mi) = new GenericArrayData(row)
+      mi += 1
+    }
+    new GenericArrayData(outer)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = doLut(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqlut", this, classOf[PqLutExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.doLut($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqLutExpr = copy(child = c)
+}
+
+/** PQ encode: per subspace, the first-index argmin codeword over the 9-dp
+  * rounded squared L2 distance (ties → lowest code id, matching the SQL
+  * twin's `ORDER BY round(...) ASC, cid ASC`). The rounding replicates
+  * Spark's `round(x, 9)` exactly (BigDecimal.valueOf + HALF_UP — the same
+  * path `Round` takes for doubles), and distances fold in ascending-dim
+  * order like [[PqLutExpr]]. This is the 10^12-row hot pass — one tight
+  * loop instead of ~3k unrolled expression nodes (which serialized multi-MB
+  * task binaries and strained the codegen method limit).
+  */
+case class PqCodesExpr(child: Expression, books: Array[Array[Array[Float]]])
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  def doCodes(arr: ArrayData): ArrayData = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val out = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      val off = mi * sub
+      val book = books(mi)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val w = book(c)
+        var s = 0.0
+        var d = 0
+        while (d < sub) {
+          val x = arr.getFloat(off + d).toDouble - w(d).toDouble
+          s += x * x
+          d += 1
+        }
+        val r = java.math.BigDecimal.valueOf(s)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (r < bestD) { bestD = r; best = c }
+        c += 1
+      }
+      out(mi) = Int.box(best)
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = doCodes(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqcodes", this, classOf[PqCodesExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.doCodes($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqCodesExpr = copy(child = c)
+}
+
 /** One-pass dedup-normalization: the compiled twin of
   * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))`
   * — every text operator (shingles, chunk dedup, LM score, fingerprints,

@@ -400,24 +400,24 @@ object Similarity {
   /** Job-description tag on codebook-build jobs (mirrors IVF_BUILD_TAG). */
   val PQ_BUILD_TAG = "graft-pq-build"
 
-  /** Squared L2 distance from the `off`-sliced subvector of `v` to the
-    * literal codeword `w` — explicit per-dim arithmetic (codegen, no
-    * lambdas), left-associated additions so the fp fold order is
-    * reproducible in the SQL twin.
+  /** Compiled ADC lookup table (m x kCodes exact subspace distances) for a
+    * query vector. Distances fold in ascending-dim order — the order the
+    * SQL twin's left-associated adds use. (The composed-column forms of
+    * this and [[pqCodesCol]] were ~1k-3k expression nodes per projection:
+    * multi-MB task binaries, and past whole-stage codegen's method limit.)
     */
-  private def pqSubDist(v: Column, off: Int, w: Array[Float]): Column =
-    w.indices.map { d =>
-      val x = element_at(v, off + d + 1).cast("double") - w(d).toDouble
-      x * x
-    }.reduce(_ + _)
+  private def pqLutCol(qv: Column, books: Array[Array[Array[Float]]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.PqLutExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(qv), books))
 
-  /** Nearest codeword id for a subvector: first-index argmin over the 9-dp
-    * rounded distance array (ties -> lowest id, like [[ivfCell]]).
+  /** Compiled PQ encode: per-subspace first-index argmin codeword over the
+    * 9-dp rounded distance (ties -> lowest id, like [[ivfCell]]).
     */
-  def pqCodeCol(v: Column, off: Int, codebook: Array[Array[Float]]): Column = {
-    val ds = array(codebook.map(w => round(pqSubDist(v, off, w), 9)): _*)
-    (array_position(ds, array_min(ds)) - 1).cast("int")
-  }
+  def pqCodesCol(v: Column, books: Array[Array[Array[Float]]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.PqCodesExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(v), books))
 
   /** Per-subspace codebooks: seeds = the `kCodes` lowest vec_ids' subvectors,
     * then ONE Lloyd step for all m subspaces in a single pass (posexplode
@@ -441,8 +441,7 @@ object Similarity {
       val seeds = (0 until m).map(mi => seedRows.map(_.slice(mi * sub, mi * sub + sub)))
       val mi = (col("d") / sub).cast("int")
       val means = sample
-        .select(array((0 until m).map(i =>
-            pqCodeCol(col("embedding"), i * sub, seeds(i))): _*).as("codes"),
+        .select(pqCodesCol(col("embedding"), seeds.toArray).as("codes"),
           posexplode(col("embedding")).as(Seq("d", "x")))
         .select(mi.as("mi"), element_at(col("codes"), mi + 1).as("code"),
           pmod(col("d"), lit(sub)).as("sd"), col("x"))
@@ -460,11 +459,8 @@ object Similarity {
   /** Map-only PQ encoding: (vec_id, codes: array<int>) — the compressed
     * table a 100-TB ANN serving layer scans instead of raw vectors.
     */
-  def pqEncode(emb: DataFrame, books: Array[Array[Array[Float]]]): DataFrame = {
-    val sub = books(0)(0).length
-    emb.select(col("vec_id"), array(books.indices.map(mi =>
-      pqCodeCol(col("embedding"), mi * sub, books(mi))): _*).as("codes"))
-  }
+  def pqEncode(emb: DataFrame, books: Array[Array[Array[Float]]]): DataFrame =
+    emb.select(col("vec_id"), pqCodesCol(col("embedding"), books).as("codes"))
 
   /** PQ-ADC top-k: the query side (tiny, broadcast) carries its m x kCodes
     * exact-subspace-distance lookup table; the stored side carries only
@@ -477,13 +473,10 @@ object Similarity {
       codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val books = codebooks.getOrElse(pqCodebooks(emb, m, kCodes, sampleMod))
-    val sub = books(0)(0).length
     val coded = pqEncode(emb, books)
-    val lut = array(books.indices.map(mi =>
-      array(books(mi).map(w => pqSubDist(col("qv"), mi * sub, w)): _*)): _*)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("lut", lut)
+      .withColumn("lut", pqLutCol(col("qv"), books))
       .select(col("qid"), col("lut"))
     val adist = round(books.indices.map(mi =>
         element_at(element_at(col("lut"), mi + 1),
@@ -528,30 +521,32 @@ object Similarity {
       .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
   }
 
-  /** DuckDB twin of [[pqTopK]] (sampleMod=1): replicates the per-subspace
-    * seed choice, the shared one-Lloyd-step (argmin at 9 dp,
-    * float-truncated means), the encoding, and the ADC ranking — same
-    * per-subspace left-associated fp adds, same final 9-dp round.
-    */
-  def pqTopKSql(embRel: String, nQueries: Int, k: Int, dim: Int = 64,
-      m: Int = 8, kCodes: Int = 16): String = {
+  // Shared SQL-twin builders for the PQ family: the build CTEs, encode
+  // columns, and ADC terms are identical whether the vectors are raw
+  // ([[pqTopKSql]]) or coarse residuals ([[ivfPqTopKSql]]) — only the
+  // source relation (`vec_id`, `v DOUBLE[]`) differs.
+
+  private def pqDistSql(sub: Int, vExpr: String, off: Int, cExpr: String): String =
+    (0 until sub).map { d =>
+      val t = s"($vExpr[${off + d + 1}] - $cExpr[${d + 1}])"
+      s"($t * $t)"
+    }.mkString(" + ")
+
+  private def pqArgminSql(sub: Int, vExpr: String, off: Int, rel: String): String =
+    s"(SELECT list(cid ORDER BY round(${pqDistSql(sub, vExpr, off, "cc")}, 9) ASC, cid ASC)[1] " +
+      s"FROM (SELECT cid, CAST(c AS DOUBLE[]) AS cc FROM $rel))"
+
+  /** seeds/assign/means/cents CTEs per subspace, reading `src(vec_id, v)`. */
+  private def pqBuildCtesSql(src: String, dim: Int, m: Int, kCodes: Int): String = {
     val sub = dim / m
-    def dist(vExpr: String, off: Int, cExpr: String): String =
-      (0 until sub).map { d =>
-        val t = s"($vExpr[${off + d + 1}] - $cExpr[${d + 1}])"
-        s"($t * $t)"
-      }.mkString(" + ")
-    def argmin(vExpr: String, off: Int, rel: String): String =
-      s"(SELECT list(cid ORDER BY round(${dist(vExpr, off, "cc")}, 9) ASC, cid ASC)[1] " +
-        s"FROM (SELECT cid, CAST(c AS DOUBLE[]) AS cc FROM $rel))"
-    val subCtes = (0 until m).flatMap { mi =>
+    (0 until m).flatMap { mi =>
       val off = mi * sub
       Seq(
         s"""seeds$mi AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
            | v[${off + 1} : ${off + sub}] AS c
-           | FROM (SELECT vec_id, v FROM embd ORDER BY vec_id LIMIT $kCodes))""",
-        s"""assign$mi AS (SELECT e.vec_id, e.v, ${argmin("e.v", off, s"seeds$mi")} AS code
-           | FROM embd e)""",
+           | FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $kCodes))""",
+        s"""assign$mi AS (SELECT e.vec_id, e.v, ${pqArgminSql(sub, "e.v", off, s"seeds$mi")} AS code
+           | FROM $src e)""",
         s"""means$mi AS (SELECT code, d, CAST(avg(x) AS REAL) AS mn
            | FROM (SELECT code, unnest(v[${off + 1} : ${off + sub}]) AS x,
            |   generate_subscripts(v[${off + 1} : ${off + sub}], 1) AS d FROM assign$mi)
@@ -559,19 +554,138 @@ object Similarity {
         s"""cents$mi AS (SELECT s.cid,
            | COALESCE((SELECT list(mm.mn ORDER BY mm.d) FROM means$mi mm WHERE mm.code = s.cid), s.c) AS c
            | FROM seeds$mi s)""")
-    }
-    val encCols = (0 until m).map(mi =>
-      s"${argmin("e.v", mi * sub, s"cents$mi")} AS k$mi").mkString(", ")
-    val adcTerms = (0 until m).map { mi =>
-      s"""(SELECT ${dist("p.qv", mi * sub, "cc")}
+    }.mkString(", ")
+  }
+
+  private def pqEncColsSql(dim: Int, m: Int): String =
+    (0 until m).map(mi =>
+      s"${pqArgminSql(dim / m, "e.v", mi * (dim / m), s"cents$mi")} AS k$mi").mkString(", ")
+
+  private def pqAdcTermsSql(qExpr: String, dim: Int, m: Int): String =
+    (0 until m).map { mi =>
+      s"""(SELECT ${pqDistSql(dim / m, qExpr, mi * (dim / m), "cc")}
          | FROM (SELECT CAST(c AS DOUBLE[]) AS cc FROM cents$mi WHERE cid = e.k$mi))"""
     }.mkString(" + ")
+
+  /** DuckDB twin of [[pqTopK]] (sampleMod=1): replicates the per-subspace
+    * seed choice, the shared one-Lloyd-step (argmin at 9 dp,
+    * float-truncated means), the encoding, and the ADC ranking — same
+    * per-subspace left-associated fp adds, same final 9-dp round.
+    */
+  def pqTopKSql(embRel: String, nQueries: Int, k: Int, dim: Int = 64,
+      m: Int = 8, kCodes: Int = 16): String =
     s"""WITH embd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embRel),
-       |${subCtes.mkString(", ")},
-       |enc AS (SELECT e.vec_id, $encCols FROM embd e),
+       |${pqBuildCtesSql("embd", dim, m, kCodes)},
+       |enc AS (SELECT e.vec_id, ${pqEncColsSql(dim, m)} FROM embd e),
        |q AS (SELECT vec_id AS qid, v AS qv FROM embd WHERE vec_id < $nQueries),
-       |scored AS (SELECT p.qid, e.vec_id, round($adcTerms, 9) AS adist
+       |scored AS (SELECT p.qid, e.vec_id, round(${pqAdcTermsSql("p.qv", dim, m)}, 9) AS adist
        |  FROM enc e CROSS JOIN q p WHERE e.vec_id <> p.qid),
+       |ranked AS (SELECT qid, vec_id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id) AS rank FROM scored)
+       |SELECT qid, rank, vec_id, adist FROM ranked WHERE rank <= $k""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------
+  // IVF-PQ (IVFADC) — the two quantizers composed, Jégou TPAMI'11 §V:
+  // the coarse (IVF) quantizer prunes each query to nProbe cells, and
+  // within them the scan is compressed-domain PQ over the RESIDUAL
+  // (v − coarse centroid) — residual energy is much smaller than vector
+  // energy, so the same m×kCodes code budget quantizes far finer. This is
+  // THE 10^12-row serving shape: per query, |probed cells| candidates
+  // (not |table|), each costing m array lookups (not a 64-float scan).
+  // Both models are build-once artifacts (centroids + residual codebooks).
+  // ------------------------------------------------------------------
+
+  /** Float residual of `v` against the coarse centroid selected by
+    * `cellCol`: exact double subtraction per dim, truncated to float —
+    * reproducible in the SQL twin as `CAST(v[d] - c[d] AS REAL)`.
+    */
+  private def residualCol(v: Column, cellCol: Column,
+      cents: Array[Array[Float]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.IvfResidualExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(v),
+        org.apache.spark.sql.graftbridge.Bridge.expression(cellCol),
+        cents))
+
+  /** (vec_id, cell, embedding := residual) — the training input for the
+    * residual codebooks and the encode source. Map-only: cell assignment is
+    * the compiled [[ivfCell]] expression, the residual a per-dim projection.
+    */
+  def ivfPqResiduals(emb: DataFrame, cents: Array[Array[Float]]): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+        ivfCell(col("embedding"), cents).as("cell"))
+      .select(col("vec_id"), col("cell"),
+        residualCol(col("embedding"), col("cell"), cents).as("embedding"))
+
+  /** Residual codebooks for IVF-PQ: [[pqCodebooks]] trained on
+    * [[ivfPqResiduals]] (build-once artifact, same [[savePqBooks]] format).
+    */
+  def ivfPqCodebooks(emb: DataFrame, cents: Array[Array[Float]],
+      m: Int = 8, kCodes: Int = 16, sampleMod: Int = 1): Array[Array[Array[Float]]] =
+    pqCodebooks(ivfPqResiduals(emb, cents), m, kCodes, sampleMod)
+
+  /** IVFADC top-k. Stored side: (vec_id, cell, m residual codes) — map-only
+    * encode, broadcast-joined on `cell` so ONLY probed cells' members are
+    * scored. Query side (tiny): per probed cell, the query's residual
+    * against that cell's centroid yields an m×kCodes exact-distance LUT;
+    * each candidate then costs m lookups. Ranks ascending by 9-dp ADC
+    * distance, ties → lowest vec_id. `centroids`/`codebooks` supply the
+    * build-once artifacts; omitting them rebuilds per call.
+    */
+  def ivfPqTopK(emb: DataFrame, nQueries: Int, k: Int, nCells: Int = 16,
+      nProbe: Int = 4, m: Int = 8, kCodes: Int = 16, sampleMod: Int = 1,
+      centroids: Option[Array[Array[Float]]] = None,
+      codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids.getOrElse(ivfCentroids(emb, nCells, sampleMod))
+    val books = codebooks.getOrElse(ivfPqCodebooks(emb, cents, m, kCodes, sampleMod))
+    val rv = ivfPqResiduals(emb, cents)
+    val coded = rv.select(col("vec_id"), col("cell"),
+      pqCodesCol(col("embedding"), books).as("codes"))
+    val probed = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("cell", explode(ivfProbes(col("qe"), cents, nProbe)))
+    val qres = probed.select(col("qid"), col("cell"),
+      residualCol(col("qe"), col("cell"), cents).as("qv"))
+    val queries = qres.select(col("qid"), col("cell"),
+      pqLutCol(col("qv"), books).as("lut"))
+    val adist = round(books.indices.map(mi =>
+        element_at(element_at(col("lut"), mi + 1),
+          element_at(col("codes"), mi + 1) + 1))
+      .reduce(_ + _), 9)
+    val scored = coded.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adist", adist)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("adist"))
+  }
+
+  /** DuckDB twin of [[ivfPqTopK]] (sampleMod=1): the IVF index build CTEs
+    * ([[ivfIndexCtes]] — proven by `q_ann_ivf`), residuals as
+    * `CAST(v[d]-c[d] AS REAL)` re-widened to double, then the shared PQ
+    * build/encode/ADC CTEs over the residual relation, with the candidate
+    * join restricted to probed cells exactly like the Spark plan.
+    */
+  def ivfPqTopKSql(embRel: String, nQueries: Int, k: Int, dim: Int = 64,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 8, kCodes: Int = 16): String = {
+    def resArr(v: String, c: String): String =
+      "[" + (1 to dim).map(d => s"CAST($v[$d] - $c[$d] AS REAL)").mkString(", ") + "]"
+    s"""${ivfIndexCtes(embRel, nCells)},
+       |rv AS (SELECT x.vec_id, x.cell, CAST(${resArr("x.v", "x.c")} AS DOUBLE[]) AS v
+       |  FROM (SELECT i.vec_id, i.cell, CAST(i.embedding AS DOUBLE[]) AS v, CAST(ct.c AS DOUBLE[]) AS c
+       |        FROM indexed i JOIN cents ct ON ct.cid = i.cell) x),
+       |${pqBuildCtesSql("rv", dim, m, kCodes)},
+       |enc AS (SELECT e.vec_id, e.cell, ${pqEncColsSql(dim, m)} FROM rv e),
+       |probes AS (SELECT q.vec_id AS qid, q.embedding AS qe, unnest(
+       |    ${nearestSql("q.embedding", "cents", nProbe)}) AS cell
+       |  FROM emb q WHERE q.vec_id < $nQueries),
+       |qrv AS (SELECT x.qid, x.cell, CAST(${resArr("x.v", "x.c")} AS DOUBLE[]) AS qv
+       |  FROM (SELECT p.qid, p.cell, CAST(p.qe AS DOUBLE[]) AS v, CAST(ct.c AS DOUBLE[]) AS c
+       |        FROM probes p JOIN cents ct ON ct.cid = p.cell) x),
+       |scored AS (SELECT p.qid, e.vec_id, round(${pqAdcTermsSql("p.qv", dim, m)}, 9) AS adist
+       |  FROM enc e JOIN qrv p ON e.cell = p.cell WHERE e.vec_id <> p.qid),
        |ranked AS (SELECT qid, vec_id, adist,
        |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id) AS rank FROM scored)
        |SELECT qid, rank, vec_id, adist FROM ranked WHERE rank <= $k""".stripMargin.replace("\n", " ")

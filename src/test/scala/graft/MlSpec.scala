@@ -491,6 +491,71 @@ class MlSpec extends AnyFunSuite {
     assert(SparkEntry.queries("q_ann_pq")(spark, dir).collect().nonEmpty)
   }
 
+  test("IVFPQ: copies share (cell, codes); candidates come only from probed cells") {
+    val emb = DocsAdapter.augmentedEmbeddings(spark, dir)
+    val cents = Similarity.ivfCentroids(emb, 16)
+    val books = Similarity.ivfPqCodebooks(emb, cents)
+    // identical vectors -> same coarse cell -> identical residual -> codes
+    val coded = Similarity.ivfPqResiduals(emb, cents)
+      .select(col("vec_id"), col("cell"),
+        Similarity.pqCodesCol(col("embedding"), books).as("codes"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2)))).toMap
+    val copied = coded.keys.filter(_ >= DocsAdapter.VEC_SHIFT)
+    assert(copied.nonEmpty)
+    copied.foreach(id => assert(coded(id) == coded(id - DocsAdapter.VEC_SHIFT)))
+    // the result honors the IVF pruning contract: every candidate's cell is
+    // among its query's probed cells, ranks are contiguous, ADC ascending
+    val probes = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        Similarity.ivfProbes(col("embedding"), cents, 4).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    val top = Similarity.ivfPqTopK(emb, 100, 10,
+        centroids = Some(cents), codebooks = Some(books)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(top.nonEmpty)
+    top.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length),
+        s"ranks for qid=$qid must be contiguous from 1")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 <= b._4
+        case _           => true
+      }, s"ADC distance must ascend with rank for qid=$qid")
+      sorted.foreach { case (_, _, vid, _) =>
+        assert(probes(qid).contains(coded(vid)._1),
+          s"candidate $vid of qid=$qid must come from a probed cell")
+      }
+    }
+  }
+
+  test("IVFPQ serves from the two artifacts: fresh process, zero build jobs") {
+    SparkEntry.queries("q_ann_ivfpq")(spark, dir).collect()
+    val artifact = new java.io.File(SparkEntry.ivfPqArtifactPath(dir, 16, 8, 16))
+    assert(artifact.isFile && artifact.length() > 0,
+      s"build must publish the residual codebooks at $artifact")
+    // fresh-driver simulation: forget both in-process maps; the next serve
+    // must LOAD centroids + codebooks and launch no build-tagged jobs
+    SparkEntry.clearIvfMemoryCache()
+    SparkEntry.clearIvfPqMemoryCache()
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val d = Option(j.properties).map(_.getProperty("spark.job.description")).orNull
+        if (d != null) descs.add(d): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(SparkEntry.queries("q_ann_ivfpq")(spark, dir).collect().nonEmpty)
+      Thread.sleep(1500) // let the async listener bus drain
+      assert(!descs.contains(Similarity.IVF_BUILD_TAG),
+        s"artifact serve must not rebuild the coarse quantizer: $descs")
+      assert(!descs.contains(Similarity.PQ_BUILD_TAG),
+        s"artifact serve must not retrain the residual codebooks: $descs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("perplexity buckets split head/middle/tail with value-cut ties") {
     import graft.ml.TextAnalysis
     import spark.implicits._
