@@ -188,6 +188,63 @@ object ScaleProbeOps {
         f""""dedup_secs":$incrSecs%.2f,"survivors":$survivors2,""" +
         f""""shuffle_records":${dedupShuffle.get()},""" +
         f""""docs_per_sec":${nIncoming / incrSecs}%.0f}""")
+
+      // ---- IVF-PQ ANN at forced scale -----------------------------------
+      // Reuses the 1M-vector table + the nCells coarse quantizer. The
+      // stored table is the ENCODED one, written partitionBy(cell) — the
+      // serving scan must read only probed partitions (listener-checked
+      // via input records), and the search wall is compared against the
+      // brute-force scan of the same queries.
+      val m = 8
+      val (books, pqBuildSecs) = time {
+        graft.ml.Similarity.ivfPqCodebooks(emb, cents, m = m, sampleMod = 64)
+      }
+      val (_, pqEncodeSecs) = time {
+        graft.ml.Similarity.ivfPqEncode(emb, cents, books)
+          .repartition(cpus, col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$root/coded")
+      }
+      val coded = spark.read.parquet(s"$root/coded")
+      // (a) pruning evidence at few queries: 8 queries probe <=64 of the
+      // 1024 cells, so a partition-pruned scan reads a few % of the store
+      val inputRecords = new AtomicLong()
+      val l3 = new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+          Option(s.stageInfo.taskMetrics).foreach(mt =>
+            inputRecords.addAndGet(mt.inputMetrics.recordsRead): Unit)
+      }
+      spark.sparkContext.addSparkListener(l3)
+      val (annRows8, search8Secs) = try time {
+        graft.ml.Similarity.ivfPqSearch(coded,
+          emb.filter(col("vec_id") < 8), 10, 8, cents, books).collect().length
+      } finally {
+        Thread.sleep(500)
+        spark.sparkContext.removeSparkListener(l3)
+      }
+      require(annRows8 == 8 * 10, s"full top-k expected ($annRows8)")
+      require(inputRecords.get() < nVecs / 4,
+        s"probe-pruned serve read ${inputRecords.get()} records — " +
+          "the cell-partitioned scan must not read the whole store")
+      // (b) throughput comparison at enough queries that the brute scan's
+      // per-query cost dominates its fixed overhead — the asymptote, not
+      // job-scheduling noise
+      val nQ = 64
+      val queries = emb.filter(col("vec_id") < nQ)
+      val (annRows, searchSecs) = time {
+        graft.ml.Similarity.ivfPqSearch(coded, queries, 10, 8, cents, books)
+          .collect().length
+      }
+      val (bfRows, bruteSecs) = time {
+        graft.ml.Similarity.bruteForceTopK(emb, nQ, 10).collect().length
+      }
+      require(annRows == nQ * 10 && bfRows == nQ * 10,
+        s"both ANN paths must return full top-k ($annRows, $bfRows)")
+      println(f"""{"probe":"ivfpq","vecs":$nVecs,"dim":$dim,"cells":$nCells,"m":$m,""" +
+        f""""pq_build_secs":$pqBuildSecs%.2f,"encode_secs":$pqEncodeSecs%.2f,""" +
+        f""""encode_vecs_per_sec":${nVecs / pqEncodeSecs}%.0f,""" +
+        f""""search8_secs":$search8Secs%.2f,"search8_input_records":${inputRecords.get()},""" +
+        f""""queries":$nQ,"search_secs":$searchSecs%.2f,""" +
+        f""""brute_secs":$bruteSecs%.2f,"speedup":${bruteSecs / searchSecs}%.1f}""")
     } finally {
       spark.stop()
       graft.util.Dirs.deleteRecursively(new File(root))

@@ -624,42 +624,63 @@ object Similarity {
       m: Int = 8, kCodes: Int = 16, sampleMod: Int = 1): Array[Array[Array[Float]]] =
     pqCodebooks(ivfPqResiduals(emb, cents), m, kCodes, sampleMod)
 
-  /** IVFADC top-k. Stored side: (vec_id, cell, m residual codes) — map-only
-    * encode, broadcast-joined on `cell` so ONLY probed cells' members are
-    * scored. Query side (tiny): per probed cell, the query's residual
-    * against that cell's centroid yields an m×kCodes exact-distance LUT;
-    * each candidate then costs m lookups. Ranks ascending by 9-dp ADC
-    * distance, ties → lowest vec_id. `centroids`/`codebooks` supply the
-    * build-once artifacts; omitting them rebuilds per call.
+  /** IVFADC encode: (vec_id, cell, m residual codes) — one map-only pass.
+    * This is the stored table of a 100-TB ANN serving layer; write it
+    * `partitionBy("cell")` and [[ivfPqSearch]]'s probe filter prunes the
+    * scan to the probed partitions.
     */
-  def ivfPqTopK(emb: DataFrame, nQueries: Int, k: Int, nCells: Int = 16,
-      nProbe: Int = 4, m: Int = 8, kCodes: Int = 16, sampleMod: Int = 1,
-      centroids: Option[Array[Array[Float]]] = None,
-      codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = centroids.getOrElse(ivfCentroids(emb, nCells, sampleMod))
-    val books = codebooks.getOrElse(ivfPqCodebooks(emb, cents, m, kCodes, sampleMod))
-    val rv = ivfPqResiduals(emb, cents)
-    val coded = rv.select(col("vec_id"), col("cell"),
+  def ivfPqEncode(emb: DataFrame, cents: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): DataFrame =
+    ivfPqResiduals(emb, cents).select(col("vec_id"), col("cell"),
       pqCodesCol(col("embedding"), books).as("codes"))
-    val probed = emb.filter(col("vec_id") < nQueries)
+
+  /** IVFADC search over a pre-encoded table. Query side (tiny): per probed
+    * cell, the query's residual against that cell's centroid yields an
+    * m×kCodes exact-distance LUT; each candidate then costs m lookups.
+    * The probed-cell id set (nQueries × nProbe, known before any scan) is
+    * ALSO pushed as a partition-prunable `cell IN (...)` filter on the
+    * stored side, so a cell-partitioned store reads only probed partitions
+    * — the candidate restriction happens at the SCAN, not just the join.
+    * Ranks ascending by 9-dp ADC distance, ties → lowest vec_id.
+    */
+  def ivfPqSearch(coded: DataFrame, queryVecs: DataFrame, k: Int, nProbe: Int,
+      cents: Array[Array[Float]], books: Array[Array[Array[Float]]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probed = queryVecs
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .withColumn("cell", explode(ivfProbes(col("qe"), cents, nProbe)))
     val qres = probed.select(col("qid"), col("cell"),
       residualCol(col("qe"), col("cell"), cents).as("qv"))
     val queries = qres.select(col("qid"), col("cell"),
       pqLutCol(col("qv"), books).as("lut"))
+    val probedCells = queries.select("cell").distinct()
+      .collect().map(_.getInt(0).asInstanceOf[Any])
     val adist = round(books.indices.map(mi =>
         element_at(element_at(col("lut"), mi + 1),
           element_at(col("codes"), mi + 1) + 1))
       .reduce(_ + _), 9)
-    val scored = coded.join(broadcast(queries), Seq("cell"))
+    val scored = coded.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("adist", adist)
     val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("adist"))
+  }
+
+  /** IVFADC top-k in one call: [[ivfPqEncode]] + [[ivfPqSearch]] with the
+    * first `nQueries` vectors as queries. `centroids`/`codebooks` supply
+    * the build-once artifacts; omitting them rebuilds per call.
+    */
+  def ivfPqTopK(emb: DataFrame, nQueries: Int, k: Int, nCells: Int = 16,
+      nProbe: Int = 4, m: Int = 8, kCodes: Int = 16, sampleMod: Int = 1,
+      centroids: Option[Array[Array[Float]]] = None,
+      codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(emb, nCells, sampleMod))
+    val books = codebooks.getOrElse(ivfPqCodebooks(emb, cents, m, kCodes, sampleMod))
+    ivfPqSearch(ivfPqEncode(emb, cents, books),
+      emb.filter(col("vec_id") < nQueries), k, nProbe, cents, books)
   }
 
   /** DuckDB twin of [[ivfPqTopK]] (sampleMod=1): the IVF index build CTEs
