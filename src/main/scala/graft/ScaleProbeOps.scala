@@ -43,6 +43,25 @@ object ScaleProbeOps {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Runs `body` under a stage-completion listener summing `pick` over the
+    * completed stages' task metrics; waits out the async listener bus
+    * before unregistering so late-posted stages aren't dropped.
+    */
+  private def withStageSum[A](spark: SparkSession)(
+      pick: org.apache.spark.executor.TaskMetrics => Long)(body: => A): (A, Long) = {
+    val total = new AtomicLong()
+    val listener = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        Option(s.stageInfo.taskMetrics).foreach(m => total.addAndGet(pick(m)): Unit)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val a = try body finally {
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    (a, total.get())
+  }
+
   def corpus(spark: SparkSession, nDocs: Long): DataFrame = {
     val wid = (k: Int) =>
       pmod(xxhash64(col("id"), lit(k)), lit(100L)) *
@@ -102,21 +121,12 @@ object ScaleProbeOps {
         f""""docs_per_sec":${nRows / encodeSecs}%.0f}""")
 
       // ---- domain quota under a hot domain ----------------------------
-      val shuffleRecords = new AtomicLong()
-      val listener = new SparkListener {
-        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-          Option(s.stageInfo.taskMetrics).foreach(m =>
-            shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten): Unit)
-      }
-      spark.sparkContext.addSparkListener(listener)
-      val (outRows, quotaSecs) = try time {
-        graft.ml.TextCleaning.domainQuota(docs, cap).count()
-      } finally {
-        Thread.sleep(500) // async listener bus settle
-        spark.sparkContext.removeSparkListener(listener)
-      }
+      val ((outRows, quotaSecs), quotaShuffle) =
+        withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
+          time { graft.ml.TextCleaning.domainQuota(docs, cap).count() }
+        }
       println(f"""{"probe":"quota","docs":$nDocs,"hot_frac":0.75,"cap":$cap,""" +
-        f""""out_rows":$outRows,"shuffle_records":${shuffleRecords.get()},""" +
+        f""""out_rows":$outRows,"shuffle_records":$quotaShuffle,""" +
         f""""secs":$quotaSecs%.2f,"docs_per_sec":${nDocs / quotaSecs}%.0f}""")
 
       // ---- semantic dedup (SemDeDup) at forced scale -------------------
@@ -163,30 +173,23 @@ object ScaleProbeOps {
       val (bloom, bloomSecs) = time {
         graft.ml.TextDedup.buildHistoryBloom(docs, nDocs, 0.01)
       }
-      val dedupShuffle = new AtomicLong()
-      val l2 = new SparkListener {
-        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-          Option(s.stageInfo.taskMetrics).foreach(m =>
-            dedupShuffle.addAndGet(m.shuffleWriteMetrics.recordsWritten): Unit)
-      }
-      spark.sparkContext.addSparkListener(l2)
-      val (survivors2, incrSecs) = try time {
-        graft.ml.TextDedup.incrementalDedup(incoming, docs, nDocs, 0.01,
-          prebuilt = Some(bloom)).count()
-      } finally {
-        Thread.sleep(500)
-        spark.sparkContext.removeSparkListener(l2)
-      }
+      val ((survivors2, incrSecs), dedupShuffle) =
+        withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
+          time {
+            graft.ml.TextDedup.incrementalDedup(incoming, docs, nDocs, 0.01,
+              prebuilt = Some(bloom)).count()
+          }
+        }
       val nIncoming = nDocs + nDocs / 10
       require(survivors2 == nDocs,
         s"incremental dedup must keep exactly the fresh docs ($survivors2 != $nDocs)")
-      require(dedupShuffle.get() <= nDocs + nIncoming / 4,
-        s"bloom gate failed: ${dedupShuffle.get()} records shuffled " +
+      require(dedupShuffle <= nDocs + nIncoming / 4,
+        s"bloom gate failed: $dedupShuffle records shuffled " +
           s"(bound ${nDocs + nIncoming / 4} = history hashes + positive sliver)")
       println(f"""{"probe":"incrdedup","history":$nDocs,"incoming":$nIncoming,""" +
         f""""bloom_secs":$bloomSecs%.2f,"bloom_bits":${bloom.bitSize()},""" +
         f""""dedup_secs":$incrSecs%.2f,"survivors":$survivors2,""" +
-        f""""shuffle_records":${dedupShuffle.get()},""" +
+        f""""shuffle_records":$dedupShuffle,""" +
         f""""docs_per_sec":${nIncoming / incrSecs}%.0f}""")
 
       // ---- IVF-PQ ANN at forced scale -----------------------------------
@@ -207,23 +210,16 @@ object ScaleProbeOps {
       val coded = spark.read.parquet(s"$root/coded")
       // (a) pruning evidence at few queries: 8 queries probe <=64 of the
       // 1024 cells, so a partition-pruned scan reads a few % of the store
-      val inputRecords = new AtomicLong()
-      val l3 = new SparkListener {
-        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-          Option(s.stageInfo.taskMetrics).foreach(mt =>
-            inputRecords.addAndGet(mt.inputMetrics.recordsRead): Unit)
-      }
-      spark.sparkContext.addSparkListener(l3)
-      val (annRows8, search8Secs) = try time {
-        graft.ml.Similarity.ivfPqSearch(coded,
-          emb.filter(col("vec_id") < 8), 10, 8, cents, books).collect().length
-      } finally {
-        Thread.sleep(500)
-        spark.sparkContext.removeSparkListener(l3)
-      }
+      val ((annRows8, search8Secs), inputRecords) =
+        withStageSum(spark)(_.inputMetrics.recordsRead) {
+          time {
+            graft.ml.Similarity.ivfPqSearch(coded,
+              emb.filter(col("vec_id") < 8), 10, 8, cents, books).collect().length
+          }
+        }
       require(annRows8 == 8 * 10, s"full top-k expected ($annRows8)")
-      require(inputRecords.get() < nVecs / 4,
-        s"probe-pruned serve read ${inputRecords.get()} records — " +
+      require(inputRecords < nVecs / 4,
+        s"probe-pruned serve read $inputRecords records — " +
           "the cell-partitioned scan must not read the whole store")
       // (b) throughput comparison at enough queries that the brute scan's
       // per-query cost dominates its fixed overhead — the asymptote, not
@@ -242,7 +238,7 @@ object ScaleProbeOps {
       println(f"""{"probe":"ivfpq","vecs":$nVecs,"dim":$dim,"cells":$nCells,"m":$m,""" +
         f""""pq_build_secs":$pqBuildSecs%.2f,"encode_secs":$pqEncodeSecs%.2f,""" +
         f""""encode_vecs_per_sec":${nVecs / pqEncodeSecs}%.0f,""" +
-        f""""search8_secs":$search8Secs%.2f,"search8_input_records":${inputRecords.get()},""" +
+        f""""search8_secs":$search8Secs%.2f,"search8_input_records":$inputRecords,""" +
         f""""queries":$nQ,"search_secs":$searchSecs%.2f,""" +
         f""""brute_secs":$bruteSecs%.2f,"speedup":${bruteSecs / searchSecs}%.1f}""")
     } finally {

@@ -225,7 +225,6 @@ final class HttpApi(api: JobsApi,
       throw new IllegalArgumentException("lastTs is required")))
     val lastDocId = q.getOrElse("lastDocId",
       throw new IllegalArgumentException("lastDocId is required"))
-    api.job(id).getOrElse(throw JobsApi.NoSuchJobException(id))
     val page = api.jobResultsAfter(id, lastTs, lastDocId, take)
     val o = mapper.createObjectNode()
     val events = o.putArray("events")

@@ -98,7 +98,7 @@ object WebGui {
   <script>
   "use strict";
   var TAKE = 25;
-  var jobId = null, stats = null, skip = 0, polling = false;
+  var jobId = null, stats = null, skip = 0, polling = false, aborted = false;
   function el(id) { return document.getElementById(id); }
   function esc(s) { var d = document.createElement('span'); d.textContent = String(s); return d.innerHTML; }
   function sleep(ms) { return new Promise(function (r) { setTimeout(r, ms); }); }
@@ -115,6 +115,7 @@ object WebGui {
     el('search-btn').disabled = true; el('abort-btn').disabled = false;
     el('status').textContent = 'Starting job…';
     try {
+      aborted = false;
       jobId = await api(url, { method: 'POST' });
       polling = true;
       while (polling) {
@@ -125,6 +126,7 @@ object WebGui {
         if (stats.State !== 1) break;
         await sleep(300);
       }
+      if (aborted) return; // abort already reported; don't page a dead job
       skip = 0;
       await loadPage();
       renderFields();
@@ -136,6 +138,7 @@ object WebGui {
   }
   async function abortJob() {
     if (jobId === null) return;
+    aborted = true;
     polling = false;
     await fetch('/api/v1/abortJob?jobId=' + jobId, { method: 'POST' });
     el('status').textContent = 'Job ' + jobId + ' aborted.';
@@ -198,9 +201,16 @@ object WebGui {
   }
   el('search-btn').addEventListener('click', runSearch);
   el('abort-btn').addEventListener('click', abortJob);
-  el('prev-btn').addEventListener('click', function () { skip = Math.max(0, skip - TAKE); loadPage(); });
-  el('next-btn').addEventListener('click', function () { skip += TAKE; loadPage(); });
-  el('search-input').addEventListener('keydown', function (e) { if (e.key === 'Enter') runSearch(); });
+  function pageTo(s) {
+    skip = s;
+    loadPage().catch(function (e) { el('status').textContent = 'Page load failed — ' + e.message; });
+  }
+  el('prev-btn').addEventListener('click', function () { pageTo(Math.max(0, skip - TAKE)); });
+  el('next-btn').addEventListener('click', function () { pageTo(skip + TAKE); });
+  el('search-input').addEventListener('keydown', function (e) {
+    // mirror the button: no concurrent second job while one is polling
+    if (e.key === 'Enter' && !el('search-btn').disabled) runSearch();
+  });
   </script>
   """)
 
@@ -238,7 +248,9 @@ object WebGui {
   }
   async function loadSchema() {
     var r = await fetch('/api/v1/config/schema');
-    el('config-schema').textContent = JSON.stringify(await r.json(), null, 2);
+    el('config-schema').textContent = r.ok
+      ? JSON.stringify(await r.json(), null, 2)
+      : 'schema unavailable — ' + r.status;
   }
   async function loadEnums() {
     var names = ['fileTypes', 'files', 'hostTypes'];

@@ -300,11 +300,14 @@ object Similarity {
     val cents = centroids.getOrElse(ivfCentroids(emb, nCells))
     val assigned = emb.select(col("vec_id"), col("embedding"),
       ivfCell(col("embedding"), cents).cast("long").as("cell"))
-    val dropped = assigned.as("l").join(assigned.as("r"),
-        col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
-      .filter(round(cosine(col("l.embedding"), col("r.embedding")), 6) >= threshold)
-      .select(col("r.vec_id").as("vec_id")).distinct()
-    assigned.join(dropped, Seq("vec_id"), "left_anti")
+    // one anti-join IS the keep rule: r survives iff no lower-id cell-mate
+    // clears the threshold. Both sides share the single cell-keyed
+    // exchange; the drop-set + extra anti-join form paid a third full
+    // assignment scan of the corpus just to subtract ids.
+    assigned.as("r").join(assigned.as("l"),
+        col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id") &&
+          round(cosine(col("l.embedding"), col("r.embedding")), 6) >= threshold,
+        "left_anti")
       .select(col("vec_id"), col("cell"))
   }
 
