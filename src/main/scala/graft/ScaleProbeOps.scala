@@ -241,6 +241,45 @@ object ScaleProbeOps {
         f""""search8_secs":$search8Secs%.2f,"search8_input_records":$inputRecords,""" +
         f""""queries":$nQ,"search_secs":$searchSecs%.2f,""" +
         f""""brute_secs":$bruteSecs%.2f,"speedup":${bruteSecs / searchSecs}%.1f}""")
+
+      // ---- ExactSubstr dup spans at forced scale ------------------------
+      // 56-word docs of globally unique filler; every 10th doc carries a
+      // SHARED 16-word boilerplate at positions 10..25. Expected result is
+      // closed-form: exactly one span (10, 26) per boilerplate doc — L-grams
+      // fully inside the run are corpus-duplicated, every gram touching the
+      // unique filler is not. ~49M positioned grams flow through the ONE
+      // gram-hash shuffle at the default 1M docs.
+      val nSpanDocs = sys.env.getOrElse("PROBE_SPAN_DOCS", "1000000").toLong
+      val spanWords = (0 until 56).map { k =>
+        val filler = concat(lit("u"), col("id"), lit(s"x$k"))
+        if (k >= 10 && k < 26)
+          when(pmod(col("id"), lit(10)) === 0, lit(s"b$k")).otherwise(filler)
+        else filler
+      }
+      spark.range(nSpanDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", spanWords: _*).as("text"))
+        .write.mode("overwrite").parquet(s"$root/spandocs")
+      val spanDocs = spark.read.parquet(s"$root/spandocs")
+      val (spanRow, spanSecs) = time {
+        graft.ml.TextDedup.dupSpans(spanDocs, 8)
+          .agg(count(lit(1)), min(col("span_start")), max(col("span_end")),
+            countDistinct(col("doc_id"))).head()
+      }
+      val expSpans = (nSpanDocs + 9) / 10
+      require(spanRow.getLong(0) == expSpans && spanRow.getLong(3) == expSpans &&
+        spanRow.getLong(1) == 10 && spanRow.getLong(2) == 26,
+        s"dup spans must be exactly one (10,26) per boilerplate doc: $spanRow")
+      val (droppedWords, scrubSecs) = time {
+        graft.ml.TextDedup.scrubDupSpans(spanDocs, 8)
+          .agg(sum(col("n_dropped"))).head().getLong(0)
+      }
+      require(droppedWords == 16 * expSpans,
+        s"scrub must cut exactly the boilerplate words ($droppedWords != ${16 * expSpans})")
+      println(f"""{"probe":"dupspans","docs":$nSpanDocs,"words_per_doc":56,"L":8,""" +
+        f""""spans":${spanRow.getLong(0)},"span_secs":$spanSecs%.2f,""" +
+        f""""span_docs_per_sec":${nSpanDocs / spanSecs}%.0f,""" +
+        f""""scrub_secs":$scrubSecs%.2f,"dropped_words":$droppedWords,""" +
+        f""""scrub_docs_per_sec":${nSpanDocs / scrubSecs}%.0f}""")
     } finally {
       spark.stop()
       graft.util.Dirs.deleteRecursively(new File(root))
