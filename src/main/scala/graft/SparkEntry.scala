@@ -533,6 +533,12 @@ object SparkEntry {
     // URL domain frequency (blocklist/provenance stats)
     "q_url_domains" -> ((s, dir) =>
       graft.ml.TextCleaning.domainStats(DocsAdapter.piiDocs(s, dir))),
+    // URL canonicalization + keep-first dedup on the canonical key (the
+    // crawl-pipeline step BEFORE content dedup): scheme/host case, www.,
+    // default port, fragment, tracking params, param order and trailing
+    // slashes all collapse
+    "q_url_dedup" -> ((s, dir) =>
+      graft.ml.TextCleaning.urlDedup(DocsAdapter.urlDocs(s, dir))),
     // C4 page-level heuristics (Raffel et al., JMLR'20 §2.2): line keep /
     // sentence-count / lorem / brace branches over structured pages
     "q_c4_filters" -> ((s, dir) =>
@@ -903,6 +909,8 @@ object SparkEntry {
       graft.ml.TextCleaning.repetitionMetricsSql("documents"),
     "q_url_domains" ->
       graft.ml.TextCleaning.domainStatsSql(DocsAdapter.piiDocsSql()),
+    "q_url_dedup" ->
+      graft.ml.TextCleaning.urlDedupSql(DocsAdapter.urlDocsSql()),
     "q_c4_filters" ->
       graft.ml.TextCleaning.c4FiltersSql(DocsAdapter.c4DocsSql()),
     "q_domain_quota" ->

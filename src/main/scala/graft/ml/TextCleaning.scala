@@ -258,6 +258,80 @@ object TextCleaning {
        |   COALESCE(regexp_extract_all(text, 'https?://([a-z0-9.-]+)', 1)[1], 'none') AS domain
        |  FROM $docsRel)) WHERE rnk <= $cap""".stripMargin.replace("\n", " ")
 
+  // ------------------------------------------------------ URL canonical
+
+  /** Tracking params stripped during canonicalization (the common
+    * UTM/click-id set every crawl pipeline drops — they vary per referral,
+    * not per page).
+    */
+  val TRACKING_PARAM_RX = "^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
+
+  /** Canonical form of a web URL — the dedup key a crawl pipeline applies
+    * BEFORE content dedup, so re-crawls of one page under URL variants
+    * collapse (cf. logsuck has no notion of this; builder-mandate op):
+    * lowercase scheme + host, strip a `www.` prefix, drop the scheme's
+    * default port (:80/:443), drop the fragment, drop tracking params
+    * ([[TRACKING_PARAM_RX]]), byte-sort the surviving query params, and
+    * trim trailing path slashes. Pure projection (map-only at any scale);
+    * every step is in the Java-regex ∩ RE2 subset so the DuckDB twin is
+    * byte-identical.
+    */
+  def urlCanonicalCol(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = regexp_extract(rest, "^([^/?#]*)", 1)
+    val noWww = regexp_replace(lower(hostport), "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val pathq = rest.substr(length(hostport) + 1, length(rest))
+    val path = regexp_replace(regexp_extract(pathq, "^([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(pathq, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TRACKING_PARAM_RX)))
+    val qpart = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, path, qpart)
+  }
+
+  /** Keep-first dedup on the canonical URL (lowest doc_id survives):
+    * (doc_id, canon, is_dup). One shuffle on the canonical key — the same
+    * flag shape as content-level `TextDedup.exact`, applied upstream of it.
+    */
+  def urlDedup(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("canon")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), urlCanonicalCol(col("url")).as("canon"))
+      .withColumn("is_dup", row_number().over(w) > 1)
+  }
+
+  /** DuckDB twin of [[urlDedup]] over a `(doc_id, url)` relation. */
+  def urlDedupSql(urlRel: String): String =
+    s"""WITH parts AS (SELECT doc_id, url,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       |  FROM $urlRel),
+       |parts2 AS (SELECT doc_id, scheme, rest,
+       |    regexp_extract(rest, '^([^/?#]*)', 1) AS hostport FROM parts),
+       |parts3 AS (SELECT doc_id, scheme,
+       |    regexp_replace(lower(hostport), '^www\\.', '') AS nowww,
+       |    substr(rest, len(hostport) + 1) AS pathq FROM parts2),
+       |canon AS (SELECT doc_id,
+       |    scheme || '://' ||
+       |    (CASE WHEN scheme = 'http' THEN regexp_replace(nowww, ':80$$', '')
+       |          WHEN scheme = 'https' THEN regexp_replace(nowww, ':443$$', '')
+       |          ELSE nowww END) ||
+       |    regexp_replace(regexp_extract(pathq, '^([^?#]*)', 1), '/+$$', '') ||
+       |    (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END)
+       |      AS canon
+       |  FROM (SELECT doc_id, scheme, nowww, pathq,
+       |      list_sort(list_filter(string_split(regexp_extract(pathq, '\\?([^#]*)', 1), '&'),
+       |        p -> p <> '' AND NOT regexp_matches(p, '$TRACKING_PARAM_RX'))) AS params
+       |    FROM parts3))
+       |SELECT doc_id, canon,
+       |  row_number() OVER (PARTITION BY canon ORDER BY doc_id) > 1 AS is_dup
+       |FROM canon""".stripMargin.replace("\n", " ")
+
   /** Domain frequency over URLs in the corpus (blocklist/provenance stats). */
   def domainStats(docs: DataFrame): DataFrame =
     docs.select(explode(regexp_extract_all(col("text"), lit(URL_DOMAIN_RX), lit(1))).as("domain"))

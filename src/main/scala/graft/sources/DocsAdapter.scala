@@ -86,6 +86,47 @@ object DocsAdapter {
        | ELSE ' see https://site' || (doc_id % 20) || '.example.org/page' || doc_id END AS text,
        | lang, source, n_chars FROM documents)""".stripMargin.replace("\n", " ")
 
+  /** (doc_id, url) with deterministic crawl-style URL VARIANTS of shared
+    * pages: docs 16j..16j+7 (and ..+15 for the next group) cycle through
+    * eight surface forms — plain, upper-cased host, `www.` prefix,
+    * explicit :443, trailing slash, fragment, and two tracking-param
+    * permutations — of the page keyed by (group, path). Canonicalization
+    * must collapse each 8-cycle to two canonical URLs (with/without the
+    * surviving query). Pure column arithmetic with a DuckDB twin.
+    */
+  def urlDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = pmod(floor(col("doc_id") / 8), lit(10))
+    val p = pmod(floor(col("doc_id") / 16), lit(5))
+    val v = pmod(col("doc_id"), lit(8))
+    val base = concat(lit("site"), g, lit(".example.org"))
+    val path = concat(lit("/p"), p)
+    val url = when(v === 0, concat(lit("https://"), base, path))
+      .when(v === 1, concat(lit("HTTPS://"), upper(base), path))
+      .when(v === 2, concat(lit("https://www."), base, path))
+      .when(v === 3, concat(lit("https://"), base, lit(":443"), path))
+      .when(v === 4, concat(lit("https://"), base, path, lit("/")))
+      .when(v === 5, concat(lit("https://"), base, path, lit("#sec2")))
+      .when(v === 6, concat(lit("https://"), base, path, lit("?utm_source=feed&id=7&b=2")))
+      .otherwise(concat(lit("https://"), base, path, lit("?b=2&id=7&fbclid=xyz")))
+    docs(spark, sfDir).select(col("doc_id"), url.as("url"))
+  }
+
+  def urlDocsSql(): String =
+    s"""(SELECT doc_id,
+       | CASE doc_id % 8
+       |  WHEN 0 THEN 'https://' || base || path
+       |  WHEN 1 THEN 'HTTPS://' || upper(base) || path
+       |  WHEN 2 THEN 'https://www.' || base || path
+       |  WHEN 3 THEN 'https://' || base || ':443' || path
+       |  WHEN 4 THEN 'https://' || base || path || '/'
+       |  WHEN 5 THEN 'https://' || base || path || '#sec2'
+       |  WHEN 6 THEN 'https://' || base || path || '?utm_source=feed&id=7&b=2'
+       |  ELSE 'https://' || base || path || '?b=2&id=7&fbclid=xyz' END AS url
+       | FROM (SELECT doc_id,
+       |   'site' || ((doc_id // 8) % 10) || '.example.org' AS base,
+       |   '/p' || ((doc_id // 16) % 5) AS path
+       |  FROM documents))""".stripMargin.replace("\n", " ")
+
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spread(spark.read.parquet(s"$sfDir/embeddings.parquet"), spark)
 

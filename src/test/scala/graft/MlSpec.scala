@@ -556,6 +556,20 @@ class MlSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("URL canonicalization collapses case/www/port/slash/fragment/tracking variants") {
+    val res = TextCleaning.urlDedup(DocsAdapter.urlDocs(spark, dir)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    // docs 0..5 are six surface forms of ONE page (plain, HTTPS://UPPER,
+    // www., :443, trailing slash, #fragment): one canonical, doc 0 keeps
+    assert(res(0L) == (("https://site0.example.org/p0", false)))
+    (1L to 5L).foreach(id =>
+      assert(res(id) == (("https://site0.example.org/p0", true)), s"doc $id"))
+    // docs 6,7: the two tracking-param permutations collapse to the
+    // byte-sorted surviving query; utm_source/fbclid are stripped
+    assert(res(6L) == (("https://site0.example.org/p0?b=2&id=7", false)))
+    assert(res(7L) == (("https://site0.example.org/p0?b=2&id=7", true)))
+  }
+
   test("perplexity buckets split head/middle/tail with value-cut ties") {
     import graft.ml.TextAnalysis
     import spark.implicits._
