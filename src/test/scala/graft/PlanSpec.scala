@@ -150,13 +150,21 @@ class PlanSpec extends AnyFunSuite {
     // filter, simhash bytes) — an all-pairs plan is the 100-TB failure mode.
     val spark0 = spark
     val checks = Seq("q_dedup_ngram", "q_dedup_minhash", "q_dedup_embedding",
-      "q_ann_lsh", "q_ann_ivf", "q_simhash_pairs", "q_packing", "q_contamination",
-      "q_dedup_chunks", "q_semantic_dedup")
+      "q_ann_lsh", "q_ann_ivf", "q_ann_ivfpq", "q_simhash_pairs", "q_packing",
+      "q_contamination", "q_dedup_chunks", "q_semantic_dedup")
     checks.foreach { name =>
       val plan = SparkEntry.queries(name)(spark0, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop:\n$plan")
     }
+  }
+
+  test("URL dedup is map-only canonicalization plus ONE shuffle on the canonical key") {
+    val plan = SparkEntry.queries("q_url_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"exactly one canonical-key exchange expected:\n$plan")
+    assert(!plan.contains("Join"), s"no join anywhere in URL dedup:\n$plan")
   }
 
   test("route write projection prunes the fields map (ts comes from time-only extraction)") {
