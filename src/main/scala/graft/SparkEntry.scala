@@ -539,6 +539,10 @@ object SparkEntry {
     // slashes all collapse
     "q_url_dedup" -> ((s, dir) =>
       graft.ml.TextCleaning.urlDedup(DocsAdapter.urlDocs(s, dir))),
+    // HTML -> text extraction (the WET/WARC step upstream of every text
+    // filter): block drops, break tags, entity decode, per-line whitespace
+    "q_html_extract" -> ((s, dir) =>
+      graft.ml.TextCleaning.htmlExtract(DocsAdapter.htmlDocs(s, dir))),
     // C4 page-level heuristics (Raffel et al., JMLR'20 §2.2): line keep /
     // sentence-count / lorem / brace branches over structured pages
     "q_c4_filters" -> ((s, dir) =>
@@ -911,6 +915,8 @@ object SparkEntry {
       graft.ml.TextCleaning.domainStatsSql(DocsAdapter.piiDocsSql()),
     "q_url_dedup" ->
       graft.ml.TextCleaning.urlDedupSql(DocsAdapter.urlDocsSql()),
+    "q_html_extract" ->
+      graft.ml.TextCleaning.htmlExtractSql(DocsAdapter.htmlDocsSql()),
     "q_c4_filters" ->
       graft.ml.TextCleaning.c4FiltersSql(DocsAdapter.c4DocsSql()),
     "q_domain_quota" ->

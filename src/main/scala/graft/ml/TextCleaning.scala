@@ -258,6 +258,63 @@ object TextCleaning {
        |   COALESCE(regexp_extract_all(text, 'https?://([a-z0-9.-]+)', 1)[1], 'none') AS domain
        |  FROM $docsRel)) WHERE rnk <= $cap""".stripMargin.replace("\n", " ")
 
+  // ------------------------------------------------------ HTML extraction
+
+  /** Plain-text extraction from crawled HTML — the step every web corpus
+    * runs BEFORE any text filter (C4 / RefinedWeb start from WET/WARC
+    * markup): drop `<head>`, `<script>` and `<style>` blocks whole, turn
+    * block-closing tags into line breaks, strip remaining tags, decode the
+    * common entities, and normalize whitespace per line. Map-only
+    * projection; regexes stay in the Java ∩ RE2 subset ((?s) + lazy
+    * quantifiers are in both) so the DuckDB twin is byte-identical.
+    * Returns (doc_id, n_scripts, text).
+    */
+  val HTML_HEAD_RX = "(?s)<head[^>]*>.*?</head>"
+  val HTML_SCRIPT_RX = "(?s)<script[^>]*>.*?</script>"
+  val HTML_STYLE_RX = "(?s)<style[^>]*>.*?</style>"
+  val HTML_BREAK_RX = "</(p|div|li|h[1-6])>|<br ?/?>"
+  val HTML_TAG_RX = "<[^>]*>"
+
+  def htmlExtract(docs: DataFrame): DataFrame = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(col("html"),
+      HTML_HEAD_RX, " "), HTML_SCRIPT_RX, " "), HTML_STYLE_RX, " ")
+    val untagged = regexp_replace(
+      regexp_replace(noBlocks, HTML_BREAK_RX, "\n"), HTML_TAG_RX, " ")
+    // decode &amp; LAST so "&amp;lt;" yields the literal "&lt;", not "<"
+    val decoded = replace(replace(replace(replace(replace(untagged,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&nbsp;"), lit(" ")),
+      lit("&amp;"), lit("&"))
+    val lines = array_join(filter(
+      transform(split(decoded, "\n"), l => trim(regexp_replace(l, "\\s+", " "))),
+      l => l =!= ""), "\n")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("html"), lit(HTML_SCRIPT_RX), lit(0)))
+        .cast("long").as("n_scripts"),
+      lines.as("text"))
+  }
+
+  /** DuckDB twin of [[htmlExtract]] over a `(doc_id, html)` relation. */
+  def htmlExtractSql(htmlRel: String): String =
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all(html, '$HTML_SCRIPT_RX')) AS BIGINT) AS n_scripts,
+       | array_to_string(list_filter(list_transform(
+       |     string_split(decoded, chr(10)),
+       |     l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))),
+       |   l -> l <> ''), chr(10)) AS text
+       |FROM (SELECT doc_id, html,
+       |  replace(replace(replace(replace(replace(
+       |    regexp_replace(regexp_replace(
+       |      regexp_replace(regexp_replace(regexp_replace(html,
+       |        '$HTML_HEAD_RX', ' ', 'g'),
+       |        '$HTML_SCRIPT_RX', ' ', 'g'),
+       |        '$HTML_STYLE_RX', ' ', 'g'),
+       |      '$HTML_BREAK_RX', chr(10), 'g'),
+       |      '$HTML_TAG_RX', ' ', 'g'),
+       |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
+       |    '&amp;', '&') AS decoded
+       | FROM $htmlRel)""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------ URL canonical
 
   /** Tracking params stripped during canonicalization (the common

@@ -127,6 +127,36 @@ object DocsAdapter {
        |   '/p' || ((doc_id // 16) % 5) AS path
        |  FROM documents))""".stripMargin.replace("\n", " ")
 
+  /** (doc_id, html) — deterministic crawl-style HTML around the corpus
+    * text: head with title+style, an h1, the body paragraph, a script
+    * block on even docs (with a literal `<` inside), an entity-bearing
+    * list, and a `&quot;`/`&nbsp;` tail every 5th doc — every extraction
+    * branch (block drop, break tags, entity decode, whitespace collapse)
+    * fires. Pure column arithmetic with a DuckDB twin.
+    */
+  def htmlDocs(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"), concat(
+      lit("<html><head><title>t"), col("doc_id"),
+      lit("</title><style>p { color: red; }</style></head><body><h1>Doc "),
+      col("doc_id"), lit("</h1><p>"), col("text"), lit("</p>"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("<script>var x = 1 < 2;</script>")).otherwise(lit("")),
+      lit("<ul><li>alpha &amp; beta</li><li>1 &lt; 2</li></ul>"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        lit("<p>&quot;quoted&quot;&nbsp;tail</p>")).otherwise(lit("")),
+      lit("</body></html>")).as("html"))
+
+  def htmlDocsSql(): String =
+    s"""(SELECT doc_id,
+       | '<html><head><title>t' || doc_id ||
+       | '</title><style>p { color: red; }</style></head><body><h1>Doc ' ||
+       | doc_id || '</h1><p>' || text || '</p>' ||
+       | CASE WHEN doc_id % 2 = 0 THEN '<script>var x = 1 < 2;</script>' ELSE '' END ||
+       | '<ul><li>alpha &amp; beta</li><li>1 &lt; 2</li></ul>' ||
+       | CASE WHEN doc_id % 5 = 0 THEN '<p>&quot;quoted&quot;&nbsp;tail</p>' ELSE '' END ||
+       | '</body></html>' AS html
+       | FROM documents)""".stripMargin.replace("\n", " ")
+
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spread(spark.read.parquet(s"$sfDir/embeddings.parquet"), spark)
 

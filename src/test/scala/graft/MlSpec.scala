@@ -570,6 +570,23 @@ class MlSpec extends AnyFunSuite {
     assert(res(7L) == (("https://site0.example.org/p0?b=2&id=7", true)))
   }
 
+  test("HTML extraction drops head/script/style, decodes entities, keeps body lines") {
+    import spark.implicits._
+    val html = "<html><head><title>x</title><style>p{}</style></head>" +
+      "<body><h1>Title</h1><p>one   two</p><script>var a = 1 < 2;</script>" +
+      "<ul><li>alpha &amp; beta</li><li>1 &lt; 2</li></ul>" +
+      "<p>&quot;q&quot;&nbsp;tail</p><div>last<br>line</div></body></html>"
+    val out = TextCleaning.htmlExtract(
+      Seq((1L, html)).toDF("doc_id", "html")).collect().head
+    assert(out.getLong(1) == 1, "one script block counted")
+    assert(out.getString(2) ==
+      "Title\none two\nalpha & beta\n1 < 2\n\"q\" tail\nlast\nline")
+    // double-encoded entity stays literal: &amp;lt; must NOT decode to <
+    val enc = TextCleaning.htmlExtract(
+      Seq((2L, "<p>a &amp;lt; b</p>")).toDF("doc_id", "html")).collect().head
+    assert(enc.getString(2) == "a &lt; b")
+  }
+
   test("perplexity buckets split head/middle/tail with value-cut ties") {
     import graft.ml.TextAnalysis
     import spark.implicits._
