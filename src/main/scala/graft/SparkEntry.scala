@@ -543,6 +543,11 @@ object SparkEntry {
     // filter): block drops, break tags, entity decode, per-line whitespace
     "q_html_extract" -> ((s, dir) =>
       graft.ml.TextCleaning.htmlExtract(DocsAdapter.htmlDocs(s, dir))),
+    // gap-based sessionization (native session_window aggregate: one
+    // user_id shuffle + merging hash agg, streaming-ready)
+    "q_sessionize" -> ((s, dir) =>
+      graft.plans.Sessionize.sessions(
+        s.read.parquet(s"$dir/events.parquet"), 1800)),
     // C4 page-level heuristics (Raffel et al., JMLR'20 §2.2): line keep /
     // sentence-count / lorem / brace branches over structured pages
     "q_c4_filters" -> ((s, dir) =>
@@ -917,6 +922,8 @@ object SparkEntry {
       graft.ml.TextCleaning.urlDedupSql(DocsAdapter.urlDocsSql()),
     "q_html_extract" ->
       graft.ml.TextCleaning.htmlExtractSql(DocsAdapter.htmlDocsSql()),
+    "q_sessionize" ->
+      graft.plans.Sessionize.sessionsSql("events", 1800),
     "q_c4_filters" ->
       graft.ml.TextCleaning.c4FiltersSql(DocsAdapter.c4DocsSql()),
     "q_domain_quota" ->

@@ -301,4 +301,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
     assert(streamed.count() > 0)
   }
+
+  test("sessionize: event at exactly prev+gap extends; strictly past it splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val ev = Seq(
+      (1L, t("2024-01-01T00:00:00Z")),
+      (1L, t("2024-01-01T00:00:10Z")),          // == prev + gap -> merges
+      (1L, t("2024-01-01T00:00:20.000001Z")),   // 1 us past -> new session
+      (2L, t("2024-01-01T00:00:05Z"))           // other user: own session
+    ).toDF("user_id", "ts")
+    val out = graft.plans.Sessionize.sessions(ev, 10).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toString,
+        r.getTimestamp(2).toInstant.toString, r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, "2024-01-01T00:00:00Z", "2024-01-01T00:00:10Z", 2L),
+      (1L, "2024-01-01T00:00:20.000001Z", "2024-01-01T00:00:20.000001Z", 1L),
+      (2L, "2024-01-01T00:00:05Z", "2024-01-01T00:00:05Z", 1L)))
+    // plan: the native session_window aggregate (merging hash agg after ONE
+    // user_id shuffle), not a windowed sort pass
+    val plan = graft.plans.Sessionize.sessions(ev, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("MergingSessions"), s"native session merge expected:\n$plan")
+    assert(!plan.contains("Window "), s"no window-function pass expected:\n$plan")
+  }
 }
