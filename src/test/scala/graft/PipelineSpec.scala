@@ -326,4 +326,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("MergingSessions"), s"native session merge expected:\n$plan")
     assert(!plan.contains("Window "), s"no window-function pass expected:\n$plan")
   }
+
+  test("sessionize runs unchanged under streaming: closed sessions match batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    // two files an hour apart -> two micro-batches: the second batch's
+    // watermark (delay 0 = max seen ts) closes every epoch-A session
+    val dir = Files.createTempDirectory("graft-sess-in")
+    val epochA = Seq(
+      (1L, t("2024-01-01T00:00:00Z")), (1L, t("2024-01-01T00:00:08Z")),
+      (1L, t("2024-01-01T00:01:00Z")), (2L, t("2024-01-01T00:00:30Z")))
+    val epochB = Seq((1L, t("2024-01-01T01:00:00Z")), (3L, t("2024-01-01T01:00:05Z")))
+    epochA.toDF("user_id", "ts").coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+    epochB.toDF("user_id", "ts").coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      .withWatermark("ts", "0 seconds")
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt")
+    val q = graft.plans.Sessionize.sessions(stream, 10)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_stream_test")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sess_stream_test")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    // batch truth, restricted to sessions the final watermark closed
+    val wm = t("2024-01-01T01:00:05Z")
+    val batchClosed = graft.plans.Sessionize
+      .sessions(epochA.++(epochB).toDF("user_id", "ts"), 10)
+      .filter(col("session_end") + org.apache.spark.sql.functions.expr("INTERVAL 10 SECONDS") <= org.apache.spark.sql.functions.lit(wm))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    assert(streamed == batchClosed && streamed.nonEmpty,
+      s"streamed $streamed != closed batch sessions $batchClosed")
+  }
 }
