@@ -283,10 +283,52 @@ object Bench {
         s.stop()
         System.err.println("[bench] phase=scale-staging-teardown done")
       }
+      // Host-state calibration, recorded WITH the measurement: pure-CPU
+      // LCG throughput at 4 vs 16 threads (ideal speedup 4.0 on a free
+      // 32-thread box). External co-tenant load is the documented ±25%
+      // wall-time hazard here, and on a bad evening it caps the wide
+      // config outright (observed: x4 speedup ~2.3 while the same commit
+      // measured scaling 0.45; an hour earlier x4 ~4 and scaling 1.13).
+      // Recording it turns "the host was loaded" into per-run evidence.
+      def cpuMops(threads: Int): Double = {
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val counts = new java.util.concurrent.atomic.AtomicLongArray(threads)
+        val ts = (0 until threads).map { i =>
+          new Thread(() => {
+            var x = 1234567L + i
+            var c = 0L
+            while (!stop.get()) {
+              var k = 0
+              while (k < 1000) {
+                x = x * 6364136223846793005L + 1442695040888963407L
+                k += 1
+              }
+              c += 1000
+            }
+            counts.set(i, c + (x & 1)) // fold x in so the loop can't be DCE'd
+          })
+        }
+        ts.foreach(_.start()); Thread.sleep(1500); stop.set(true); ts.foreach(_.join())
+        (0 until threads).map(counts.get).sum / 1.5e6
+      }
+      val hostX4 = cpuMops(16) / math.max(cpuMops(4), 1e-9)
+      System.err.println(f"[bench] host cpu 16t/4t speedup $hostX4%.2f (ideal 4.0)")
+
       def measure(mkSession: Int => Option[SparkSession]): Option[Map[Int, Double]] = {
-        val pairs = Seq(nSmall, nLarge).map { n =>
+        // INTERLEAVED windows (small/large/small/large), half the reps per
+        // window: external host load that shifts while the protocol runs
+        // lands on windows of BOTH sizes, so the best-of ratio compares
+        // like states. The all-small-then-all-large order caught a
+        // steal-time spike (vmstat st up to 24%) on one side only and
+        // measured eff 0.449 on a commit whose neighboring runs gave
+        // 0.886 / 1.132. Costs one extra warmup+session cycle per size.
+        val repsPerWindow = math.max(1, reps / 2)
+        val windows = Seq(nSmall, nLarge, nSmall, nLarge).zipWithIndex
+        val secs = scala.collection.mutable.Map[Int, Vector[Double]]()
+          .withDefault(_ => Vector())
+        for ((n, w) <- windows) {
           mkSession(n) match {
-            case None => n -> None
+            case None => return None
             case Some(s) => try {
               val fc = new FailureCounter
               s.sparkContext.addSparkListener(fc)
@@ -300,49 +342,47 @@ object Bench {
               }
               val warm = benchOut + s"/scale-warm-$n"
               val tw = try pipelineRun(s, warmIn, warm) catch { case e: Throwable =>
-                System.err.println(s"[bench] scale n=$n phase=warmup FAILED: $e${drained()}")
+                System.err.println(s"[bench] scale n=$n w=$w phase=warmup FAILED: $e${drained()}")
                 throw e
               }
               deleteRecursively(new File(warm))
-              System.err.println(f"[bench] scale n=$n warmup ${tw}%.2f s${drained()}")
-              val secsOk = (1 to reps).flatMap { r =>
+              System.err.println(f"[bench] scale n=$n w=$w warmup ${tw}%.2f s${drained()}")
+              (1 to repsPerWindow).foreach { r =>
                 new ProcessBuilder("sync").inheritIO().start().waitFor()
                 // prior reps' shuffle files sit in the (tmpfs) local dirs
                 // until the ContextCleaner collects the shuffle objects —
                 // force it so reps don't inherit a growing RAM footprint
                 System.gc()
                 Thread.sleep(1000)
-                val out = benchOut + s"/scale-$n-$r"
+                val out = benchOut + s"/scale-$n-$w-$r"
                 try {
                   val t = pipelineRun(s, scaleIn, out)
-                  System.err.println(f"[bench] scale n=$n rep=$r ${t}%.2f s${drained()}")
-                  Some(t)
+                  System.err.println(f"[bench] scale n=$n w=$w rep=$r ${t}%.2f s${drained()}")
+                  secs(n) = secs(n) :+ t
                 } catch { case e: Throwable =>
-                  System.err.println(s"[bench] scale n=$n phase=rep-$r FAILED: $e${drained()}")
-                  None
+                  System.err.println(s"[bench] scale n=$n w=$w phase=rep-$r FAILED: $e${drained()}")
                 } finally deleteRecursively(new File(out)) // bound tmpfs usage
                   // (also on failure — a partial rep output must not eat the
                   // headroom of the remaining reps)
               }
-              require(secsOk.nonEmpty, s"all $reps scaling reps failed at n=$n")
-              n -> Some(scaleRows / secsOk.min)
             } finally {
               // ALWAYS tear the executor JVMs down — a leaked 8 GB
               // local-cluster from a failed size would skew everything after
               // it — and attribute any executor-exit trace the stop prints
-              System.err.println(s"[bench] phase=scale-teardown n=$n (any trace below until 'done' is stop() noise)")
+              System.err.println(s"[bench] phase=scale-teardown n=$n w=$w (any trace below until 'done' is stop() noise)")
               s.stop()
-              System.err.println(s"[bench] phase=scale-teardown n=$n done")
+              System.err.println(s"[bench] phase=scale-teardown n=$n w=$w done")
             }
           }
         }
-        if (pairs.forall(_._2.isDefined)) Some(pairs.map(p => p._1 -> p._2.get).toMap)
-        else None
+        Seq(nSmall, nLarge).foreach(n =>
+          require(secs(n).nonEmpty, s"all scaling reps failed at n=$n"))
+        Some(Seq(nSmall, nLarge).map(n => n -> scaleRows / secs(n).min).toMap)
       }
       val thr = measure(n => clusterSession(n, coresPerExec, execMemMb))
         .getOrElse(measure(n => Some(session(n * coresPerExec))).get) // thread fallback
       val eff = thr(nLarge) / (4.0 * thr(nSmall))
-      f""""scaling":{"rows":$scaleRows,"n_small":$nSmall,"n_large":$nLarge,"cores_per_executor":$coresPerExec,"throughput_n":${thr(nSmall)}%.0f,"throughput_4n":${thr(nLarge)}%.0f,"efficiency":$eff%.3f},"""
+      f""""scaling":{"rows":$scaleRows,"n_small":$nSmall,"n_large":$nLarge,"cores_per_executor":$coresPerExec,"throughput_n":${thr(nSmall)}%.0f,"throughput_4n":${thr(nLarge)}%.0f,"efficiency":$eff%.3f,"host_cpu_x4":$hostX4%.2f},"""
     } catch { case e: Throwable =>
       s""""scaling":{"error":"${e.getClass.getSimpleName}"},"""
     } else ""
