@@ -512,6 +512,11 @@ object SparkEntry {
     // decode stub (metadata projection is the oracle-comparable part)
     "q_multimodal_meta" -> ((s, dir) =>
       graft.ml.Multimodal.mediaMeta(s, DocsAdapter.docs(s, dir))),
+    // REAL sample decode: BMP pixel array (offset/padding/BGR), PCM, and
+    // PNG via JDK zlib inflate + unfilter — stats computed from decoded
+    // bytes, oracle recomputes them from the generation formulas
+    "q_media_decode" -> ((s, dir) =>
+      graft.ml.Multimodal.mediaDecode(s, DocsAdapter.docs(s, dir))),
     // deterministic stratified sampling (data-mixing weights per language)
     "q_sample_stratified" -> ((s, dir) =>
       graft.ml.Sampling.stratified(DocsAdapter.docs(s, dir), "lang",
@@ -903,6 +908,8 @@ object SparkEntry {
       graft.ml.TextAnalysis.fingerprintsSql("documents"),
     "q_multimodal_meta" ->
       graft.ml.Multimodal.mediaMetaSql("documents"),
+    "q_media_decode" ->
+      graft.ml.Multimodal.mediaDecodeSql("documents"),
     "q_sample_stratified" ->
       ("SELECT doc_id FROM (" +
         graft.ml.Sampling.stratifiedSql("documents", "lang",

@@ -14,12 +14,19 @@ import org.apache.spark.sql.functions._
   * dimensions), MP4 (ISO-BMFF box walk to moov/mvhd: timescale,
   * duration), PNG (chunk walk: IHDR dimensions, CRC32-verified — a
   * flipped header bit is rejected, not misread), and JPEG (marker-segment
-  * walk to the SOF0 frame header: dimensions). SAMPLE decode (frames,
-  * pcm, pixels) remains an honest,
-  * clearly marked STUB — no codec libraries in this container. The
-  * synthesized payloads carry genuine headers, so the pipeline exercises
-  * synthesize -> parse-bytes -> metadata end-to-end and the DuckDB oracle
-  * recomputes the expected metadata from the same generation formulas.
+  * walk to the SOF0 frame header: dimensions).
+  *
+  * SAMPLE decode is REAL for the formats whose sample layer needs no
+  * codec library: PCM (wav), the BMP pixel array
+  * (offset/padding/BGR/bottom-up), and PNG scanlines via the JDK's own
+  * zlib Inflater + per-row unfiltering — see [[decodeSamples]]. JPEG
+  * entropy/DCT and MP4 codec frames remain the honest, clearly marked
+  * STUB boundary (no codec libraries in this container); a javacv/ffmpeg
+  * decoder drops into the same mapPartitions slot. The synthesized
+  * payloads carry genuine encoded bytes, so the pipeline exercises
+  * synthesize -> encode -> decode -> statistics end-to-end and the
+  * DuckDB oracle recomputes the expectations from the same generation
+  * formulas without seeing the bytes.
   */
 object Multimodal {
 
@@ -535,4 +542,312 @@ object Multimodal {
        | CAST(CASE WHEN doc_id % 5 = 1 THEN 1 + doc_id % 2 END AS INT) AS channels,
        | CAST(CASE WHEN doc_id % 5 = 2 THEN 5 + doc_id % 60 END AS INT) AS duration_s
        | FROM $docsRel""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------
+  // REAL sample decode — PCM (wav), the BMP pixel array, and PNG
+  // scanlines via the JDK's own zlib (java.util.zip.Inflater) plus
+  // per-row unfiltering. No external codec library: these formats'
+  // sample layers are plain arithmetic + DEFLATE, which ships in the
+  // JDK. JPEG entropy/DCT and MP4 codec frames remain the documented
+  // drop-in boundary (a javacv decoder slots into the same map).
+  // ------------------------------------------------------------------
+
+  case class DecodedMedia(doc_id: Long, mime: String,
+      width: Option[Int], height: Option[Int],
+      mean_r: Option[Double], mean_g: Option[Double], mean_b: Option[Double],
+      n_samples: Option[Int], rms: Option[Double], peak: Option[Int])
+
+  /** Deterministic sample formulas (shared with the SQL oracle). All
+    * accumulations downstream are INTEGER sums (exact in double far past
+    * these magnitudes), so the decoded statistics are bit-equal across
+    * engines with no rounding discipline needed.
+    */
+  def pixelByte(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id * 31 + x * 7 + y * 13 + c * 101) % 256).toInt
+
+  def pcmSample(id: Long, i: Int): Int =
+    ((id * 31 + i.toLong * 7919) % 65536).toInt - 32768
+
+  private def nSamplesFor(id: Long): Int = (800 + id % 100).toInt
+
+  /** Bottom-up, BGR, 4-byte-row-padded 24-bpp pixel array (the classic
+    * positive-height BMP layout).
+    */
+  def bmpPixelBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val rowLen = (w * 3 + 3) / 4 * 4
+    val out = new Array[Byte](rowLen * h)
+    var sr = 0
+    while (sr < h) {
+      val y = h - 1 - sr // storage row 0 is the BOTTOM image row
+      var x = 0
+      var o = sr * rowLen
+      while (x < w) {
+        out(o) = pixelByte(id, x, y, 2).toByte // B
+        out(o + 1) = pixelByte(id, x, y, 1).toByte // G
+        out(o + 2) = pixelByte(id, x, y, 0).toByte // R
+        x += 1
+        o += 3
+      }
+      sr += 1 // pad bytes stay zero
+    }
+    out
+  }
+
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](8192)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) { val n = d.deflate(buf); bos.write(buf, 0, n) }
+    d.end()
+    bos.toByteArray
+  }
+
+  private def inflateBytes(z: Array[Byte], expected: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(z)
+    val out = new Array[Byte](expected)
+    try {
+      var off = 0
+      while (off < expected && !inf.finished()) {
+        val n = inf.inflate(out, off, expected - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off == expected) Some(out) else None
+    } catch { case _: java.util.zip.DataFormatException => None }
+    finally inf.end()
+  }
+
+  /** Filter-0 RGB scanlines, zlib-deflated — a real PNG IDAT payload. */
+  def pngIdat(id: Long, w: Int, h: Int): Array[Byte] = {
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var y = 0
+    while (y < h) {
+      var o = y * (1 + 3 * w)
+      raw(o) = 0 // filter: None
+      o += 1
+      var x = 0
+      while (x < w) {
+        raw(o) = pixelByte(id, x, y, 0).toByte
+        raw(o + 1) = pixelByte(id, x, y, 1).toByte
+        raw(o + 2) = pixelByte(id, x, y, 2).toByte
+        x += 1
+        o += 3
+      }
+      y += 1
+    }
+    deflateBytes(raw)
+  }
+
+  /** 16-bit LE mono PCM for the data chunk. */
+  def pcmBytes(id: Long): Array[Byte] = {
+    val n = nSamplesFor(id)
+    val b = ByteBuffer.allocate(2 * n).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) { b.putShort(pcmSample(id, i).toShort); i += 1 }
+    b.array()
+  }
+
+  /** Decodable media table: REAL encoded samples under the real headers
+    * (not text bytes standing in) — bmp / mono wav / png by doc_id % 3.
+    */
+  def decodableTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val (w, h) = (widthFor(id), heightFor(id))
+      (id % 3) match {
+        case 0 =>
+          val px = bmpPixelBytes(id, w, h)
+          MediaRow(id, "image/bmp", bmpHeader(w, h, px.length) ++ px)
+        case 1 =>
+          val pcm = pcmBytes(id)
+          MediaRow(id, "audio/wav", wavHeader(rateFor(id), 1, 16, pcm.length) ++ pcm)
+        case _ =>
+          MediaRow(id, "image/png", pngBytes(w, h, pngIdat(id, w, h)))
+      }
+    }
+  }
+
+  /** Decode the BMP pixel array: (w, h, mean r/g/b) — honors the
+    * pixel-data offset, bottom-up rows, BGR order, and row padding.
+    */
+  def decodeBmpPixels(p: Array[Byte]): Option[(Int, Int, Double, Double, Double)] =
+    parseBmp(p).flatMap { case (w, h) =>
+      val off = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN).getInt(10)
+      val rowLen = (w * 3 + 3) / 4 * 4
+      if (off < 0 || off.toLong + rowLen.toLong * h > p.length) None
+      else {
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var row = 0
+        while (row < h) {
+          var x = 0
+          var o = off + row * rowLen
+          while (x < w) {
+            sb += p(o) & 0xff
+            sg += p(o + 1) & 0xff
+            sr += p(o + 2) & 0xff
+            x += 1
+            o += 3
+          }
+          row += 1
+        }
+        val n = w.toLong * h
+        Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+      }
+    }
+
+  /** Decode PCM samples from the canonical wav layout: (n, rms, peak). */
+  def decodeWavPcm(p: Array[Byte]): Option[(Int, Double, Int)] = {
+    if (parseWav(p).isEmpty) return None
+    def tag(off: Int, s: String) =
+      s.getBytes("US-ASCII").zipWithIndex.forall { case (c, i) => p(off + i) == c }
+    if (!tag(36, "data")) return None
+    val b = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    val len = b.getInt(40)
+    if (len < 0 || 44 + len > p.length || len % 2 != 0) return None
+    val n = len / 2
+    var sumSq = 0L
+    var peak = 0
+    var i = 0
+    while (i < n) {
+      val s = b.getShort(44 + 2 * i).toInt
+      sumSq += s.toLong * s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      i += 1
+    }
+    if (n == 0) Some((0, 0.0, 0))
+    else Some((n, math.sqrt(sumSq.toDouble / n), peak))
+  }
+
+  /** Decode PNG pixels: chunk walk collecting CRC-verified IDATs, JDK
+    * zlib inflate, per-row unfilter (None/Sub/Up — the filters a minimal
+    * truecolor encoder emits), RGB means. Any CRC failure, truncated
+    * stream, or unsupported filter yields None, never wrong pixels.
+    */
+  def decodePngPixels(p: Array[Byte]): Option[(Int, Int, Double, Double, Double)] =
+    parsePng(p).flatMap { case (w, h) =>
+      val b = ByteBuffer.wrap(p).order(ByteOrder.BIG_ENDIAN)
+      val idat = new java.io.ByteArrayOutputStream()
+      var off = 8
+      var ok = true
+      var done = false
+      while (!done && ok && off + 12 <= p.length) {
+        val len = b.getInt(off)
+        val typ = new String(p, off + 4, 4, "US-ASCII")
+        if (len < 0 || off + 12 + len > p.length) ok = false
+        else {
+          val crc = new java.util.zip.CRC32()
+          crc.update(p, off + 4, 4 + len)
+          if (crc.getValue.toInt != b.getInt(off + 8 + len)) ok = false
+          else {
+            if (typ == "IDAT") idat.write(p, off + 8, len)
+            if (typ == "IEND") done = true
+            off += 12 + len
+          }
+        }
+      }
+      if (!ok || !done) return None
+      val stride = 1 + 3 * w
+      inflateBytes(idat.toByteArray, h * stride).flatMap { raw =>
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        val prev = new Array[Int](3 * w)
+        var y = 0
+        while (y < h) {
+          val base = y * stride
+          val filter = raw(base) & 0xff
+          if (filter > 2) return None // Average/Paeth: not emitted here
+          var i = 0
+          var la = 0; var lb = 0; var lc = 0 // left-neighbor channels
+          while (i < w) {
+            val o = base + 1 + 3 * i
+            val (pa, pb, pc) = (prev(3 * i), prev(3 * i + 1), prev(3 * i + 2))
+            val r = filter match {
+              case 0 => raw(o) & 0xff
+              case 1 => ((raw(o) & 0xff) + la) & 0xff
+              case _ => ((raw(o) & 0xff) + pa) & 0xff
+            }
+            val g = filter match {
+              case 0 => raw(o + 1) & 0xff
+              case 1 => ((raw(o + 1) & 0xff) + lb) & 0xff
+              case _ => ((raw(o + 1) & 0xff) + pb) & 0xff
+            }
+            val bl = filter match {
+              case 0 => raw(o + 2) & 0xff
+              case 1 => ((raw(o + 2) & 0xff) + lc) & 0xff
+              case _ => ((raw(o + 2) & 0xff) + pc) & 0xff
+            }
+            sr += r; sg += g; sb += bl
+            prev(3 * i) = r; prev(3 * i + 1) = g; prev(3 * i + 2) = bl
+            la = r; lb = g; lc = bl
+            i += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+      }
+    }
+
+  /** Sample-decode pass over a [[decodableTable]]-shaped dataset. */
+  def decodeSamples(spark: SparkSession, media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        r.mime match {
+          case "image/bmp" =>
+            val d = decodeBmpPixels(r.payload)
+            DecodedMedia(r.doc_id, r.mime, d.map(_._1), d.map(_._2),
+              d.map(_._3), d.map(_._4), d.map(_._5), None, None, None)
+          case "audio/wav" =>
+            val d = decodeWavPcm(r.payload)
+            DecodedMedia(r.doc_id, r.mime, None, None, None, None, None,
+              d.map(_._1), d.map(_._2), d.map(_._3))
+          case "image/png" =>
+            val d = decodePngPixels(r.payload)
+            DecodedMedia(r.doc_id, r.mime, d.map(_._1), d.map(_._2),
+              d.map(_._3), d.map(_._4), d.map(_._5), None, None, None)
+          case _ =>
+            DecodedMedia(r.doc_id, r.mime, None, None, None, None, None,
+              None, None, None)
+        }
+      }
+    }
+  }
+
+  /** Synthesize-encode-decode round trip as a frame (the `q_media_decode`
+    * surface): every statistic was computed from DECODED bytes — BMP
+    * pixels behind offset/padding/BGR, inflated+unfiltered PNG scanlines,
+    * PCM samples — and the oracle recomputes the expectation from the
+    * shared generation formulas without ever seeing the bytes.
+    */
+  def mediaDecode(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeSamples(spark, decodableTable(spark, docs)).toDF()
+
+  def mediaDecodeSql(docsRel: String): String =
+    s"""WITH base AS (SELECT doc_id, 16 + doc_id % 64 AS w, 9 + doc_id % 32 AS h,
+       |    800 + doc_id % 100 AS ns FROM $docsRel),
+       |ix AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM base WHERE doc_id % 3 <> 1),
+       |px AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM ix),
+       |imgstats AS (SELECT doc_id,
+       |    CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS DOUBLE) / (w*h) AS mean_r,
+       |    CAST(sum((doc_id*31 + x*7 + y*13 + 101) % 256) AS DOUBLE) / (w*h) AS mean_g,
+       |    CAST(sum((doc_id*31 + x*7 + y*13 + 202) % 256) AS DOUBLE) / (w*h) AS mean_b
+       |  FROM px GROUP BY doc_id, w, h),
+       |wv AS (SELECT doc_id, ns, unnest(range(ns)) AS i FROM base WHERE doc_id % 3 = 1),
+       |wavstats AS (SELECT doc_id,
+       |    sqrt(CAST(sum(s*s) AS DOUBLE) / ns) AS rms, max(abs(s)) AS peak
+       |  FROM (SELECT doc_id, ns, (doc_id*31 + i*7919) % 65536 - 32768 AS s FROM wv)
+       |  GROUP BY doc_id, ns)
+       |SELECT b.doc_id,
+       | CASE b.doc_id % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav' ELSE 'image/png' END AS mime,
+       | CAST(CASE WHEN b.doc_id % 3 <> 1 THEN b.w END AS INT) AS width,
+       | CAST(CASE WHEN b.doc_id % 3 <> 1 THEN b.h END AS INT) AS height,
+       | i.mean_r, i.mean_g, i.mean_b,
+       | CAST(CASE WHEN b.doc_id % 3 = 1 THEN b.ns END AS INT) AS n_samples,
+       | wv2.rms, CAST(wv2.peak AS INT) AS peak
+       |FROM base b
+       |LEFT JOIN imgstats i ON i.doc_id = b.doc_id
+       |LEFT JOIN wavstats wv2 ON wv2.doc_id = b.doc_id""".stripMargin.replace("\n", " ")
 }

@@ -587,6 +587,46 @@ class MlSpec extends AnyFunSuite {
     assert(enc.getString(2) == "a &lt; b")
   }
 
+  test("sample decode: PNG Sub/Up unfilter, CRC rejection, PCM stats, BMP padding") {
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val buf = new Array[Byte](8192)
+      val bos = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) { val n = d.deflate(buf); bos.write(buf, 0, n) }
+      d.end(); bos.toByteArray
+    }
+    // 2x2 RGB: row 0 Sub-filtered, row 1 Up-filtered; pixels chosen so the
+    // filter deltas wrap mod 256
+    // y=0: (10,20,30) (250,130,7)   y=1: (1,2,3) (9,8,250)
+    val raw = Array[Int](
+      1, 10, 20, 30, 240, 110, 233,
+      2, 247, 238, 229, 15, 134, 243).map(_.toByte)
+    val png = Multimodal.pngBytes(2, 2, deflate(raw))
+    assert(Multimodal.decodePngPixels(png) ==
+      Some((2, 2, (10 + 250 + 1 + 9) / 4.0, (20 + 130 + 2 + 8) / 4.0,
+        (30 + 7 + 3 + 250) / 4.0)))
+    // a flipped IDAT payload byte must fail the chunk CRC -> None
+    val bad = png.clone()
+    bad(41) = (bad(41) ^ 0x01).toByte // first IDAT payload byte (33+8)
+    assert(Multimodal.decodePngPixels(bad).isEmpty)
+    // PCM: 3 hand samples
+    val pcm = java.nio.ByteBuffer.allocate(6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(3).putShort(-4).putShort(5).array()
+    val wav = Multimodal.wavHeader(8000, 1, 16, 6) ++ pcm
+    assert(Multimodal.decodeWavPcm(wav) ==
+      Some((3, math.sqrt((9 + 16 + 25) / 3.0), 5)))
+    // BMP: 1x2 image needs 1 pad byte per row; decode must skip it and
+    // un-reverse the bottom-up row order transparently in the means
+    val px = Multimodal.bmpPixelBytes(7L, 1, 2)
+    assert(px.length == 8, "3 bytes + 1 pad per row")
+    val bmp = Multimodal.bmpHeader(1, 2, px.length) ++ px
+    val exp = (0 to 2).map(c =>
+      (Multimodal.pixelByte(7L, 0, 0, c) + Multimodal.pixelByte(7L, 0, 1, c)) / 2.0)
+    assert(Multimodal.decodeBmpPixels(bmp) ==
+      Some((1, 2, exp(0), exp(1), exp(2))))
+  }
+
   test("perplexity buckets split head/middle/tail with value-cut ties") {
     import graft.ml.TextAnalysis
     import spark.implicits._
