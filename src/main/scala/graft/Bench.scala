@@ -47,7 +47,7 @@ object Bench {
     // session creates its app subdir, not while shuffle files are written
     // below.
     val pidTagged = "^(?:graft-bench|probe3-[a-z0-9]+)-([0-9]+)$".r
-    val pidPrefixed = "^(?:graft-ckpt|graft-stream-q)-([0-9]+)-.*$".r
+    val pidPrefixed = "^(?:graft-ckpt|graft-stream-q|graft-compact)-([0-9]+)-.*$".r
     // full recursive newest mtime: shuffle writes land 3+ levels deep
     // (spark-<app>/executor-<id>/blockmgr-<id>/<hex>/...), so a shallow
     // check would age-out a live sibling's root. Runs once at startup over
@@ -67,6 +67,7 @@ object Bench {
       new File(b).listFiles((_, n) =>
         n.startsWith("graft-bench-") || n.startsWith("probe3-") ||
           n.startsWith("graft-stream-") || n.startsWith("graft-ckpt-") ||
+          n.startsWith("graft-compact-") ||
           n == "graft-spark-local") match {
         case null => ()
         case old => old.filter(stale).foreach(deleteRecursively)
@@ -167,6 +168,71 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Pure-CPU LCG throughput (Mops/s) at `threads` threads over a 1.5 s
+    * window. The per-thread loop is memory-free, so the number measures
+    * *available CPU*, not the JVM or the plan — co-tenant load and steal
+    * time show up directly as a lower count.
+    */
+  private def cpuMops(threads: Int): Double = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val counts = new java.util.concurrent.atomic.AtomicLongArray(threads)
+    val ts = (0 until threads).map { i =>
+      new Thread(() => {
+        var x = 1234567L + i
+        var c = 0L
+        while (!stop.get()) {
+          var k = 0
+          while (k < 1000) {
+            x = x * 6364136223846793005L + 1442695040888963407L
+            k += 1
+          }
+          c += 1000
+        }
+        counts.set(i, c + (x & 1)) // fold x in so the loop can't be DCE'd
+      })
+    }
+    ts.foreach(_.start()); Thread.sleep(1500); stop.set(true); ts.foreach(_.join())
+    (0 until threads).map(counts.get).sum / 1.5e6
+  }
+
+  /** One host-state sample: absolute single-thread and 32-thread Mops/s plus
+    * the 16t/4t speedup ratio, and the degraded verdict against floors set
+    * at ~70% of this box's measured-idle values (2026-08-17, load 0.07:
+    * 1t 655-690, 32t 19.3-21k, x4 3.9-4.1). The r4 host crisis — 8-12
+    * effective cores of 32 — would have read 32t ≈ 5-8k and x4 ≈ 2.3-3.3,
+    * far below all three floors, so the gate separates cleanly. The RATIO
+    * alone can't prove absolute capacity (a uniformly-halved box still
+    * scales 4x); the absolutes close that hole (r4 verdict #1).
+    */
+  private final case class HostCal(mops1: Double, mops32: Double, x4: Double) {
+    def degraded: Boolean = mops1 < 450 || mops32 < 13500 || x4 < 3.5
+    def json: String = f""""mops_1t":$mops1%.0f,"mops_32t":$mops32%.0f,"cpu_x4":$x4%.2f,"degraded":$degraded"""
+  }
+
+  private def calibrate(): HostCal = {
+    cpuMops(4) // JIT warmup for the loop body
+    HostCal(cpuMops(1), cpuMops(32), cpuMops(16) / math.max(cpuMops(4), 1e-9))
+  }
+
+  /** Calibrate, retrying while the host looks degraded: a transient load
+    * spike should delay the bench, not poison the artifact of record. After
+    * `retries` failed attempts the run proceeds with `degraded=true` so the
+    * JSON itself carries the evidence (r4's official artifact failed its
+    * band with only a ratio to explain why).
+    */
+  private def calibrateGated(retries: Int, sleepMs: Long): HostCal = {
+    var cal = calibrate()
+    var left = retries
+    while (cal.degraded && left > 0) {
+      System.err.println(f"[bench] host degraded (1t ${cal.mops1}%.0f, 32t ${cal.mops32}%.0f, x4 ${cal.x4}%.2f) — waiting ${sleepMs / 1000}s for a clean window (${left} retries left)")
+      Thread.sleep(sleepMs)
+      cal = calibrate()
+      left -= 1
+    }
+    System.err.println(f"[bench] host calibration: 1t ${cal.mops1}%.0f Mops, 32t ${cal.mops32}%.0f Mops, x4 ${cal.x4}%.2f, degraded=${cal.degraded}")
+    cal
+  }
+
   /** One full pipeline pass: scan -> parse -> enrich -> route(write) ->
     * per-sink aggregate; returns wall seconds.
     */
@@ -187,6 +253,10 @@ object Bench {
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
 
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
+
+    // ---- host-state gate: absolute CPU calibration before anything timed ----
+    val calRetries = sys.env.get("SPARK_GRAFT_CAL_RETRIES").flatMap(_.toIntOption).getOrElse(3)
+    val hostStart = calibrateGated(calRetries, 60000L)
 
     // ---- per-query timings (steady state: 1 warmup + 1 timed run) ----
     var spark = session(cpus)
@@ -283,36 +353,15 @@ object Bench {
         s.stop()
         System.err.println("[bench] phase=scale-staging-teardown done")
       }
-      // Host-state calibration, recorded WITH the measurement: pure-CPU
-      // LCG throughput at 4 vs 16 threads (ideal speedup 4.0 on a free
-      // 32-thread box). External co-tenant load is the documented ±25%
-      // wall-time hazard here, and on a bad evening it caps the wide
-      // config outright (observed: x4 speedup ~2.3 while the same commit
-      // measured scaling 0.45; an hour earlier x4 ~4 and scaling 1.13).
-      // Recording it turns "the host was loaded" into per-run evidence.
-      def cpuMops(threads: Int): Double = {
-        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-        val counts = new java.util.concurrent.atomic.AtomicLongArray(threads)
-        val ts = (0 until threads).map { i =>
-          new Thread(() => {
-            var x = 1234567L + i
-            var c = 0L
-            while (!stop.get()) {
-              var k = 0
-              while (k < 1000) {
-                x = x * 6364136223846793005L + 1442695040888963407L
-                k += 1
-              }
-              c += 1000
-            }
-            counts.set(i, c + (x & 1)) // fold x in so the loop can't be DCE'd
-          })
-        }
-        ts.foreach(_.start()); Thread.sleep(1500); stop.set(true); ts.foreach(_.join())
-        (0 until threads).map(counts.get).sum / 1.5e6
-      }
-      val hostX4 = cpuMops(16) / math.max(cpuMops(4), 1e-9)
-      System.err.println(f"[bench] host cpu 16t/4t speedup $hostX4%.2f (ideal 4.0)")
+      // Host-state calibration, recorded WITH the measurement: external
+      // co-tenant load is the documented ±25% wall-time hazard here, and on
+      // a bad evening it caps the wide config outright (observed: x4
+      // speedup ~2.3 while the same commit measured scaling 0.45; an hour
+      // earlier x4 ~4 and scaling 1.13). This is a SECOND sample (the run
+      // start's covers queries+pipeline) because the scaling phase starts
+      // many minutes in and the host can shift meanwhile.
+      val hostScale = calibrateGated(calRetries, 60000L)
+      val hostX4 = hostScale.x4
 
       def measure(mkSession: Int => Option[SparkSession]): Option[Map[Int, Double]] = {
         // INTERLEAVED windows (small/large/small/large), half the reps per
@@ -382,7 +431,7 @@ object Bench {
       val thr = measure(n => clusterSession(n, coresPerExec, execMemMb))
         .getOrElse(measure(n => Some(session(n * coresPerExec))).get) // thread fallback
       val eff = thr(nLarge) / (4.0 * thr(nSmall))
-      f""""scaling":{"rows":$scaleRows,"n_small":$nSmall,"n_large":$nLarge,"cores_per_executor":$coresPerExec,"throughput_n":${thr(nSmall)}%.0f,"throughput_4n":${thr(nLarge)}%.0f,"efficiency":$eff%.3f,"host_cpu_x4":$hostX4%.2f},"""
+      f""""scaling":{"rows":$scaleRows,"n_small":$nSmall,"n_large":$nLarge,"cores_per_executor":$coresPerExec,"throughput_n":${thr(nSmall)}%.0f,"throughput_4n":${thr(nLarge)}%.0f,"efficiency":$eff%.3f,"host_cpu_x4":$hostX4%.2f,"host":{${hostScale.json}}},"""
     } catch { case e: Throwable =>
       s""""scaling":{"error":"${e.getClass.getSimpleName}"},"""
     } else ""
@@ -393,6 +442,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      s""""host":{${hostStart.json}},""" +
       pipelineJson +
       scaling +
       s""""sf":"$sfDir"}"""

@@ -18,6 +18,7 @@ import graft.sources.TextIngest
   *     [--stream --checkpoint <dir>]          \  streaming ingest (file source)
   *     [--query "<search string>"]            \  run a search, print results
   *     [--serve <port>]                       \  REST API over the corpus
+  *     [--artifact-dir <dir>]                 \  train-once artifact store
   *
   * Batch: parse -> enrich -> route write -> per-sink summary on stdout.
   * With --query (and no --out): query the input directly. With both: route
@@ -55,6 +56,10 @@ object Main {
 
   /** Testable body (session injected). */
   def run(spark: SparkSession, opts: Map[String, String], input: String): Unit = {
+    // --artifact-dir: where train-once artifacts (IVF/PQ/BPE/bloom) live —
+    // next to the data in a real deployment; must be set before the first
+    // artifact use (SparkEntry.artifactBaseDir)
+    opts.get("artifact-dir").foreach(d => SparkEntry.artifactBaseDirOverride = Some(d))
     val parsedCfg = opts.get("config").map(ConfigJson.parseFile)
     val configs = parsedCfg.map(_.configs).getOrElse(graft.data.SequenceGen.configs)
 

@@ -25,6 +25,8 @@ object SparkEntry {
   private val stagedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // staged double-shipped corpus (streaming dedup input), once per scale dir
   private val dedupStagedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val urlStagedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // staged raw log-text files (S2/S3 ingestion surface), once per scale dir
   private val ingestCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // staged multi-batch routed output (compaction input), once per scale dir
@@ -40,11 +42,27 @@ object SparkEntry {
 
   /** Deterministic corpus key for artifact names. The sandbox stand-in for
     * "next to the data" (/root/testdata is read-only): a corpus- and
-    * param-keyed name under the system temp dir.
+    * param-keyed name under [[artifactBaseDir]].
     */
   private def corpusKey(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Where the train-once artifacts (IVF centroids, PQ/IVF-PQ codebooks,
+    * BPE merges, history bloom) live. Defaults to the system temp dir —
+    * the single-box stand-in — but at 100 TB these belong NEXT TO THE DATA
+    * (a shared filesystem / object store path every executor and driver
+    * generation can reach), so the location is threaded: CLI
+    * `--artifact-dir`, env `SPARK_GRAFT_ARTIFACT_DIR`, or the setter.
+    * Changing it mid-process does NOT invalidate the in-memory caches
+    * (they are corpus+param keyed, not path keyed) — set it before the
+    * first artifact use, as the CLI does.
+    */
+  @volatile private[graft] var artifactBaseDirOverride: Option[String] = None
+  private[graft] def artifactBaseDir: String =
+    artifactBaseDirOverride
+      .orElse(sys.env.get("SPARK_GRAFT_ARTIFACT_DIR"))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
 
   /** Load-or-build-once artifact: in-memory fast path + on-disk
     * round-trip, published via write-temp + ATOMIC_MOVE so a concurrent
@@ -74,7 +92,7 @@ object SparkEntry {
   // (seeding, Lloyd step, tiebreaks, rounding) so a stale artifact from an
   // older build can never serve mismatched state
   private[graft] def ivfArtifactPath(dir: String, nCells: Int): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-ivf-v1-${corpusKey(dir)}-c$nCells.centroids"
+    s"${artifactBaseDir}/graft-ivf-v1-${corpusKey(dir)}-c$nCells.centroids"
 
   /** Build-once quantizer with a store round-trip. The cache key carries
     * nCells like the artifact name — a dir-only key would silently serve a
@@ -99,7 +117,7 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
   private[graft] def bpeArtifactPath(dir: String, numMerges: Int): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-bpe-v1-${corpusKey(dir)}-m$numMerges.merges"
+    s"${artifactBaseDir}/graft-bpe-v1-${corpusKey(dir)}-m$numMerges.merges"
 
   private[graft] def bpeMergesFor(s: SparkSession, dir: String,
       numMerges: Int = 200): Seq[(String, String)] =
@@ -117,7 +135,7 @@ object SparkEntry {
     String, org.apache.spark.util.sketch.BloomFilter]()
 
   private[graft] def bloomArtifactPath(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-bloom-v1-${corpusKey(dir)}.bloom"
+    s"${artifactBaseDir}/graft-bloom-v1-${corpusKey(dir)}.bloom"
 
   private[graft] def historyBloomFor(s: SparkSession, dir: String)
       : org.apache.spark.util.sketch.BloomFilter =
@@ -135,7 +153,7 @@ object SparkEntry {
     String, Array[Array[Array[Float]]]]()
 
   private[graft] def pqArtifactPath(dir: String, m: Int, kCodes: Int): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-pq-v1-${corpusKey(dir)}-m$m-k$kCodes.books"
+    s"${artifactBaseDir}/graft-pq-v1-${corpusKey(dir)}-m$m-k$kCodes.books"
 
   private[graft] def pqBooksFor(s: SparkSession, dir: String,
       m: Int = 8, kCodes: Int = 16): Array[Array[Array[Float]]] =
@@ -153,7 +171,7 @@ object SparkEntry {
 
   private[graft] def ivfPqArtifactPath(dir: String, nCells: Int, m: Int,
       kCodes: Int): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-v1-${corpusKey(dir)}-c$nCells-m$m-k$kCodes.books"
+    s"${artifactBaseDir}/graft-ivfpq-v1-${corpusKey(dir)}-c$nCells-m$m-k$kCodes.books"
 
   private[graft] def ivfPqBooksFor(s: SparkSession, dir: String,
       nCells: Int = 16, m: Int = 8, kCodes: Int = 16): Array[Array[Array[Float]]] =
@@ -416,7 +434,15 @@ object SparkEntry {
     // must preserve the exact row set per sink across engines.
     "q_compaction" -> ((s, dir) => {
       val routed = routedCache.computeIfAbsent(dir, _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft-compact-q").toString
+        // pid-tagged under the swept scratch base (same lifecycle as the
+        // streaming staging dirs): a bare createTempDirectory in /tmp
+        // leaked a two-batch routed copy of the corpus per verify/bench
+        // process, invisible to Bench's sweep
+        val shm = new java.io.File("/dev/shm")
+        val base = if (shm.isDirectory && shm.canWrite) shm.toPath
+          else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+        val d = java.nio.file.Files.createTempDirectory(base,
+          s"graft-compact-${ProcessHandle.current().pid()}-").toString
         val enriched = graft.plans.LogPipeline.run(
           s, EventsAdapter.sequences(s, dir), EventsAdapter.configs)
         // two micro-batch dirs, like streaming ingest accumulates (S7)
@@ -426,7 +452,15 @@ object SparkEntry {
           enriched.filter(col("offset") % 2 === 1), s"$d/routed/batch=1", 8)
         s"$d/routed"
       })
-      val out = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
+      // same pid-tagged swept base: the finally below deletes it in-process,
+      // the sweep covers a crashed process
+      val outBase = {
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite) shm.toPath
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      }
+      val out = java.nio.file.Files.createTempDirectory(outBase,
+        s"graft-compact-${ProcessHandle.current().pid()}-").toString
       try {
         graft.plans.CompactionJob.compact(s, routed, s"$out/compacted", targetRows = 50000L)
         // pin the tiny per-sink aggregate so the scratch store can go now
@@ -557,6 +591,12 @@ object SparkEntry {
     // sentence-count / lorem / brace branches over structured pages
     "q_c4_filters" -> ((s, dir) =>
       graft.ml.TextCleaning.c4Filters(DocsAdapter.c4Docs(s, dir))),
+    // the COMPOSED curation funnel: urlDedup -> htmlExtract -> c4+gopher
+    // quality -> chunk dedup -> LM cutoff, as ONE lazy plan emitting
+    // per-stage survivor counts + survivor-set signatures; oracle = the
+    // same chain composed from the nested rel-parameterized twins
+    "q_funnel" -> ((s, dir) =>
+      graft.ml.Funnel.curationFunnel(DocsAdapter.funnelDocs(s, dir))),
     // per-domain quota (Gopher/FineWeb source caps): WindowGroupLimit
     // keep-first-cap by deterministic hash within the URL domain
     "q_domain_quota" -> ((s, dir) =>
@@ -670,6 +710,53 @@ object SparkEntry {
           EventsAdapter.configs, horizon = "10 days",
           maxFilesPerTrigger = Some(1)).awaitTermination()
         s.read.parquet(out).select(col("doc_id"))
+          .localCheckpoint(eager = true) // outlives the scratch dirs below
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+        org.apache.spark.sql.graftbridge.Bridge.stopStateStoreMaintenance()
+        graft.util.Dirs.deleteRecursively(new java.io.File(ckpt))
+        graft.util.Dirs.deleteRecursively(new java.io.File(out))
+      }
+    }),
+    // streaming canonical-URL dedup: the urlDocs corpus is shipped TWICE
+    // in forced-separate micro-batches (a re-crawl); the stateful
+    // dropDuplicatesWithinWatermark on the canonical key must drop every
+    // second-shipment URL via checkpointed STATE. The emitted (canon, n)
+    // has n = 1 for every canonical URL precisely because the state dedup
+    // worked — a failure would emit n = 2 rows and mismatch the twin.
+    "q_stream_urldedup" -> ((s, dir) => {
+      val shm = new java.io.File("/dev/shm")
+      val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      def scratch(prefix: String) = java.nio.file.Files.createTempDirectory(ckptBase,
+        s"$prefix-${ProcessHandle.current().pid()}-").toString
+      val in = urlStagedCache.computeIfAbsent(dir, _ => {
+        val d = java.nio.file.Files.createTempDirectory(ckptBase,
+          s"graft-stream-q-${ProcessHandle.current().pid()}-").toString
+        // two shipments of the same crawl, one minute apart in event time
+        Seq("2024-01-01 00:00:00", "2024-01-01 00:01:00").zipWithIndex
+          .foreach { case (t, i) =>
+            DocsAdapter.urlDocs(s, dir)
+              .withColumn("ts", lit(java.sql.Timestamp.valueOf(t)))
+              .coalesce(1).write.mode("overwrite").parquet(s"$d/copy$i")
+          }
+        val inDir = java.nio.file.Paths.get(d, "in")
+        java.nio.file.Files.createDirectory(inDir): Unit
+        Seq("copy0", "copy1").zipWithIndex.foreach { case (c, i) =>
+          val part = new java.io.File(s"$d/$c").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.copy(part.toPath, inDir.resolve(s"ship-$i.parquet")): Unit
+        }
+        inDir.toString
+      })
+      val out = scratch("graft-ckpt")
+      val ckpt = scratch("graft-ckpt")
+      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.streaming.StreamingPipeline.urlDedupStream(s, in, out, ckpt,
+          horizon = "10 days", maxFilesPerTrigger = Some(1)).awaitTermination()
+        s.read.parquet(out).groupBy(col("canon")).agg(count(lit(1)).as("n"))
           .localCheckpoint(eager = true) // outlives the scratch dirs below
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
@@ -927,12 +1014,17 @@ object SparkEntry {
       graft.ml.TextCleaning.domainStatsSql(DocsAdapter.piiDocsSql()),
     "q_url_dedup" ->
       graft.ml.TextCleaning.urlDedupSql(DocsAdapter.urlDocsSql()),
+    "q_stream_urldedup" ->
+      s"""SELECT canon, CAST(1 AS BIGINT) AS n FROM (SELECT DISTINCT canon
+         | FROM (${graft.ml.TextCleaning.urlDedupSql(DocsAdapter.urlDocsSql())}))""".stripMargin.replace("\n", " "),
     "q_html_extract" ->
       graft.ml.TextCleaning.htmlExtractSql(DocsAdapter.htmlDocsSql()),
     "q_sessionize" ->
       graft.plans.Sessionize.sessionsSql("events", 1800),
     "q_c4_filters" ->
       graft.ml.TextCleaning.c4FiltersSql(DocsAdapter.c4DocsSql()),
+    "q_funnel" ->
+      graft.ml.Funnel.curationFunnelSql(DocsAdapter.funnelDocsSql()),
     "q_domain_quota" ->
       graft.ml.TextCleaning.domainQuotaSql(DocsAdapter.piiDocsSql(), cap = 10),
     "q_ngram_topk" ->

@@ -72,9 +72,23 @@ final class HttpApi(api: JobsApi,
   private val mapper = new ObjectMapper()
   private var server: HttpServer = null
   // request handling and job pumps on separate pools: a slow first action
-  // (the pump) must not starve page requests for already-finished jobs
+  // (the pump) must not starve page requests for already-finished jobs.
+  // The pump pool is BOUNDED (the reference's job engine pumps through a
+  // bounded worker set too, internal/jobs/Engine.go): an unbounded cached
+  // pool let a burst of startJob requests submit unbounded concurrent
+  // first-action materializations, all competing for the cluster. Excess
+  // pumps queue; their jobs still answer polls (state=running, progress 0)
+  // and their first page/stats request computes inline if it arrives
+  // before the pump gets a slot (the lazy val is exactly-once either way).
   private val httpPool = Executors.newFixedThreadPool(8)
-  private val pumpPool = Executors.newCachedThreadPool()
+  private val pumpPool = Executors.newFixedThreadPool(4)
+  // periodic job-TTL sweep for long-lived --serve processes: finished and
+  // aborted jobs age out of the JobsApi map and their result caches are
+  // unpersisted (JobsApi.expireJobs — a cheap no-op when the api was built
+  // without a TTL). Daemon thread: the sweeper must never hold the JVM open.
+  private val ttlSweeper = Executors.newSingleThreadScheduledExecutor(r => {
+    val t = new Thread(r, "graft-job-ttl"); t.setDaemon(true); t
+  })
 
   /** Bind and serve; `port` 0 picks an ephemeral port. Returns the bound
     * port. Loopback-only by design — fronting proxies own external
@@ -91,11 +105,15 @@ final class HttpApi(api: JobsApi,
     server.createContext("/", (ex: HttpExchange) => handleGui(ex))
     server.setExecutor(httpPool)
     server.start()
+    ttlSweeper.scheduleWithFixedDelay(
+      () => try api.expireJobs(): Unit catch { case _: Throwable => () },
+      60, 60, java.util.concurrent.TimeUnit.SECONDS): Unit
     server.getAddress.getPort
   }
 
   def stop(): Unit = synchronized {
     if (server != null) { server.stop(0); server = null }
+    ttlSweeper.shutdownNow(): Unit
     pumpPool.shutdownNow(): Unit
     httpPool.shutdown()
   }
@@ -250,9 +268,20 @@ final class HttpApi(api: JobsApi,
     val id = long(q, "jobId")
     val field = q.getOrElse("fieldName",
       throw new IllegalArgumentException("fieldName is required"))
-    // (value, occurrences) rows -> the reference's map[string]int wire shape
+    // (value, occurrences) rows -> the reference's map[string]int wire
+    // shape (Web.go:259-276 returns the full map). `take` caps how many
+    // distinct values the driver collects — wire-compatible when omitted
+    // (generous default), and the guard that keeps a high-cardinality
+    // field (every doc_id distinct) from materializing millions of rows
+    // on the driver. Top-occurrence values win the cut, ties by value —
+    // deterministic, and the GUI shows most-frequent first anyway.
+    val take = q.get("take").map(_.toInt).getOrElse(HttpApi.FieldStatsMaxValues)
+    require(take >= 0, "take must be non-negative")
     val o = mapper.createObjectNode()
-    api.jobFieldStats(id, field).collect()
+    api.jobFieldStats(id, field)
+      .orderBy(col("occurrences").desc, col("value"))
+      .limit(take)
+      .collect()
       .sortBy(_.getString(0))
       .foreach(r => o.put(r.getString(0), r.getLong(1)))
     sendJson(ex, 200, mapper.writeValueAsString(o))
@@ -366,6 +395,13 @@ final class HttpApi(api: JobsApi,
 }
 
 object HttpApi {
+  /** Default cap on distinct values a jobFieldStats response collects to
+    * the driver — generous (the GUI shows a handful; the reference's UI
+    * uses the map for the field sidebar), overridable per request with
+    * `take`.
+    */
+  private[api] val FieldStatsMaxValues = 10000
+
   /** JobsApi state string -> the reference's numeric enum
     * (pkg/logsuck/jobs/Job.go:26-30).
     */

@@ -24,12 +24,24 @@ import graft.compile.{EventsFrame, Frame, QueryEngine, TableFrame}
   * with interruptOnCancel, and abortJob cancels that group — in-flight
   * stages stop, not just the bookkeeping entry.
   */
-class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
+class JobsApi(engine: QueryEngine, indexDir: Option[String] = None,
+    jobTtlMillis: Option[Long] = None) {
 
   final class Job private[JobsApi] (val id: Long, val query: String,
       val frame: Frame, val sortMode: String, val columnOrder: Seq[String]) {
     @volatile private[JobsApi] var stateRef: String = JobsApi.Running
     def state: String = stateRef
+
+    /** Wall-clock millis when the job reached a terminal state (Finished /
+      * Aborted); 0 while Running. The TTL sweep ([[expireJobs]]) ages jobs
+      * out from this mark — a long-poll client keeps its job alive by
+      * design only until it finishes, after which the TTL clock runs.
+      */
+    @volatile private[JobsApi] var terminalAtMs: Long = 0L
+    private[JobsApi] def markTerminal(state: String): Unit = {
+      stateRef = state
+      if (terminalAtMs == 0L) terminalAtMs = System.currentTimeMillis()
+    }
 
     /** Persisted-results analog of the reference's per-job results store
       * (plugins/sqlite_jobs/SqliteJobRepository.go:34-49,99-186 persists
@@ -89,6 +101,27 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
       counts.scanLeft(0L)(_ + _)
     }
 
+    /** First (ts, doc_id) key per cached partition — the range bounds of
+      * the newest-first sort, one narrow pass, built lazily on the first
+      * keyset page. [[jobResultsAfter]] locates the anchor's partition in
+      * these bounds and prunes the scan to partitions at/after it: without
+      * the bounds, a filter+limit still scanned the whole prefix (every
+      * row with ts >= anchor fails the predicate but is read), making a
+      * deep keyset page O(prefix) like OFFSET. Only meaningful for
+      * timestampDesc jobs (the only mode with the total key).
+      */
+    private[JobsApi] lazy val partFirstKeys: Array[Option[(java.time.LocalDateTime, String)]] = {
+      val schema = results.schema
+      val tsIdx = schema.fieldIndex("ts")
+      val didIdx = schema.fieldIndex("doc_id")
+      results.rdd.mapPartitionsWithIndex((i, it) =>
+        Iterator((i, if (it.hasNext) {
+          val r = it.next()
+          Some((JobsApi.rowLdt(r.get(tsIdx)), r.getString(didIdx)))
+        } else None)))
+        .collect().sortBy(_._1).map(_._2)
+    }
+
     // memoized jobStats — the second stats call launches zero Spark jobs
     @volatile private[JobsApi] var statsCache: JobStats = null
 
@@ -125,7 +158,7 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
     try body
     catch { case e: Throwable =>
       if (job.stateRef == JobsApi.Running && JobsApi.isCancellation(e))
-        job.stateRef = JobsApi.Aborted
+        job.markTerminal(JobsApi.Aborted)
       throw e
     }
     finally sc.clearJobGroup()
@@ -231,16 +264,19 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
     if (job == null) return false
     sc.cancelJobGroup(groupId(id))
     if (job.stateRef == JobsApi.Running) {
-      job.stateRef = JobsApi.Aborted
+      job.markTerminal(JobsApi.Aborted)
       job.unpersistAll() // free partially-cached result blocks
     }
     true
   }
 
-  /** Drop a job and every cached artifact it holds — the lifecycle valve
-    * that keeps a long-lived API process from accumulating result caches
-    * (the reference expires job rows the same way,
-    * plugins/tasks/DeleteOldJobsTask.go).
+  /** Drop a job and every cached artifact it holds — the manual lifecycle
+    * valve that keeps a long-lived API process from accumulating result
+    * caches. (The reference keeps job rows forever in its jobs store —
+    * plugins/sqlite_jobs/SqliteJobRepository.go has no delete path; at
+    * Spark scale a job pins executor block-storage, so eviction is
+    * mandatory here, manual via this method or automatic via
+    * [[expireJobs]].)
     */
   def releaseJob(id: Long): Boolean = {
     val job = jobs.remove(id)
@@ -248,6 +284,26 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
     job.unpersistAll()
     true
   }
+
+  /** TTL sweep (scale extension; no reference analog — its sqlite job rows
+    * cost nothing to keep, a Spark job's result cache does): release every
+    * job that reached a terminal state more than `jobTtlMillis` ago.
+    * Running jobs never expire — a slow first materialization must not be
+    * evicted under its own pump. No-op when the API was built without a
+    * TTL. Returns how many jobs were released. `now` is injectable for
+    * tests; callers use the default.
+    */
+  def expireJobs(now: Long = System.currentTimeMillis()): Int =
+    jobTtlMillis match {
+      case None => 0
+      case Some(ttl) =>
+        var released = 0
+        jobs.forEach { (id, job) =>
+          val t = job.terminalAtMs
+          if (t > 0L && now - t > ttl && releaseJob(id)) released += 1
+        }
+        released
+    }
 
   def job(id: Long): Option[Job] = Option(jobs.get(id))
 
@@ -300,7 +356,7 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
       val occ = job.fieldStatsCached
         .groupBy(col("key")).agg(count(lit(1)).as("n_values")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (job.stateRef == JobsApi.Running) job.stateRef = JobsApi.Finished
+      if (job.stateRef == JobsApi.Running) job.markTerminal(JobsApi.Finished)
       val stats = JobStats(job.stateRef, n, occ)
       job.statsCache = stats
       stats
@@ -361,10 +417,52 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
     val job = jobOrThrow(id)
     require(job.sortMode == "timestampDesc",
       s"keyset pagination needs the (ts, doc_id) sort key; job ${job.id} sorts ${job.sortMode}")
-    job.results
-      .filter(col("ts") < lit(lastTs) ||
-        (col("ts") === lit(lastTs) && col("doc_id") > lit(lastDocId)))
-      .limit(take)
+    require(take >= 0, s"take must be non-negative ($take)")
+    // Spark's java8 datetime rows carry LocalDateTime; the wire anchor is
+    // a java.sql.Timestamp — normalize both to UTC LocalDateTime
+    val anchorTs = java.time.LocalDateTime.ofInstant(
+      lastTs.toInstant, java.time.ZoneOffset.UTC)
+    // strictly-after predicate in the (ts desc, doc_id asc) result order
+    def after(ts: java.time.LocalDateTime, docId: String): Boolean =
+      ts.isBefore(anchorTs) || (ts.equals(anchorTs) && docId > lastDocId)
+    val bounds = withJobGroup(job)(job.partFirstKeys) // may materialize the store
+    val spark = job.results.sparkSession
+    val schema = job.results.schema
+    val n = bounds.length
+    // Matches form a SUFFIX of the global order (the predicate is
+    // "strictly after the anchor" in the total sort key), so the first
+    // partition that can hold one is either the first whose FIRST row is
+    // already after the anchor, or the non-empty partition just before it
+    // (its tail can cross the anchor). The in-partition filter below still
+    // applies the exact predicate, so the pruning only needs to be a
+    // superset — it never decides correctness.
+    val firstAfter = bounds.indexWhere(_.exists { case (t, d) => after(t, d) })
+    val lo = if (firstAfter < 0) {
+      val lastNonEmpty = bounds.lastIndexWhere(_.nonEmpty)
+      if (lastNonEmpty < 0) n else lastNonEmpty // all-empty cache: nothing
+    } else {
+      val prev = bounds.lastIndexWhere(_.nonEmpty, firstAfter - 1)
+      if (prev < 0) firstAfter else prev
+    }
+    if (take == 0 || lo >= n) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      val tsIdx = schema.fieldIndex("ts")
+      val didIdx = schema.fieldIndex("doc_id")
+      // local copies: the task closure must capture values, not this Job
+      val (anchorT, anchorDoc) = (anchorTs, lastDocId)
+      val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
+        job.results.rdd, _ >= lo)
+      val rows = pruned.mapPartitions(_.filter { r =>
+        val t = JobsApi.rowLdt(r.get(tsIdx))
+        t.isBefore(anchorT) || (t.equals(anchorT) && r.getString(didIdx) > anchorDoc)
+      })
+      // CollectLimit over the pruned RDD starts at the anchor's partition
+      // and scales up only if the page isn't filled — O(touched
+      // partitions) per page, however deep the anchor sits
+      spark.createDataFrame(rows, schema).limit(take)
+    }
   }
 
   /** jobFieldStats (Web.go:259-276): A1 occurrences for one field key —
@@ -435,7 +533,7 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None) {
     val occ = job.fieldStatsCached.groupBy(col("key"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    job.stateRef = JobsApi.Finished
+    job.markTerminal(JobsApi.Finished)
     job.statsCache = JobStats(JobsApi.Finished, meta.getAs[Long]("n_matched"), occ)
     jobs.put(job.id, job)
     job
@@ -452,6 +550,19 @@ object JobsApi {
     * still splits across writers.
     */
   private[api] val StoreRowsPerFile = 1000000L
+
+  /** Row timestamp normalization: Spark's java8 datetime API yields
+    * LocalDateTime (TIMESTAMP_NTZ rows) but legacy configs yield
+    * java.sql.Timestamp — keyset code compares in UTC LocalDateTime.
+    */
+  private[api] def rowLdt(v: Any): java.time.LocalDateTime = v match {
+    case l: java.time.LocalDateTime => l
+    case t: java.sql.Timestamp => t.toLocalDateTime
+    case i: java.time.Instant =>
+      java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+    case other => throw new IllegalStateException(
+      s"unexpected ts type: ${other.getClass}")
+  }
 
   /** Unknown job id — the typed stand-in for the reference's 404 response
     * (internal/web/Web.go:192-257 looks the job up and errors the request).

@@ -16,17 +16,19 @@ import org.apache.spark.sql.functions._
   * flipped header bit is rejected, not misread), and JPEG (marker-segment
   * walk to the SOF0 frame header: dimensions).
   *
-  * SAMPLE decode is REAL for the formats whose sample layer needs no
-  * codec library: PCM (wav), the BMP pixel array
-  * (offset/padding/BGR/bottom-up), and PNG scanlines via the JDK's own
-  * zlib Inflater + per-row unfiltering — see [[decodeSamples]]. JPEG
-  * entropy/DCT and MP4 codec frames remain the honest, clearly marked
-  * STUB boundary (no codec libraries in this container); a javacv/ffmpeg
-  * decoder drops into the same mapPartitions slot. The synthesized
-  * payloads carry genuine encoded bytes, so the pipeline exercises
-  * synthesize -> encode -> decode -> statistics end-to-end and the
-  * DuckDB oracle recomputes the expectations from the same generation
-  * formulas without seeing the bytes.
+  * SAMPLE decode is REAL for every format except MP4 codec frames: PCM
+  * (wav), the BMP pixel array (offset/padding/BGR/bottom-up), PNG
+  * scanlines via the JDK's own zlib Inflater + per-row unfiltering, and
+  * baseline-JPEG grayscale via a pure-JVM entropy decoder (canonical
+  * Huffman tables rebuilt from the file's DHT segments, dequant, full 2D
+  * IDCT) — see [[decodeSamples]] and [[decodeJpegGray]]. MP4 codec frames
+  * remain the one honest, clearly marked STUB boundary (no codec
+  * libraries in this container); a javacv/ffmpeg decoder drops into the
+  * same mapPartitions slot. The synthesized payloads carry genuine
+  * encoded bytes, so the pipeline exercises synthesize -> encode ->
+  * decode -> statistics end-to-end and the DuckDB oracle recomputes the
+  * expectations from the same generation formulas without seeing the
+  * bytes.
   */
 object Multimodal {
 
@@ -544,17 +546,19 @@ object Multimodal {
        | FROM $docsRel""".stripMargin.replace("\n", " ")
 
   // ------------------------------------------------------------------
-  // REAL sample decode — PCM (wav), the BMP pixel array, and PNG
-  // scanlines via the JDK's own zlib (java.util.zip.Inflater) plus
-  // per-row unfiltering. No external codec library: these formats'
-  // sample layers are plain arithmetic + DEFLATE, which ships in the
-  // JDK. JPEG entropy/DCT and MP4 codec frames remain the documented
+  // REAL sample decode — PCM (wav), the BMP pixel array, PNG scanlines
+  // via the JDK's own zlib (java.util.zip.Inflater) plus per-row
+  // unfiltering, and baseline-JPEG grayscale via the pure-JVM entropy
+  // decoder below. No external codec library: these formats' sample
+  // layers are plain arithmetic + DEFLATE + Huffman/IDCT, all
+  // implementable on the JDK. MP4 codec frames remain the documented
   // drop-in boundary (a javacv decoder slots into the same map).
   // ------------------------------------------------------------------
 
   case class DecodedMedia(doc_id: Long, mime: String,
       width: Option[Int], height: Option[Int],
       mean_r: Option[Double], mean_g: Option[Double], mean_b: Option[Double],
+      mean_gray: Option[Double],
       n_samples: Option[Int], rms: Option[Double], peak: Option[Int])
 
   /** Deterministic sample formulas (shared with the SQL oracle). All
@@ -650,24 +654,339 @@ object Multimodal {
   }
 
   /** Decodable media table: REAL encoded samples under the real headers
-    * (not text bytes standing in) — bmp / mono wav / png by doc_id % 3.
+    * (not text bytes standing in) — bmp / mono wav / png / baseline-jpeg
+    * by doc_id % 4.
     */
   def decodableTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].map { id =>
       val (w, h) = (widthFor(id), heightFor(id))
-      (id % 3) match {
+      (id % 4) match {
         case 0 =>
           val px = bmpPixelBytes(id, w, h)
           MediaRow(id, "image/bmp", bmpHeader(w, h, px.length) ++ px)
         case 1 =>
           val pcm = pcmBytes(id)
           MediaRow(id, "audio/wav", wavHeader(rateFor(id), 1, 16, pcm.length) ++ pcm)
-        case _ =>
+        case 2 =>
           MediaRow(id, "image/png", pngBytes(w, h, pngIdat(id, w, h)))
+        case _ =>
+          MediaRow(id, "image/jpeg", jpegGrayBytes(id, w, h))
       }
     }
   }
+
+  // ---------------------------------------------------------- baseline JPEG
+  // Real baseline-JPEG grayscale, pure JVM (ITU T.81): the encoder writes
+  // DQT/DHT/SOF0/SOS plus genuinely Huffman-coded MCU data with the
+  // standard Annex K luminance tables; the decoder rebuilds the canonical
+  // Huffman tables FROM THE FILE's DHT segments, entropy-decodes DC + AC
+  // (EOB/ZRL/run-length, the general path), dequantizes, and runs a full
+  // 2D IDCT. The synthetic corpus uses per-8x8-block-constant images with
+  // a DC quant step of 8 — for those the DC round-trip is exact
+  // (DC = 8*(v-128) quantizes losslessly), so the decoded pixel stats are
+  // closed-form predictable by the DuckDB oracle while the decoder itself
+  // is the general baseline machine. MP4 codec frames remain the one
+  // documented boundary.
+
+  /** Standard luminance DC Huffman spec (T.81 Table K.3): (BITS, HUFFVAL). */
+  private val JpegDcBits =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals = (0 to 11).map(_.toByte).toArray
+
+  /** Standard luminance AC Huffman spec (T.81 Table K.5). */
+  private val JpegAcBits =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val JpegAcVals: Array[Byte] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+
+  /** Canonical Huffman codes from a (BITS, HUFFVAL) spec:
+    * symbol -> (code, length). Shared by the encoder and (inverted) the
+    * decoder, per T.81 Annex C.
+    */
+  private def huffCodes(bits: Array[Int], vals: Array[Byte]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out += (vals(k) & 0xff) -> (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out.result()
+  }
+
+  /** Per-8x8-block constant gray value of the synthetic image — the shared
+    * generation formula (the oracle recomputes pixel sums from it).
+    */
+  def jpegBlockValue(id: Long, blockIndex: Int): Int =
+    ((id * 31 + blockIndex.toLong * 17) % 256).toInt
+
+  /** DC quant step 8: DC = 8*(v-128) for a constant block, so the
+    * quantized DC is exactly v-128 and the round-trip is lossless.
+    */
+  private val JpegQuantDc = 8
+  private val JpegQuantAc = 16
+
+  /** Real baseline grayscale JPEG of the per-block-constant image. */
+  def jpegGrayBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def put(bs: Int*): Unit = bs.foreach(v => out.write(v & 0xff))
+    def marker(m: Int, payload: Array[Int]): Unit = {
+      put(0xff, m, (payload.length + 2) >> 8, (payload.length + 2) & 0xff)
+      payload.foreach(v => out.write(v & 0xff))
+    }
+    put(0xff, 0xd8) // SOI
+    marker(0xdb, Array(0x00) ++ (0 until 64).map(i =>
+      if (i == 0) JpegQuantDc else JpegQuantAc)) // DQT, table 0
+    marker(0xc4, Array(0x00) ++ JpegDcBits ++ JpegDcVals.map(_ & 0xff)) // DHT DC 0
+    marker(0xc4, Array(0x10) ++ JpegAcBits ++ JpegAcVals.map(_ & 0xff)) // DHT AC 0
+    marker(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff,
+      1, 1, 0x11, 0)) // SOF0: 8-bit, 1 component, 1x1 sampling, qtable 0
+    marker(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS: comp 1, DC 0 / AC 0
+
+    val dcCodes = huffCodes(JpegDcBits, JpegDcVals)
+    val acCodes = huffCodes(JpegAcBits, JpegAcVals)
+    // bit writer with 0xFF byte stuffing
+    var acc = 0L
+    var nbits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val b = ((acc >> (nbits - 8)) & 0xff).toInt
+        out.write(b); if (b == 0xff) out.write(0x00)
+        nbits -= 8
+      }
+    }
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    var prevDc = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val dc = jpegBlockValue(id, by * bw + bx) - 128 // quantized DC (q=8)
+        val diff = dc - prevDc
+        prevDc = dc
+        val cat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        val (c, l) = dcCodes(cat)
+        putBits(c, l)
+        if (cat > 0)
+          putBits(if (diff > 0) diff else diff + (1 << cat) - 1, cat)
+        val (ec, el) = acCodes(0x00) // EOB: no AC coefficients
+        putBits(ec, el)
+        bx += 1
+      }
+      by += 1
+    }
+    if (nbits > 0) putBits(0xff, 8 - nbits) // pad final byte with 1s
+    put(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Full baseline grayscale decode: (w, h, mean gray). Tables come from
+    * the FILE (DQT/DHT), entropy decoding handles DC categories and the
+    * general AC run/size alphabet (EOB, ZRL, coefficient runs), and every
+    * block goes through dequant + the full 2D IDCT. Any malformed
+    * segment, truncated stream, or undefined code yields None.
+    */
+  def decodeJpegGray(p: Array[Byte]): Option[(Int, Int, Double)] = try {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
+    def be16(off: Int) = ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
+    var qt = Map.empty[Int, Array[Int]]
+    // (class, id) -> (length, code) -> symbol
+    var huff = Map.empty[(Int, Int), Map[(Int, Int), Int]]
+    var dims: Option[(Int, Int)] = None
+    var compQ = 0
+    var sosOff = -1
+    var dcSel = 0
+    var acSel = 0
+    var off = 2
+    while (sosOff < 0 && off + 4 <= p.length) {
+      if ((p(off) & 0xff) != 0xff) return None
+      val m = p(off + 1) & 0xff
+      if (m == 0xd9) return None // EOI before SOS
+      val len = be16(off + 2)
+      if (len < 2 || off + 2 + len > p.length) return None
+      val seg = off + 4
+      m match {
+        case 0xdb => // DQT: possibly several tables per segment
+          var s = seg
+          while (s < off + 2 + len) {
+            val pq = (p(s) & 0xf0) >> 4
+            if (pq != 0) return None // 16-bit tables: not baseline
+            val id = p(s) & 0x0f
+            if (s + 65 > off + 2 + len) return None
+            qt += id -> (1 to 64).map(i => p(s + i) & 0xff).toArray
+            s += 65
+          }
+        case 0xc4 => // DHT: possibly several tables per segment
+          var s = seg
+          while (s < off + 2 + len) {
+            val clazz = (p(s) & 0xf0) >> 4
+            val id = p(s) & 0x0f
+            val bits = (1 to 16).map(i => p(s + i) & 0xff).toArray
+            val n = bits.sum
+            if (s + 17 + n > off + 2 + len) return None
+            val vals = (0 until n).map(i => p(s + 17 + i)).toArray
+            huff += (clazz, id) ->
+              huffCodes(bits, vals).map { case (sym, (c, l)) => (l, c) -> sym }
+            s += 17 + n
+          }
+        case 0xc0 => // SOF0 baseline
+          if (p(seg) != 8 || p(seg + 5) != 1) return None // 8-bit grayscale only
+          dims = Some((be16(seg + 3), be16(seg + 1)))
+          if (p(seg + 7) != 0x11) return None // 1x1 sampling
+          compQ = p(seg + 8) & 0x0f
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // non-baseline frame types
+        case 0xda =>
+          if (p(seg) != 1) return None // one scan component
+          dcSel = (p(seg + 2) & 0xf0) >> 4
+          acSel = p(seg + 2) & 0x0f
+          sosOff = off + 2 + len
+        case _ => () // APPn / COM / DRI(unused): skip
+      }
+      off += 2 + len
+    }
+    val (w, h) = dims.getOrElse(return None)
+    if (w <= 0 || h <= 0 || sosOff < 0) return None
+    val q = qt.getOrElse(compQ, return None)
+    val dcTab = huff.getOrElse((0, dcSel), return None)
+    val acTab = huff.getOrElse((1, acSel), return None)
+
+    // bit reader over the entropy stream with 0xFF00 unstuffing
+    var pos = sosOff
+    var bitBuf = 0L
+    var bitCnt = 0
+    def fill(): Boolean = {
+      while (bitCnt <= 56 && pos < p.length) {
+        val b = p(pos) & 0xff
+        if (b == 0xff) {
+          if (pos + 1 < p.length && p(pos + 1) == 0) {
+            bitBuf = (bitBuf << 8) | 0xff; bitCnt += 8; pos += 2
+          } else return bitCnt > 0 // a marker: stream ends here
+        } else { bitBuf = (bitBuf << 8) | b; bitCnt += 8; pos += 1 }
+      }
+      bitCnt > 0
+    }
+    def readBit(): Int = {
+      if (bitCnt == 0 && !fill()) throw new IllegalStateException("eof")
+      bitCnt -= 1
+      ((bitBuf >> bitCnt) & 1).toInt
+    }
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def decodeSym(tab: Map[(Int, Int), Int]): Int = {
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        code = (code << 1) | readBit()
+        len += 1
+        tab.get((len, code)) match {
+          case Some(s) => return s
+          case None => ()
+        }
+      }
+      throw new IllegalStateException("undefined huffman code")
+    }
+    def extend(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+    // the zigzag scan order (coefficient k -> natural row-major index)
+    val zigzag = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val cosT = Array.tabulate(8, 8)((x, u) =>
+      math.cos((2 * x + 1) * u * math.Pi / 16))
+    val cFac = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
+
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    var graySum = 0L
+    var prevDc = 0
+    val coef = new Array[Int](64)
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        java.util.Arrays.fill(coef, 0)
+        val t = decodeSym(dcTab)
+        prevDc += extend(readBits(t), t)
+        coef(0) = prevDc * q(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = decodeSym(acTab)
+          val run = rs >> 4
+          val size = rs & 0x0f
+          if (size == 0) {
+            if (run == 15) k += 16 // ZRL
+            else eob = true // EOB
+          } else {
+            k += run
+            if (k > 63) throw new IllegalStateException("AC run overflow")
+            coef(zigzag(k)) = extend(readBits(size), size) * q(k)
+            k += 1
+          }
+        }
+        // full 2D IDCT + level shift + clamp, crop to the image bounds
+        var y = 0
+        while (y < 8) {
+          val py = by * 8 + y
+          var x = 0
+          while (x < 8) {
+            val px = bx * 8 + x
+            if (px < w && py < h) {
+              var s = 0.0
+              var v = 0
+              while (v < 8) {
+                var u = 0
+                while (u < 8) {
+                  val cv = coef(v * 8 + u)
+                  if (cv != 0) s += cFac(u) * cFac(v) * cv * cosT(x)(u) * cosT(y)(v)
+                  u += 1
+                }
+                v += 1
+              }
+              val pix = math.max(0, math.min(255, math.round(s / 4).toInt + 128))
+              graySum += pix
+            }
+            x += 1
+          }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    Some((w, h, graySum.toDouble / (w.toLong * h)))
+  } catch { case _: RuntimeException => None }
 
   /** Decode the BMP pixel array: (w, h, mean r/g/b) — honors the
     * pixel-data offset, bottom-up rows, BGR order, and row padding.
@@ -799,18 +1118,22 @@ object Multimodal {
           case "image/bmp" =>
             val d = decodeBmpPixels(r.payload)
             DecodedMedia(r.doc_id, r.mime, d.map(_._1), d.map(_._2),
-              d.map(_._3), d.map(_._4), d.map(_._5), None, None, None)
+              d.map(_._3), d.map(_._4), d.map(_._5), None, None, None, None)
           case "audio/wav" =>
             val d = decodeWavPcm(r.payload)
             DecodedMedia(r.doc_id, r.mime, None, None, None, None, None,
-              d.map(_._1), d.map(_._2), d.map(_._3))
+              None, d.map(_._1), d.map(_._2), d.map(_._3))
           case "image/png" =>
             val d = decodePngPixels(r.payload)
             DecodedMedia(r.doc_id, r.mime, d.map(_._1), d.map(_._2),
-              d.map(_._3), d.map(_._4), d.map(_._5), None, None, None)
+              d.map(_._3), d.map(_._4), d.map(_._5), None, None, None, None)
+          case "image/jpeg" =>
+            val d = decodeJpegGray(r.payload)
+            DecodedMedia(r.doc_id, r.mime, d.map(_._1), d.map(_._2),
+              None, None, None, d.map(_._3), None, None, None)
           case _ =>
             DecodedMedia(r.doc_id, r.mime, None, None, None, None, None,
-              None, None, None)
+              None, None, None, None)
         }
       }
     }
@@ -828,26 +1151,33 @@ object Multimodal {
   def mediaDecodeSql(docsRel: String): String =
     s"""WITH base AS (SELECT doc_id, 16 + doc_id % 64 AS w, 9 + doc_id % 32 AS h,
        |    800 + doc_id % 100 AS ns FROM $docsRel),
-       |ix AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM base WHERE doc_id % 3 <> 1),
+       |ix AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM base WHERE doc_id % 4 IN (0, 2)),
        |px AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM ix),
        |imgstats AS (SELECT doc_id,
        |    CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS DOUBLE) / (w*h) AS mean_r,
        |    CAST(sum((doc_id*31 + x*7 + y*13 + 101) % 256) AS DOUBLE) / (w*h) AS mean_g,
        |    CAST(sum((doc_id*31 + x*7 + y*13 + 202) % 256) AS DOUBLE) / (w*h) AS mean_b
        |  FROM px GROUP BY doc_id, w, h),
-       |wv AS (SELECT doc_id, ns, unnest(range(ns)) AS i FROM base WHERE doc_id % 3 = 1),
+       |jx AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM base WHERE doc_id % 4 = 3),
+       |jpx AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM jx),
+       |jpegstats AS (SELECT doc_id,
+       |    CAST(sum((doc_id*31 + ((y // 8) * ((w + 7) // 8) + (x // 8)) * 17) % 256) AS DOUBLE)
+       |      / (w*h) AS mean_gray
+       |  FROM jpx GROUP BY doc_id, w, h),
+       |wv AS (SELECT doc_id, ns, unnest(range(ns)) AS i FROM base WHERE doc_id % 4 = 1),
        |wavstats AS (SELECT doc_id,
        |    sqrt(CAST(sum(s*s) AS DOUBLE) / ns) AS rms, max(abs(s)) AS peak
        |  FROM (SELECT doc_id, ns, (doc_id*31 + i*7919) % 65536 - 32768 AS s FROM wv)
        |  GROUP BY doc_id, ns)
        |SELECT b.doc_id,
-       | CASE b.doc_id % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav' ELSE 'image/png' END AS mime,
-       | CAST(CASE WHEN b.doc_id % 3 <> 1 THEN b.w END AS INT) AS width,
-       | CAST(CASE WHEN b.doc_id % 3 <> 1 THEN b.h END AS INT) AS height,
-       | i.mean_r, i.mean_g, i.mean_b,
-       | CAST(CASE WHEN b.doc_id % 3 = 1 THEN b.ns END AS INT) AS n_samples,
+       | CASE b.doc_id % 4 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav' WHEN 2 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+       | CAST(CASE WHEN b.doc_id % 4 <> 1 THEN b.w END AS INT) AS width,
+       | CAST(CASE WHEN b.doc_id % 4 <> 1 THEN b.h END AS INT) AS height,
+       | i.mean_r, i.mean_g, i.mean_b, j.mean_gray,
+       | CAST(CASE WHEN b.doc_id % 4 = 1 THEN b.ns END AS INT) AS n_samples,
        | wv2.rms, CAST(wv2.peak AS INT) AS peak
        |FROM base b
        |LEFT JOIN imgstats i ON i.doc_id = b.doc_id
+       |LEFT JOIN jpegstats j ON j.doc_id = b.doc_id
        |LEFT JOIN wavstats wv2 ON wv2.doc_id = b.doc_id""".stripMargin.replace("\n", " ")
 }

@@ -157,6 +157,92 @@ object DocsAdapter {
        | '</body></html>' AS html
        | FROM documents)""".stripMargin.replace("\n", " ")
 
+  /** (doc_id, url, html) crawl corpus for the composed curation funnel
+    * ([[graft.ml.Funnel]]): documents plus RE-HOSTED exact copies
+    * (doc_id % 7 == 0 under EXACT_SHIFT — same page text, different host,
+    * so URL dedup cannot catch them and content dedup must), a
+    * crawl-variant URL (the [[urlDocs]] 8-cycle over page groups of 8
+    * consecutive ids, but with the FULL group index in the host so copies
+    * land on their own hosts), and the page text ([[c4Docs]]-style
+    * structure, keyed by the ORIGINAL id so a copy carries the same page)
+    * wrapped in [[htmlDocs]]-style HTML (keyed by doc_id — the h1/title
+    * differ between copy and original, making copies near- rather than
+    * byte-dups). Pure column arithmetic with a DuckDB twin.
+    */
+  def funnelDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val base0 = docs(spark, sfDir).select(col("doc_id"), col("text"))
+    val withCopies = base0.unionByName(
+      base0.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("doc_id", col("doc_id") + EXACT_SHIFT))
+    val orig = pmod(col("doc_id"), lit(EXACT_SHIFT))
+    val pageText = concat(
+      col("text"),
+      when(pmod(orig, lit(3)) === 0, lit(".")).otherwise(lit("")),
+      // three full supporting sentences carrying >= 2 distinct Gopher
+      // stopwords (the/of/to/be/and/that/have/with) so well-formed pages
+      // clear BOTH quality gates; the unpunctuated fragment line still
+      // exercises C4's line drop
+      lit("\nthe quality of this page must be good to keep it here.\nand that supporting line will have more weight with the rest.\nthe corpus must be clean of junk to survive the funnel.\ntiny fragment"),
+      when(pmod(orig, lit(17)) === 0,
+        lit("\nlorem ipsum dolor sit amet filler text here.")).otherwise(lit("")),
+      when(pmod(orig, lit(19)) === 0,
+        lit("\nconfig = { \"key\": 1 }")).otherwise(lit("")))
+    val grp = floor(col("doc_id") / 8)
+    val v = pmod(col("doc_id"), lit(8))
+    val host = concat(lit("site"), grp, lit(".example.org"))
+    val path = concat(lit("/p"), grp)
+    val url = when(v === 0, concat(lit("https://"), host, path))
+      .when(v === 1, concat(lit("HTTPS://"), upper(host), path))
+      .when(v === 2, concat(lit("https://www."), host, path))
+      .when(v === 3, concat(lit("https://"), host, lit(":443"), path))
+      .when(v === 4, concat(lit("https://"), host, path, lit("/")))
+      .when(v === 5, concat(lit("https://"), host, path, lit("#sec2")))
+      .when(v === 6, concat(lit("https://"), host, path, lit("?utm_source=feed&id=7&b=2")))
+      .otherwise(concat(lit("https://"), host, path, lit("?b=2&id=7&fbclid=xyz")))
+    val html = concat(
+      lit("<html><head><title>t"), col("doc_id"),
+      lit("</title><style>p { color: red; }</style></head><body><h1>Doc "),
+      col("doc_id"), lit("</h1><p>"), pageText, lit("</p>"),
+      when(pmod(orig, lit(2)) === 0,
+        lit("<script>var x = 1 < 2;</script>")).otherwise(lit("")),
+      lit("<ul><li>alpha &amp; beta</li><li>1 &lt; 2</li></ul>"),
+      when(pmod(orig, lit(5)) === 0,
+        lit("<p>&quot;quoted&quot;&nbsp;tail</p>")).otherwise(lit("")),
+      lit("</body></html>"))
+    withCopies.select(col("doc_id"), url.as("url"), html.as("html"))
+  }
+
+  def funnelDocsSql(): String =
+    s"""(SELECT doc_id,
+       | CASE doc_id % 8
+       |  WHEN 0 THEN 'https://' || host || path
+       |  WHEN 1 THEN 'HTTPS://' || upper(host) || path
+       |  WHEN 2 THEN 'https://www.' || host || path
+       |  WHEN 3 THEN 'https://' || host || ':443' || path
+       |  WHEN 4 THEN 'https://' || host || path || '/'
+       |  WHEN 5 THEN 'https://' || host || path || '#sec2'
+       |  WHEN 6 THEN 'https://' || host || path || '?utm_source=feed&id=7&b=2'
+       |  ELSE 'https://' || host || path || '?b=2&id=7&fbclid=xyz' END AS url,
+       | '<html><head><title>t' || doc_id ||
+       | '</title><style>p { color: red; }</style></head><body><h1>Doc ' ||
+       | doc_id || '</h1><p>' || ptext || '</p>' ||
+       | CASE WHEN orig % 2 = 0 THEN '<script>var x = 1 < 2;</script>' ELSE '' END ||
+       | '<ul><li>alpha &amp; beta</li><li>1 &lt; 2</li></ul>' ||
+       | CASE WHEN orig % 5 = 0 THEN '<p>&quot;quoted&quot;&nbsp;tail</p>' ELSE '' END ||
+       | '</body></html>' AS html
+       | FROM (SELECT doc_id, doc_id % $EXACT_SHIFT AS orig,
+       |   'site' || (doc_id // 8) || '.example.org' AS host,
+       |   '/p' || (doc_id // 8) AS path,
+       |   text || CASE WHEN (doc_id % $EXACT_SHIFT) % 3 = 0 THEN '.' ELSE '' END
+       |    || chr(10) || 'the quality of this page must be good to keep it here.'
+       |    || chr(10) || 'and that supporting line will have more weight with the rest.'
+       |    || chr(10) || 'the corpus must be clean of junk to survive the funnel.'
+       |    || chr(10) || 'tiny fragment'
+       |    || CASE WHEN (doc_id % $EXACT_SHIFT) % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet filler text here.' ELSE '' END
+       |    || CASE WHEN (doc_id % $EXACT_SHIFT) % 19 = 0 THEN chr(10) || 'config = { "key": 1 }' ELSE '' END AS ptext
+       |  FROM (SELECT doc_id, text FROM documents
+       |   UNION ALL SELECT doc_id + $EXACT_SHIFT, text FROM documents WHERE doc_id % 7 = 0)))""".stripMargin.replace("\n", " ")
+
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spread(spark.read.parquet(s"$sfDir/embeddings.parquet"), spark)
 

@@ -85,6 +85,17 @@ object StreamingPipeline {
     * Crash-replay of a batch stays idempotent through the per-batch-id
     * overwrite, same as [[ingest]].
     *
+    * '''Loss window — read before sizing `horizon`.''' The watermark that
+    * bounds the dedup state also DROPS rows, duplicate or not, whose event
+    * time trails the max seen time by more than `horizon`: a host that
+    * ships logs after an outage longer than the horizon loses those events
+    * on this path, where the reference's conflict-ignore insert would have
+    * kept them. That is the price of bounded state — size `horizon` to the
+    * ingest SLA (the longest outage after which a shipper may still
+    * deliver), not to the duplicate window alone, and run
+    * [[reconcileLate]] after any outage that may have exceeded it: the
+    * batch anti-join repair lands every dropped-but-new event exactly once.
+    *
     * Stream-side work is parse + static enrich of only the dedup-key +
     * payload columns (the `fields` map never enters the stateful plan);
     * the sink resolution + salted fan-out run per micro-batch.
@@ -112,6 +123,84 @@ object StreamingPipeline {
           s"$outDir/batch=$batchId", saltBuckets)
       }
       .start()
+  }
+
+  /** Streaming canonical-URL dedup — the crawl-ingest twin of
+    * [[graft.ml.TextCleaning.urlDedup]], built exactly like [[ingestDedup]]:
+    * map-only canonicalization on the stream side
+    * ([[graft.ml.TextCleaning.urlCanonicalCol]]), then a stateful
+    * `dropDuplicatesWithinWatermark` on the canonical key. State is
+    * bounded by the watermark horizon — at crawl scale that is the
+    * re-crawl window's distinct URLs, not the whole frontier. The same
+    * loss-window caveat as [[ingestDedup]] applies (a URL first seen more
+    * than `horizon` after the max watermark time is dropped, not
+    * deduplicated — see that scaladoc), and the same per-batch-id
+    * overwrite keeps crash-replay idempotent.
+    */
+  def urlDedupStream(spark: SparkSession, inputDir: String, outDir: String,
+      checkpointDir: String, horizon: String = "2 hours",
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("url", StringType),
+      StructField("ts", TimestampType)))
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n): Unit)
+    val deduped = reader.parquet(inputDir)
+      .withColumn("canon", graft.ml.TextCleaning.urlCanonicalCol(col("url")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("canon")
+    deduped.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+  }
+
+  /** Batch repair for [[ingestDedup]]'s watermark loss window: any
+    * genuinely-new event the stream dropped for arriving more than
+    * `horizon` late is found by an exact anti-join of the (deduplicated)
+    * input against the routed store's UNIQUE key, and appended under its
+    * own `batch=<lateBatchId>` directory — exactly once, with the same
+    * sink routing as the stream. Run it after an outage that may have
+    * exceeded the horizon (the scaladoc above documents when).
+    *
+    * Scale shape: point `inputDir` at the suspect slice of input (the
+    * files shipped around the outage), not the corpus — the cost is
+    * O(slice) + a 4-key-column column-pruned scan of the routed store.
+    * The anti-join's store side projects ONLY the key columns; token
+    * payloads never shuffle. The repaired sliver is persisted (it is by
+    * definition small) so the count and the write share one computation.
+    *
+    * Returns how many missed events were appended.
+    */
+  def reconcileLate(spark: SparkSession, inputDir: String, outDir: String,
+      configs: Seq[SourceConfig],
+      lateBatchId: String = s"late-${System.currentTimeMillis()}",
+      saltBuckets: Int = 32): Long = {
+    val parsed = LogPipeline.enrichStatic(
+        LogPipeline.parse(spark.read.parquet(inputDir)), configs)
+      .select("doc_id", "tokens", "n_tok", "source", "host", "source_id",
+        "ts", "offset")
+      // in-slice duplicates collapse first, mirroring the stream's
+      // in-batch + stateful dedup on the same unique key
+      .dropDuplicates("host", "source", "ts", "offset")
+    val existingKeys = spark.read.parquet(outDir)
+      .select("host", "source", "ts", "offset")
+    val missed = parsed
+      .join(existingKeys, Seq("host", "source", "ts", "offset"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = missed.count()
+      if (n > 0)
+        LogPipeline.routeWrite(
+          missed.withColumn("sink", LogPipeline.sinkCol),
+          s"$outDir/batch=$lateBatchId", saltBuckets)
+      n
+    } finally missed.unpersist(blocking = false): Unit
   }
 
   /** The watermarked windowed aggregation shared by both histogram faces:

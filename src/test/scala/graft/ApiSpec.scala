@@ -158,6 +158,68 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("deep keyset pages prune to the anchor's partitions (not O(prefix))") {
+    val api = new JobsApi(EventsAdapter.engine(spark, dir))
+    val job = api.startJob("error") // 201 rows cached across 4 partitions
+    val total = api.jobStats(job.id).numMatchedEvents.toInt
+    // anchor DEEP in the result (last ~page): the offset twin of the page
+    val deep = total - 6
+    val offsetRows = api.jobResults(job.id, deep + 1, 5).collect()
+    val anchor = api.jobResults(job.id, deep, 1).head()
+    val ts = Timestamp.from(anchor.getAs[java.time.LocalDateTime]("ts")
+      .toInstant(java.time.ZoneOffset.UTC))
+    // warm the partition-bounds index OUTSIDE the measured window
+    api.jobResultsAfter(job.id, ts, anchor.getAs[String]("doc_id"), 5).collect()
+    val tasks = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        tasks.add(s.stageInfo.numTasks): Unit
+    }
+    spark.sparkContext.addSparkListener(l)
+    val keysetRows = try {
+      val r = api.jobResultsAfter(job.id, ts,
+        anchor.getAs[String]("doc_id"), 5).collect()
+      val deadline = System.nanoTime() + 3000000000L
+      while (tasks.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(100)
+      r
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(keysetRows.map(_.getAs[String]("doc_id")).toSeq ==
+      offsetRows.map(_.getAs[String]("doc_id")).toSeq)
+    // a deep page must read only the anchor's partition (plus at most one
+    // limit scale-up), never the whole prefix: without pruning CollectLimit
+    // walks partitions from 0 and the filter discards the entire prefix
+    val taskList = tasks.toArray(Array.empty[Integer]).map(_.intValue).toSeq
+    assert(taskList.sum <= 2,
+      s"deep keyset page must touch <= 2 partitions, saw tasks per stage $taskList")
+  }
+
+  test("job TTL: terminal jobs age out, running jobs never do (expireJobs)") {
+    val engine = EventsAdapter.engine(spark, dir)
+    val api = new JobsApi(engine, jobTtlMillis = Some(60000L))
+    val done = api.startJob("error")
+    api.jobStats(done.id) // reaches Finished -> terminal clock starts
+    val running = api.startJob("error") // never acted on -> still Running
+    // not yet aged: nothing expires
+    assert(api.expireJobs(System.currentTimeMillis()) == 0)
+    // one hour later: the finished job goes, the running one stays
+    val later = System.currentTimeMillis() + 3600000L
+    assert(api.expireJobs(later) == 1)
+    intercept[JobsApi.NoSuchJobException] { api.jobStats(done.id) }
+    assert(api.job(running.id).isDefined, "running jobs must never expire")
+    // aborted jobs age out too
+    assert(api.abortJob(running.id))
+    assert(api.expireJobs(later + 3600000L) == 1)
+    assert(api.job(running.id).isEmpty)
+    // an api built without a TTL never expires anything
+    val noTtl = new JobsApi(engine)
+    val j = noTtl.startJob("error")
+    noTtl.jobStats(j.id)
+    assert(noTtl.expireJobs(System.currentTimeMillis() + 86400000L) == 0)
+    assert(noTtl.job(j.id).isDefined)
+  }
+
   test("job export/import round-trips the results store across 'processes' (SqliteJobRepository analog)") {
     val api = new JobsApi(EventsAdapter.engine(spark, dir))
     val job = api.startJob("error")

@@ -79,6 +79,22 @@ class HttpApiSpec extends AnyFunSuite {
       val fs = mapper.readTree(
         get(port, s"/api/v1/jobFieldStats?jobId=$id&fieldName=eventtype").body())
       assert(fs.get("error").asLong() == 201 && fs.size() == 1)
+
+      // take caps the driver-side collection for high-cardinality fields:
+      // top-occurrence values win the cut; the full map stays the default
+      val full = mapper.readTree(
+        get(port, s"/api/v1/jobFieldStats?jobId=$id&fieldName=userid").body())
+      assert(full.size() > 3, s"userid should be multi-valued, got ${full.size()}")
+      val capped = mapper.readTree(
+        get(port, s"/api/v1/jobFieldStats?jobId=$id&fieldName=userid&take=3").body())
+      assert(capped.size() == 3)
+      val fullCounts = full.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      val keptCounts = capped.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      val floor = keptCounts.values.min
+      assert(keptCounts.forall { case (k, v) => fullCounts(k) == v },
+        "capped entries must carry the full-map counts")
+      assert(fullCounts.count(_._2 > floor) <= 3,
+        s"the cap must keep top-occurrence values (floor $floor): $fullCounts")
     }
   }
 
@@ -251,6 +267,52 @@ class HttpApiSpec extends AnyFunSuite {
       assert(get(port,
         s"/api/v1/jobResultsAfter?jobId=99999&lastTs=${enc(ts)}&lastDocId=x&take=5")
         .statusCode() == 404)
+    }
+  }
+
+  test("GUI smoke: the search page's exact call sequence against the live API (WebGui wire pins)") {
+    // the scripted twin of WebGui.searchPage's runSearch()/loadPage()/
+    // renderFields(): POST startJob -> poll jobStats until State != 1 ->
+    // GET jobResults skip=0 take=25 -> field sidebar from stats.FieldCount
+    // -> click a field = GET jobFieldStats -> pager next = skip += 25.
+    // Pins every wire assumption the hand-written GUI makes.
+    withServer() { (port, _) =>
+      val pages = get(port, "/search")
+      assert(pages.statusCode() == 200 &&
+        pages.body().contains("/api/v1/startJob?searchString="))
+      val id = post(port, s"/api/v1/startJob?searchString=${enc("error")}").body().trim.toLong
+      var stats = mapper.readTree(get(port, s"/api/v1/jobStats?jobId=$id").body())
+      val deadline = System.nanoTime() + 30000000000L
+      while (stats.get("State").asInt() == 1 && System.nanoTime() < deadline) {
+        Thread.sleep(300)
+        stats = mapper.readTree(get(port, s"/api/v1/jobStats?jobId=$id").body())
+      }
+      assert(stats.get("State").asInt() == 2, s"job must finish: $stats")
+      assert(stats.get("NumMatchedEvents").asLong() == 201)
+      // page 1 exactly as loadPage() asks, and the keys it renders
+      val page = mapper.readTree(
+        get(port, s"/api/v1/jobResults?jobId=$id&skip=0&take=25").body())
+      assert(page.get("resultType").asInt() == 1)
+      val evs = page.get("events").elements().asScala.toSeq
+      assert(evs.size == 25)
+      for (k <- Seq("Id", "Raw", "Timestamp", "Host", "Source", "Fields"))
+        assert(evs.head.has(k), s"GUI renders events.$k")
+      // the field sidebar: every FieldCount key answers jobFieldStats
+      val fieldNames = stats.get("FieldCount").fieldNames().asScala.toSeq
+      assert(fieldNames.nonEmpty)
+      for (name <- fieldNames.take(3)) {
+        val counts = mapper.readTree(get(port,
+          s"/api/v1/jobFieldStats?jobId=$id&fieldName=${enc(name)}").body())
+        assert(counts.size() > 0, s"field $name must have values")
+      }
+      // pager: next page at skip=25 is dup-free against page 1
+      val ids1 = evs.map(_.get("Id").asText()).toSet
+      val page2 = mapper.readTree(
+        get(port, s"/api/v1/jobResults?jobId=$id&skip=25&take=25").body())
+      val ids2 = page2.get("events").elements().asScala.map(_.get("Id").asText()).toSet
+      assert(ids2.nonEmpty && ids1.intersect(ids2).isEmpty)
+      // abort button path: POST abortJob on the finished job is a 200 no-op
+      assert(post(port, s"/api/v1/abortJob?jobId=$id").statusCode() == 200)
     }
   }
 }

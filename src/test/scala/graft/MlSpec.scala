@@ -146,6 +146,33 @@ class MlSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("artifact store location is threadable: explicit dir round-trips across 'processes'") {
+    // at 100 TB artifacts live NEXT TO THE DATA, not in /tmp — the base dir
+    // must thread through (CLI --artifact-dir / env / setter)
+    val base = java.nio.file.Files.createTempDirectory("graft-artifacts").toString
+    val saved = SparkEntry.artifactBaseDirOverride
+    try {
+      SparkEntry.artifactBaseDirOverride = Some(base)
+      SparkEntry.clearIvfMemoryCache()
+      val built = SparkEntry.ivfCentroidsFor(spark, dir, 16)
+      val artifact = new java.io.File(SparkEntry.ivfArtifactPath(dir, 16))
+      assert(artifact.getParentFile.getAbsolutePath ==
+        new java.io.File(base).getAbsolutePath,
+        s"artifact must land under the explicit base: $artifact")
+      assert(artifact.isFile && artifact.length() > 0)
+      // fresh-process simulation: forget the memory map, reload from the
+      // explicit dir and serve identical state
+      SparkEntry.clearIvfMemoryCache()
+      val loaded = SparkEntry.ivfCentroidsFor(spark, dir, 16)
+      assert(loaded.length == built.length &&
+        loaded.zip(built).forall { case (a, b) => a.sameElements(b) },
+        "explicit-dir artifact must round-trip exactly")
+    } finally {
+      SparkEntry.artifactBaseDirOverride = saved
+      SparkEntry.clearIvfMemoryCache() // drop entries keyed under the temp base
+    }
+  }
+
   test("IVF quantizer artifact round-trips and serves identical results") {
     val emb = DocsAdapter.embeddings(spark, dir)
     val cents = Similarity.ivfCentroids(emb, 8)
@@ -625,6 +652,36 @@ class MlSpec extends AnyFunSuite {
       (Multimodal.pixelByte(7L, 0, 0, c) + Multimodal.pixelByte(7L, 0, 1, c)) / 2.0)
     assert(Multimodal.decodeBmpPixels(bmp) ==
       Some((1, 2, exp(0), exp(1), exp(2))))
+  }
+
+  test("baseline JPEG: real Huffman+IDCT decode recovers the block-constant image exactly") {
+    // 20x11: 3x2 blocks, edge blocks cropped — full marker walk, DHT
+    // tables from the file, DC-diff entropy decode, dequant, 2D IDCT
+    val (w, h) = (20, 11)
+    val jpeg = Multimodal.jpegGrayBytes(42L, w, h)
+    val bw = (w + 7) / 8
+    var expected = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      expected += Multimodal.jpegBlockValue(42L, (y / 8) * bw + (x / 8))
+    val d = Multimodal.decodeJpegGray(jpeg)
+    assert(d == Some((w, h, expected.toDouble / (w * h))),
+      s"decode must recover the exact per-block means, got $d")
+    // the container metadata walk still reads the SOF0 dims
+    assert(Multimodal.parseJpeg(jpeg) == Some((w, h)))
+    // a corrupted DHT segment (bits count inflated past the segment) must
+    // refuse, never mis-decode
+    val bad = jpeg.clone()
+    val dhtAt = {
+      var off = 2
+      while (!((bad(off) & 0xff) == 0xff && (bad(off + 1) & 0xff) == 0xc4)) {
+        off += 2 + (((bad(off + 2) & 0xff) << 8) | (bad(off + 3) & 0xff))
+      }
+      off
+    }
+    bad(dhtAt + 6) = 120.toByte // claim 120 codes of length 2
+    assert(Multimodal.decodeJpegGray(bad).isEmpty)
+    // truncated entropy stream -> None, never a partial/garbage answer
+    assert(Multimodal.decodeJpegGray(jpeg.dropRight(8)).isEmpty)
   }
 
   test("perplexity buckets split head/middle/tail with value-cut ties") {

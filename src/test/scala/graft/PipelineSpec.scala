@@ -180,6 +180,65 @@ class PipelineSpec extends AnyFunSuite {
     org.apache.spark.sql.graftbridge.Bridge.stopStateStoreMaintenance()
   }
 
+  test("streaming URL dedup: second shipment dropped by state; canon set equals batch urlDedup") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_stream_urldedup")(spark, dir).collect()
+    // every canonical URL survived exactly once — the second shipment was
+    // dropped by checkpointed state, and in-batch variants collapsed
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("n") == 1L),
+      s"state dedup must leave one row per canon: ${rows.take(5).mkString(",")}")
+    val batchCanons = graft.ml.TextCleaning.urlDedup(
+        graft.sources.DocsAdapter.urlDocs(spark, dir))
+      .select("canon").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getAs[String]("canon")).toSet == batchCanons,
+      "streaming canon set must equal the batch operator's")
+  }
+
+  test("watermark loss window: beyond-horizon NEW events drop in-stream, reconcileLate repairs them exactly once") {
+    val in = Files.createTempDirectory("graft-late-in").toString
+    val out = Files.createTempDirectory("graft-late-out").toString
+    val ckpt = Files.createTempDirectory("graft-late-ckpt").toString
+    // batch 1: rows 0..999 span ~20.6 min of event time; horizon 5 min
+    // leaves the watermark ~15.6 min into the range
+    SequenceGen.sequences(spark, 1000, 2).write.mode("overwrite").parquet(in)
+    graft.streaming.StreamingPipeline.ingestDedup(
+      spark, in, out, ckpt, SequenceGen.configs, horizon = "5 minutes")
+      .awaitTermination()
+    assert(spark.read.parquet(out).count() == 1000L)
+    // batch 2: replays of 600..999 (true duplicates) PLUS genuinely-new
+    // events carrying OLD timestamps — the same early rows re-keyed to a
+    // different source (a host shipping after an outage): their unique key
+    // is new, but their event time sits beyond the horizon
+    val lateNew = SequenceGen.sequences(spark, 100, 1)
+      .filter(col("source").startsWith("log-"))
+      .withColumn("source", lit("log-9.txt"))
+    val nLate = lateNew.count()
+    assert(nLate > 0)
+    SequenceGen.sequences(spark, 1000, 2)
+      .filter(col("doc_id") >= "doc-000000000600")
+      .unionByName(lateNew)
+      .write.mode("append").parquet(in)
+    graft.streaming.StreamingPipeline.ingestDedup(
+      spark, in, out, ckpt, SequenceGen.configs, horizon = "5 minutes")
+      .awaitTermination()
+    // the documented loss window: duplicates dropped (right), but the
+    // late-but-NEW events are gone too — the reference's conflict-ignore
+    // insert would have kept them
+    assert(spark.read.parquet(out).count() == 1000L,
+      "beyond-horizon events (new AND duplicate) are dropped by the stream")
+    // the batch repair lands exactly the missed sliver, exactly once
+    val repaired = graft.streaming.StreamingPipeline.reconcileLate(
+      spark, in, out, SequenceGen.configs, lateBatchId = "late-A")
+    assert(repaired == nLate, s"expected $nLate repaired, got $repaired")
+    val keys = spark.read.parquet(out).select("host", "source", "ts", "offset")
+    assert(keys.count() == 1000L + nLate)
+    assert(keys.distinct().count() == 1000L + nLate, "repair must not duplicate")
+    // idempotent: a second reconcile finds nothing left to repair
+    assert(graft.streaming.StreamingPipeline.reconcileLate(
+      spark, in, out, SequenceGen.configs, lateBatchId = "late-B") == 0L)
+    org.apache.spark.sql.graftbridge.Bridge.stopStateStoreMaintenance()
+  }
+
   test("streaming route replay is idempotent (same batch id overwrites)") {
     val out = Files.createTempDirectory("graft-replay").toString
     val enriched = LogPipeline.run(spark,

@@ -167,6 +167,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"no join anywhere in URL dedup:\n$plan")
   }
 
+  test("curation funnel is ONE lazy chain: zero jobs before the single action, stages shrink") {
+    // constructing the whole five-stage plan must launch NO Spark jobs —
+    // any intermediate action (collect/count between stages) would
+    // materialize mid-funnel and break at 100 TB
+    // source read first: parquet schema inference runs its own listing job,
+    // which is scan setup, not a funnel-stage action
+    val docs = graft.sources.DocsAdapter.funnelDocs(spark, dir)
+    val jobsStarted = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobsStarted.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val funnel = try {
+      val df = graft.ml.Funnel.curationFunnel(docs)
+      Thread.sleep(1000) // async listener bus
+      assert(jobsStarted.get() == 0,
+        s"building the funnel plan must not run jobs, saw ${jobsStarted.get()}")
+      df
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val stages = funnel.collect().map(r =>
+      r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(stages.keySet == Set("0_input", "1_url_dedup", "2_quality",
+      "3_chunk_dedup", "4_lm_cutoff"))
+    // every stage cuts: url variants collapse, quality drops lorem/brace
+    // pages, chunk dedup kills the re-hosted copies, the LM cut bites
+    assert(stages("0_input") > stages("1_url_dedup"),
+      s"URL dedup must collapse crawl variants: $stages")
+    assert(stages("1_url_dedup") > stages("2_quality"),
+      s"quality filters must drop some pages: $stages")
+    assert(stages("2_quality") > stages("3_chunk_dedup"),
+      s"chunk dedup must drop the re-hosted copies: $stages")
+    assert(stages("3_chunk_dedup") > stages("4_lm_cutoff"),
+      s"the LM cutoff must bite: $stages")
+    assert(stages("4_lm_cutoff") > 0, s"the funnel must not drop everything: $stages")
+  }
+
   test("route write projection prunes the fields map (ts comes from time-only extraction)") {
     val in = Files.createTempDirectory("plan-route-in").toString
     SequenceGen.sequences(spark, 100, 2).write.mode("overwrite").parquet(in)
