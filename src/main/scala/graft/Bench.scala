@@ -47,7 +47,7 @@ object Bench {
     // session creates its app subdir, not while shuffle files are written
     // below.
     val pidTagged = "^(?:graft-bench|probe3-[a-z0-9]+)-([0-9]+)$".r
-    val pidPrefixed = "^(?:graft-ckpt|graft-stream-q|graft-compact)-([0-9]+)-.*$".r
+    val pidPrefixed = "^(?:graft-ckpt|graft-stream-q|graft-compact|graft-bucket)-([0-9]+)-.*$".r
     // full recursive newest mtime: shuffle writes land 3+ levels deep
     // (spark-<app>/executor-<id>/blockmgr-<id>/<hex>/...), so a shallow
     // check would age-out a live sibling's root. Runs once at startup over
@@ -67,7 +67,7 @@ object Bench {
       new File(b).listFiles((_, n) =>
         n.startsWith("graft-bench-") || n.startsWith("probe3-") ||
           n.startsWith("graft-stream-") || n.startsWith("graft-ckpt-") ||
-          n.startsWith("graft-compact-") ||
+          n.startsWith("graft-compact-") || n.startsWith("graft-bucket-") ||
           n == "graft-spark-local") match {
         case null => ()
         case old => old.filter(stale).foreach(deleteRecursively)
@@ -261,7 +261,12 @@ object Bench {
     // ---- per-query timings (steady state: 1 warmup + 1 timed run) ----
     var spark = session(cpus)
     SparkEntry.queries.head._2(spark, sfDir).count() // JVM/codegen warmup
-    val results = if (doQueries) SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the query phase (dev aid
+    // for timing one operator without the 70-query sweep)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val results = if (doQueries) SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val secs = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
       name -> secs

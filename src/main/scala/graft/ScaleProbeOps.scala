@@ -129,6 +129,64 @@ object ScaleProbeOps {
         f""""out_rows":$outRows,"shuffle_records":$quotaShuffle,""" +
         f""""secs":$quotaSecs%.2f,"docs_per_sec":${nDocs / quotaSecs}%.0f}""")
 
+      // ---- NB quality classifier at forced scale ------------------------
+      // The cost model to prove: ONE (doc_id, w, cnt) exchange reused by
+      // training and scoring (ReuseExchange), a vocab-sized model join, and
+      // the per-doc agg — total shuffle stays a small multiple of the
+      // occurrence-pair count, never corpus × passes.
+      val clfDocs = docs.withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(20))))
+      val clfPos = (0 until 5).map(i => s"src$i")
+      val ((clfAgg, clfSecs), clfShuffle) =
+        withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
+          time {
+            graft.ml.TextAnalysis.qualityClassifier(clfDocs, clfPos)
+              .agg(count(lit(1)), sum(col("n_words")),
+                sum(when(col("keep"), 1L).otherwise(0L))).head()
+          }
+        }
+      require(clfAgg.getLong(0) == nDocs,
+        s"classifier must score every doc (${clfAgg.getLong(0)} != $nDocs)")
+      // ~52 normalized words/doc (50 + the URL tail). Pair-scale exchanges:
+      // the occ agg, the freq agg, the score join, the per-doc agg — 4 ×
+      // DISTINCT pairs max (occurrences bound pairs from above), + the
+      // vocab-sized model side. Anything near occurrences × passes would
+      // mean the labels join crept back in.
+      val occPairs = clfAgg.getLong(1)
+      require(clfShuffle <= 4 * occPairs + nDocs + 2000000,
+        s"classifier shuffled $clfShuffle records (bound ${4 * occPairs + nDocs + 2000000})")
+      println(f"""{"probe":"classifier","docs":$nDocs,"word_occurrences":$occPairs,""" +
+        f""""kept":${clfAgg.getLong(2)},"shuffle_records":$clfShuffle,""" +
+        f""""secs":$clfSecs%.2f,"docs_per_sec":${nDocs / clfSecs}%.0f}""")
+
+      // ---- training-shard export at forced scale -------------------------
+      // The two-phase prefix sum must ship the corpus rows through ONE
+      // block-keyed shuffle (plus the tiny per-block totals); the closed
+      // form checks the permutation is gapless: the maximum doc END offset
+      // equals the corpus token total, and the shard count is the budget
+      // division of that total.
+      val shardBudget = 1000000L
+      val ((seAgg, seSecs), seShuffle) =
+        withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
+          time {
+            graft.ml.Packing.shardExport(docs, shardBudget)
+              .agg(count(lit(1)), sum(col("n_tok")),
+                max(col("off") + col("n_tok")), max(col("shard_id"))).head()
+          }
+        }
+      val (seRows, seToks, seMaxEnd, seMaxShard) =
+        (seAgg.getLong(0), seAgg.getLong(1), seAgg.getLong(2), seAgg.getLong(3))
+      require(seRows == nDocs && seMaxEnd == seToks,
+        s"shard export must be a gapless permutation prefix sum ($seRows docs, max end $seMaxEnd vs $seToks tokens)")
+      require(seMaxShard == (seToks - 1) / shardBudget,
+        s"shard ids must be the budget division (${seMaxShard} != ${(seToks - 1) / shardBudget})")
+      require(seShuffle <= 3 * nDocs + 2000000,
+        s"shard export shuffled $seShuffle records — the corpus must cross one block shuffle, not a global sort")
+      println(f"""{"probe":"shardexport","docs":$nDocs,"tokens":$seToks,""" +
+        f""""budget":$shardBudget,"shards":${seMaxShard + 1},""" +
+        f""""shuffle_records":$seShuffle,"secs":$seSecs%.2f,""" +
+        f""""docs_per_sec":${nDocs / seSecs}%.0f}""")
+
       // ---- semantic dedup (SemDeDup) at forced scale -------------------
       val nVecs = sys.env.getOrElse("PROBE_VECS", "1000000").toLong
       val nCells = sys.env.getOrElse("PROBE_CELLS", "1024").toInt

@@ -31,6 +31,8 @@ object SparkEntry {
   private val ingestCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // staged multi-batch routed output (compaction input), once per scale dir
   private val routedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val bucketedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // IVF quantizer (build-once artifact), once per scale dir — serving a
   // query never rebuilds the centroids (VERDICT r2 #2). The in-memory map
   // is only the per-process fast path: the quantizer round-trips a
@@ -468,6 +470,27 @@ object SparkEntry {
       } finally graft.util.Dirs.deleteRecursively(new java.io.File(out))
     }),
 
+    // bucketed storage layout: the events table written ONCE bucketed +
+    // sorted by user_id, then per-user stats aggregate with ZERO exchanges
+    // (the scan's bucketing IS the distribution — PlanSpec pins it). The
+    // repeated-analytics disk-layout lever at 100 TB.
+    "q_bucketed_stats" -> ((s, dir) => {
+      val tbl = bucketedCache.computeIfAbsent(dir, _ => {
+        val base = {
+          val shm = new java.io.File("/dev/shm")
+          if (shm.isDirectory && shm.canWrite) shm.toPath
+          else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+        }
+        val d = java.nio.file.Files.createTempDirectory(base,
+          s"graft-bucket-${ProcessHandle.current().pid()}-").toString
+        val name = s"events_bucketed_${Integer.toHexString(dir.hashCode)}"
+        graft.plans.BucketedStore.writeBucketed(
+          s.read.parquet(s"$dir/events.parquet"), name, s"$d/tbl", buckets = 8)
+        name
+      })
+      graft.plans.BucketedStore.userStats(s, tbl)
+    }),
+
     // mixed-shape corpus (kv + access-combined + json): routing/enrich per
     // file type through the full pipeline — covers the access extractor and
     // the JSON parser path end-to-end (glob dispatch, per-config host)
@@ -592,11 +615,13 @@ object SparkEntry {
     "q_c4_filters" -> ((s, dir) =>
       graft.ml.TextCleaning.c4Filters(DocsAdapter.c4Docs(s, dir))),
     // the COMPOSED curation funnel: urlDedup -> htmlExtract -> c4+gopher
-    // quality -> chunk dedup -> LM cutoff, as ONE lazy plan emitting
-    // per-stage survivor counts + survivor-set signatures; oracle = the
-    // same chain composed from the nested rel-parameterized twins
+    // quality -> chunk dedup -> LM cutoff, emitting per-stage survivor
+    // counts + survivor-set signatures; served in the ONE-PASS observed
+    // form (stage counters ride a single linear plan as CollectMetrics —
+    // the union form re-derives each stage's prefix per aggregate);
+    // oracle = the same chain composed from the nested twins
     "q_funnel" -> ((s, dir) =>
-      graft.ml.Funnel.curationFunnel(DocsAdapter.funnelDocs(s, dir))),
+      graft.ml.Funnel.curationFunnelOnePass(DocsAdapter.funnelDocs(s, dir))),
     // per-domain quota (Gopher/FineWeb source caps): WindowGroupLimit
     // keep-first-cap by deterministic hash within the URL domain
     "q_domain_quota" -> ((s, dir) =>
@@ -604,6 +629,16 @@ object SparkEntry {
     // corpus-wide top-k trigram stats (boilerplate/decontamination analytics)
     "q_ngram_topk" -> ((s, dir) =>
       graft.ml.TextAnalysis.ngramTopK(DocsAdapter.docs(s, dir), n = 3, k = 50)),
+    // fastText-style Naive Bayes quality classifier (GPT-3/LLaMA curation
+    // step): trained on curated `source` labels, scored via fixed-point
+    // log-ratios so per-doc sums are exact integers at any parallelism
+    "q_quality_classifier" -> ((s, dir) =>
+      graft.ml.TextAnalysis.qualityClassifier(DocsAdapter.docs(s, dir), ClfPosSources)),
+    // training-shard export: deterministic md5-order global shuffle +
+    // token-budget shard assignment via the two-phase prefix sum (never a
+    // global-window sort)
+    "q_shard_export" -> ((s, dir) =>
+      graft.ml.Packing.shardExport(DocsAdapter.docs(s, dir), tokensPerShard = 4096)),
     // learned BPE tokenizer round-trip: histogram-trained merges (train-once
     // artifact), map-only encode, and the north rule's row-level
     // token-equality invariant — rejoining the tokens must reproduce the
@@ -862,6 +897,14 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         bit_xor(graft.ml.TextDedup.hash64Col(col("doc_id"))).as("sig"))
 
+  /** The "curated positive set" for the NB quality classifier — a fixed
+    * quarter of the corpus's sources stands in for the reference corpora
+    * (Wikipedia/books) a production classifier trains against. Shared by
+    * the Spark query and its oracle so the label set can't diverge.
+    */
+  private[graft] val ClfPosSources: Seq[String] =
+    Seq("src0", "src1", "src2", "src3", "src4")
+
   private val RAW = EventsAdapter.RAW_SQL
   private val SRC = EventsAdapter.SOURCE_SQL
   private val DOC = "CAST(event_id AS VARCHAR)"
@@ -941,6 +984,8 @@ object SparkEntry {
     "q_compaction" ->
       s"""SELECT regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n,
          | bit_xor(${graft.ml.TextDedup.hash64Sql(DOC)}) AS sig FROM events GROUP BY 1""".stripMargin.replace("\n", " "),
+    "q_bucketed_stats" ->
+      graft.plans.BucketedStore.userStatsSql("events"),
     "q_pipeline_histogram" ->
       s"SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n FROM events GROUP BY 1, 2",
     "q_pipeline_fields" ->
@@ -1029,6 +1074,10 @@ object SparkEntry {
       graft.ml.TextCleaning.domainQuotaSql(DocsAdapter.piiDocsSql(), cap = 10),
     "q_ngram_topk" ->
       graft.ml.TextAnalysis.ngramTopKSql("documents", n = 3, k = 50),
+    "q_quality_classifier" ->
+      graft.ml.TextAnalysis.qualityClassifierSql("documents", ClfPosSources),
+    "q_shard_export" ->
+      graft.ml.Packing.shardExportSql("documents", tokensPerShard = 4096),
     "q_bpe_roundtrip" ->
       s"SELECT doc_id, ${graft.ml.TextDedup.normalizeSql("text")} AS decoded FROM documents",
     "q_stream_histogram" ->

@@ -1,7 +1,8 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Observation, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** The composed curation funnel — the end-to-end shape in which the
   * training-data operators actually run at 100 TB: a crawl corpus of
@@ -71,6 +72,108 @@ object Funnel {
       .unionByName(stage("2_quality", quality.select("doc_id")))
       .unionByName(stage("3_chunk_dedup", chunked.select("doc_id")))
       .unionByName(stage("4_lm_cutoff", lmKeep))
+  }
+
+  /** ONE-PASS form of [[curationFunnel]] — the serving shape. The union
+    * form above re-derives each stage's prefix per survivor aggregate
+    * (exchange reuse covers only the shuffled subtrees), so the corpus
+    * pays the regex-heavy extract ~stage-count times. Here the chain is
+    * restructured strictly LINEARLY and the per-stage counters ride the
+    * single pass as [[Observation]]s (`Dataset.observe` /
+    * CollectMetrics — Spark's accumulator-backed per-operator metrics):
+    *
+    *   - URL dedup marks in place ([[TextCleaning.urlDedupMarked]] — the
+    *     html payload rides the one canonical-key window, no join-back);
+    *     stage 0 AND stage 1 are conditional aggregates in one
+    *     observation (count/xor over all rows vs non-dup rows);
+    *   - C4 and Gopher verdicts become pass-through COLUMNS on the same
+    *     frame (both are map-only), so "quality" is a filter, not two
+    *     doc_id joins against re-derived subtrees;
+    *   - chunk dedup carries n_chunks through the posexplode instead of
+    *     joining the pre-split frame back (identical survivor set: a doc
+    *     that loses every chunk has n_kept = 0 < n_chunks/2 and fails
+    *     the survivor predicate either way — only the n_kept=0 rows the
+    *     batch operator reports, which the funnel drops, are elided);
+    *   - the LM cutoff is one more observed conditional aggregate over
+    *     [[TextAnalysis.lmScore]]'s output (whose (doc,w,cnt) exchange
+    *     ReuseExchange already evaluates once).
+    *
+    * The observations themselves verify single-execution: if any observed
+    * segment were re-executed by a surviving diamond, its count would
+    * double and its xor signature would cancel to 0 — the parity test
+    * against the union form (and the q_funnel oracle) would fail.
+    *
+    * Runs the action eagerly (observations need one) and returns the same
+    * five-row (stage, n_docs, sig) table as [[curationFunnel]].
+    */
+  def curationFunnelOnePass(docs: DataFrame,
+      lmCutoff: Double = DefaultLmCutoff): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    def sig(flag: Column): Column =
+      bit_xor(when(flag, TextDedup.hash64Col(col("doc_id").cast("string"))))
+    def n(flag: Column): Column = count(when(flag, 1))
+
+    val obsUrl = Observation()
+    val marked = TextCleaning.urlDedupMarked(
+        docs.select(col("doc_id"), col("url"), col("html")))
+      .observe(obsUrl,
+        n(lit(true)).as("n0"), sig(lit(true)).as("sig0"),
+        n(!col("is_dup")).as("n1"), sig(!col("is_dup")).as("sig1"))
+
+    val extracted = TextCleaning.htmlExtract(
+      marked.filter(!col("is_dup")).select("doc_id", "html"))
+    val flagged = TextCleaning.gopherRules(
+        TextCleaning.c4Filters(extracted, passThrough = Seq("text"))
+          .withColumnRenamed("keep", "keep_c4"),
+        passThrough = Seq("keep_c4", "text"))
+      .withColumn("keep_q", col("keep_c4") && col("keep"))
+    val obsQ = Observation()
+    val quality = flagged
+      .observe(obsQ, n(col("keep_q")).as("n2"), sig(col("keep_q")).as("sig2"))
+      .filter(col("keep_q")).select("doc_id", "text")
+
+    // chunk dedup, n_chunks riding the explode (see scaladoc above)
+    val chunkWords = 20
+    val ws = split(TextDedup.normalizeCol(col("text")), " ")
+    val nCh = ceil(size(col("ws")).cast("double") / chunkWords).cast("long")
+    val chunkArr = transform(sequence(lit(0L), nCh - 1),
+      i => concat_ws(" ", slice(col("ws"), (i * chunkWords + 1).cast("int"), lit(chunkWords))))
+    val chunks = quality.withColumn("ws", ws)
+      .select(col("doc_id"), nCh.as("n_chunks"), posexplode(chunkArr).as(Seq("idx", "chunk")))
+    val w = Window.partitionBy(md5(col("chunk"))).orderBy(col("doc_id"), col("idx"))
+    val rebuilt = chunks.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("doc_id").agg(
+        first(col("n_chunks")).as("n_chunks"), count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          x => x.getField("chunk"))).as("text"))
+    val obsChunk = Observation()
+    val surviveChunk = col("n_kept") * 2 >= col("n_chunks")
+    val chunked = rebuilt
+      .observe(obsChunk, n(surviveChunk).as("n3"), sig(surviveChunk).as("sig3"))
+      .filter(surviveChunk).select("doc_id", "text")
+
+    val obsLm = Observation()
+    val scored = TextAnalysis.lmScore(chunked)
+      .observe(obsLm,
+        n(col("lm_score") >= lmCutoff).as("n4"),
+        sig(col("lm_score") >= lmCutoff).as("sig4"))
+
+    scored.agg(count(lit(1))).head(): Unit // the ONE action
+
+    def stageRow(name: String, m: Map[String, Any], i: Int): Row =
+      Row(name, m(s"n$i").asInstanceOf[Long],
+        m.get(s"sig$i").collect { case l: Long => java.lang.Long.valueOf(l) }.orNull)
+    val rows = Seq(
+      stageRow("0_input", obsUrl.get, 0), stageRow("1_url_dedup", obsUrl.get, 1),
+      stageRow("2_quality", obsQ.get, 2), stageRow("3_chunk_dedup", obsChunk.get, 3),
+      stageRow("4_lm_cutoff", obsLm.get, 4))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava,
+      StructType(Seq(StructField("stage", StringType, nullable = false),
+        StructField("n_docs", LongType, nullable = false),
+        StructField("sig", LongType, nullable = true))))
   }
 
   /** DuckDB twin of [[curationFunnel]]: the SAME chain, composed from the

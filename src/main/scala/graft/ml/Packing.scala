@@ -82,6 +82,61 @@ object Packing {
         col("n_tok"), col("n_docs"))
   }
 
+  // ------------------------------------------------------- shard export
+
+  /** Training-shard export: the deterministic global shuffle + fixed
+    * token-budget shard assignment that ends every curation pipeline
+    * (docs leave in a pseudorandom order, not crawl order, grouped into
+    * shard files of ~`tokensPerShard`). Order is the cross-engine 60-bit
+    * md5 hash of doc_id — a seedless deterministic permutation — and a
+    * document lands in the shard containing its start offset (docs stay
+    * whole; shards overflow by at most one document, the standard writer
+    * contract).
+    *
+    * Scale shape: the prefix sum over the hash order is TWO-PHASE like
+    * [[pack]], never a global-window sort — blocks are the hash's top
+    * `blockBits` bits, so ascending block IS ascending hash range:
+    * per-block totals prefix-sum over the tiny block frame (2^blockBits
+    * rows max), intra-block running sums parallel across blocks. One
+    * shuffle (on block), everything else map-side.
+    */
+  def shardExport(docs: DataFrame, tokensPerShard: Long,
+      blockBits: Int = 20): DataFrame = {
+    val withH = docs.select(col("doc_id"),
+        size(split(TextDedup.normalizeCol(col("text")), " ")).cast("long").as("n_tok"),
+        TextDedup.hash64Col(col("doc_id").cast("string")).as("h"))
+      .withColumn("_block", shiftright(col("h"), 60 - blockBits))
+    val wBase = Window.orderBy("_block").rowsBetween(Window.unboundedPreceding, -1)
+    val bases = withH.groupBy("_block").agg(sum("n_tok").as("_t"))
+      .withColumn("_base", coalesce(sum("_t").over(wBase), lit(0L)))
+      .drop("_t")
+    val w = Window.partitionBy("_block").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withH.join(broadcast(bases), "_block")
+      .withColumn("off", col("_base") + coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tok"), col("off"),
+        (col("off") / tokensPerShard).cast("long").as("shard_id"),
+        (col("off") % tokensPerShard).as("shard_off"))
+  }
+
+  /** DuckDB twin of [[shardExport]]: one window prefix sum over the same
+    * (hash, doc_id) order — the oracle states the SEMANTICS (a global
+    * ordered prefix sum); the Spark side implements it without the global
+    * sort.
+    */
+  def shardExportSql(docsRel: String, tokensPerShard: Long): String = {
+    val norm = TextDedup.normalizeSql("text")
+    val h = TextDedup.hash64Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH se AS (SELECT doc_id, CAST(len(string_split($norm, ' ')) AS BIGINT) AS n_tok, $h AS h FROM $docsRel),
+       |se_off AS (SELECT doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM se)
+       |SELECT doc_id, n_tok, off,
+       |  CAST(off // $tokensPerShard AS BIGINT) AS shard_id,
+       |  CAST(off % $tokensPerShard AS BIGINT) AS shard_off
+       |FROM se_off""".stripMargin.replace("\n", " ")
+  }
+
   def packWordsSql(docsRel: String, cap: Int): String = {
     val words = s"string_split(${TextDedup.normalizeSql("text")}, ' ')"
     s"""WITH ws AS (SELECT doc_id, $words AS words FROM $docsRel),

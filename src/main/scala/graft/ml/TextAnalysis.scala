@@ -258,6 +258,121 @@ object TextAnalysis {
        |FROM (SELECT doc_id, ${countCols.mkString(", ")} FROM $docsRel)""".stripMargin.replace("\n", " ")
   }
 
+  // -------------------------------------- quality classifier (Naive Bayes)
+
+  /** Fixed-point scale for classifier log-ratios: per-word ratios become
+    * `round(lr * 1e6)` BIGINTs, so the per-doc score is an exact integer
+    * sum (order-independent at any parallelism) and only the final
+    * division returns to double. lmScore's rounded-double mean is safe for
+    * a per-doc average; a classifier sums hundreds of signed addends that
+    * land arbitrarily close to the keep boundary, where double summation
+    * order could flip the verdict between engines.
+    */
+  val CLF_SCALE = 1000000L
+
+  /** fastText-style binary quality classifier — the curation step where a
+    * model trained on a curated positive set scores every crawl page
+    * (GPT-3, Brown et al. 2020 Appendix A; LLaMA, Touvron et al. 2023
+    * §2 "classified as references by a linear classifier"): multinomial
+    * Naive Bayes over normalized word occurrences, trained from `source`
+    * labels (`posSources` = the curated set), scored as
+    * prior log-ratio + Σ_w cnt(w) · (log10 p(w|pos) − log10 p(w|neg))
+    * with add-one smoothing over the joint vocabulary.
+    *
+    * Scale shape: the label is a pure function of the row, so it rides the
+    * explode into ONE (doc_id, pos, w, cnt) exchange that both training
+    * and self-scoring consume (ReuseExchange, like [[lmScore]] — never a
+    * per-doc label join back onto the pairs); the model is a vocab-sized
+    * table joined on `w` (AQE broadcasts it when small); the corpus totals
+    * and the prior ride 1-row broadcasts. Words unseen at training time
+    * (scoring a different corpus than the training one) fall back to the
+    * smoothed-unseen constant via the same totals row. Nothing
+    * driver-side.
+    */
+  def qualityClassifier(docs: DataFrame, posSources: Seq[String],
+      train: Option[DataFrame] = None): DataFrame = {
+    // the label is a pure function of the row (`source`), so it rides the
+    // explode instead of joining a per-doc label table back onto the
+    // occurrence pairs — one fewer occurrence-scale shuffle
+    def occLabeled(d: DataFrame) = d.select(col("doc_id"),
+        col("source").isInCollection(posSources).as("pos"),
+        explode(split(TextDedup.normalizeCol(col("text")), " ")).as("w"))
+      .groupBy("doc_id", "pos", "w").agg(count(lit(1)).as("cnt"))
+    val trainDocs = train.getOrElse(docs)
+    val occTrain = occLabeled(trainDocs)
+    val freq = occTrain
+      .groupBy("w").agg(
+        sum(when(col("pos"), col("cnt")).otherwise(0L)).as("cpos"),
+        sum(when(!col("pos"), col("cnt")).otherwise(0L)).as("cneg"))
+    val totals = freq.agg(
+        sum(col("cpos")).as("tpos"), sum(col("cneg")).as("tneg"),
+        count(lit(1)).as("v"))
+      .crossJoin(trainDocs
+        .select(col("source").isInCollection(posSources).as("pos"))
+        .agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).as("npos"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("nneg")))
+      .withColumn("prior",
+        round(lit(CLF_SCALE) * log10(col("npos").cast("double") / col("nneg"))).cast("long"))
+    val lr = freq.crossJoin(broadcast(totals))
+      .withColumn("lr", round(lit(CLF_SCALE) * (
+        log10((col("cpos") + 1).cast("double") / (col("tpos") + col("v"))) -
+        log10((col("cneg") + 1).cast("double") / (col("tneg") + col("v"))))).cast("long"))
+      .select("w", "lr")
+    // unseen-word fallback: cpos = cneg = 0 under the same smoothing
+    val unseen = round(lit(CLF_SCALE) *
+      log10((col("tneg") + col("v")).cast("double") / (col("tpos") + col("v")))).cast("long")
+    // self-train (the oracle shape) re-reads the SAME labeled-occurrence
+    // exchange for scoring (ReuseExchange); a distinct scoring corpus gets
+    // its own pairs pass
+    val scoreOcc = if (train.isEmpty) occTrain.drop("pos")
+      else docs.select(col("doc_id"),
+          explode(split(TextDedup.normalizeCol(col("text")), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    scoreOcc.join(lr, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lr_eff", coalesce(col("lr"), unseen))
+      .groupBy("doc_id", "prior")
+      .agg(sum(col("cnt")).as("n_words"),
+        (col("prior") + sum(col("cnt") * col("lr_eff"))).as("score_scaled"))
+      .select(col("doc_id"), col("n_words"),
+        // + 0.0 folds a possible -0.0 (score in (-0.00005, 0)) to +0.0 so
+        // both engines stringify the rounded zero identically
+        (round(col("score_scaled").cast("double") / CLF_SCALE, 4) + 0.0).as("clf_score"),
+        (col("score_scaled") > 0).as("keep"))
+  }
+
+  /** DuckDB twin of [[qualityClassifier]] (train == score corpus): the
+    * same CTE chain, the same fixed-point BIGINT ratios — parity is exact
+    * integer arithmetic, not fp-rounding luck. (The per-word `round(1e6·lr)`
+    * could differ only if both engines' log10 disagree within ~an ulp of a
+    * half-integer — ~1e-10 per word.)
+    */
+  def qualityClassifierSql(docsRel: String, posSources: Seq[String]): String = {
+    val norm = TextDedup.normalizeSql("text")
+    val posList = posSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH qc_occ AS (SELECT doc_id, w, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(string_split($norm, ' ')) AS w FROM $docsRel) GROUP BY doc_id, w),
+       |qc_lab AS (SELECT doc_id, source IN ($posList) AS pos FROM $docsRel),
+       |qc_freq AS (SELECT w,
+       |    CAST(sum(CASE WHEN pos THEN cnt ELSE 0 END) AS BIGINT) AS cpos,
+       |    CAST(sum(CASE WHEN NOT pos THEN cnt ELSE 0 END) AS BIGINT) AS cneg
+       |  FROM qc_occ JOIN qc_lab USING (doc_id) GROUP BY w),
+       |qc_tot AS (SELECT CAST(sum(cpos) AS BIGINT) AS tpos, CAST(sum(cneg) AS BIGINT) AS tneg, count(*) AS v FROM qc_freq),
+       |qc_prior AS (SELECT CAST(round($CLF_SCALE * log10(
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) / sum(CASE WHEN NOT pos THEN 1 ELSE 0 END))) AS BIGINT) AS prior
+       |  FROM qc_lab),
+       |qc_lr AS (SELECT w, CAST(round($CLF_SCALE * (
+       |    log10(CAST(cpos + 1 AS DOUBLE) / (tpos + v)) -
+       |    log10(CAST(cneg + 1 AS DOUBLE) / (tneg + v)))) AS BIGINT) AS lr
+       |  FROM qc_freq, qc_tot)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  round(CAST(prior + sum(cnt * lr) AS DOUBLE) / $CLF_SCALE, 4) + 0.0 AS clf_score,
+       |  (prior + sum(cnt * lr)) > 0 AS keep
+       |FROM qc_occ JOIN qc_lr USING (w), qc_prior
+       |GROUP BY doc_id, prior""".stripMargin.replace("\n", " ")
+  }
+
   // --------------------------------------------------------- fingerprints
 
   /** Document fingerprints: md5 of normalized text + the shared 64-bit

@@ -108,14 +108,14 @@ object TextCleaning {
     * pipeline filters on `keep` and feeds `cleaned` downstream. All
     * whole-stage-codegen'd column work; the 10^12-row shape is a scan.
     */
-  def c4Filters(docs: DataFrame): DataFrame = {
+  def c4Filters(docs: DataFrame, passThrough: Seq[String] = Nil): DataFrame = {
     val lines = split(col("text"), "\n")
     val kept = filter(lines, l =>
       l.rlike(C4_TERMINAL_RX) && size(split(trim(l), " ")) >= C4_MIN_LINE_WORDS)
     val nSent = size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))
     val hasLorem = lower(col("text")).contains("lorem ipsum")
     val hasBrace = col("text").contains("{")
-    docs.select(col("doc_id"),
+    docs.select(Seq(col("doc_id"),
       size(lines).as("n_lines"),
       size(kept).as("n_kept_lines"),
       nSent.as("n_sentences"),
@@ -123,7 +123,7 @@ object TextCleaning {
       hasBrace.as("has_brace"),
       (nSent >= C4_MIN_SENTENCES && !hasLorem && !hasBrace && size(kept) > 0)
         .as("keep"),
-      concat_ws("\n", kept).as("cleaned"))
+      concat_ws("\n", kept).as("cleaned")) ++ passThrough.map(col): _*)
   }
 
   def c4FiltersSql(docsRel: String): String =
@@ -163,7 +163,7 @@ object TextCleaning {
     * identically) plus the composite `keep`. Pure column work over one
     * whitespace split; the 10^12-row shape is a scan.
     */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  def gopherRules(docs: DataFrame, passThrough: Seq[String] = Nil): DataFrame = {
     val ws = filter(split(lower(col("text")), "\\s+"), w => w =!= "")
     val lines = split(col("text"), "\n")
     val nWords = size(col("ws"))
@@ -182,13 +182,14 @@ object TextCleaning {
       size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("double") / nWords, 4)
     val nStop = size(array_intersect(col("ws"),
       array(GOPHER_STOPWORDS.map(lit): _*)))
-    docs.select(col("doc_id"), col("text"))
+    docs.select(Seq(col("doc_id"), col("text")) ++
+        passThrough.filterNot(Set("doc_id", "text")).map(col): _*)
       .withColumn("ws", ws).withColumn("lines", lines)
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id"),
         nWords.as("n_words"), meanLen.as("mean_word_len"),
         symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
         ellipsisRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_ratio"),
-        nStop.as("n_stop"))
+        nStop.as("n_stop")) ++ passThrough.map(col): _*)
       .withColumn("keep",
         col("n_words") >= GOPHER_MIN_WORDS && col("n_words") <= GOPHER_MAX_WORDS &&
         col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN &&
@@ -355,10 +356,19 @@ object TextCleaning {
     * (doc_id, canon, is_dup). One shuffle on the canonical key — the same
     * flag shape as content-level `TextDedup.exact`, applied upstream of it.
     */
-  def urlDedup(docs: DataFrame): DataFrame = {
+  def urlDedup(docs: DataFrame): DataFrame =
+    urlDedupMarked(docs).select("doc_id", "canon", "is_dup")
+
+  /** [[urlDedup]] preserving the input's other columns — the composed-
+    * funnel form, where the page payload (html) must ride through the
+    * dedup window instead of joining back (a join-back re-reads the
+    * corpus; the ride-through is one window over the same single
+    * canonical-key shuffle).
+    */
+  def urlDedupMarked(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("canon")).orderBy(col("doc_id"))
-    docs.select(col("doc_id"), urlCanonicalCol(col("url")).as("canon"))
+    docs.withColumn("canon", urlCanonicalCol(col("url")))
       .withColumn("is_dup", row_number().over(w) > 1)
   }
 

@@ -1031,4 +1031,80 @@ class MlSpec extends AnyFunSuite {
     badStsc(stscAt + 12) = 9 // samples_per_chunk != 1
     assert(Multimodal.parseMp4Samples(badStsc).isEmpty)
   }
+
+  test("NB quality classifier: exact fixed-point scores, prior, and unseen-word fallback") {
+    import spark.implicits._
+    val corpus: Seq[(Long, String, String)] = Seq(
+      (1L, "alpha beta alpha common", "good"),
+      (2L, "alpha gamma common common", "good"),
+      (3L, "zeta yota common", "bad"),
+      (4L, "yota yota zeta common junk", "bad"),
+      (5L, "alpha common", "bad")) // bad-source doc carrying good-set words
+    val docs = corpus.toDF("doc_id", "text", "source")
+    val got = TextAnalysis.qualityClassifier(docs, Seq("good")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+
+    // independent scalar recompute of the same definitions
+    val wordsOf = corpus.map { case (id, t, _) => id -> t.split(" ").toSeq }.toMap
+    val pos = corpus.filter(_._3 == "good").map(_._1).toSet
+    val all = wordsOf.values.flatten.toSeq
+    val vocab = all.distinct
+    def cls(p: Boolean) = wordsOf.filter(kv => pos(kv._1) == p).values.flatten.toSeq
+    val (cp, cn) = (cls(true).groupBy(identity).view.mapValues(_.size).toMap,
+      cls(false).groupBy(identity).view.mapValues(_.size).toMap)
+    val (tp, tn, v) = (cls(true).size, cls(false).size, vocab.size)
+    val prior = math.round(1e6 * math.log10(pos.size.toDouble / (corpus.size - pos.size)))
+    def lr(w: String) = math.round(1e6 * (
+      math.log10((cp.getOrElse(w, 0) + 1.0) / (tp + v)) -
+      math.log10((cn.getOrElse(w, 0) + 1.0) / (tn + v))))
+    def expScore(ws: Seq[String]) = {
+      val s = prior + ws.map(lr).sum
+      (BigDecimal(s / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s > 0)
+    }
+    for ((id, ws) <- wordsOf) {
+      val (score, keep) = expScore(ws)
+      assert(got(id) == ((ws.size.toLong, score, keep)), s"doc $id")
+    }
+    // signal direction: curated-vocab docs score above junk-vocab docs
+    assert(got(1L)._2 > got(4L)._2 && got(2L)._2 > got(3L)._2)
+
+    // train/score split: a word unseen at training time takes the smoothed
+    // constant round(1e6*log10((tneg+v)/(tpos+v))), not a null/NaN
+    val fresh = Seq((10L, "alpha nuword common", "x")).toDF("doc_id", "text", "source")
+    val scored = TextAnalysis.qualityClassifier(fresh, Seq("good"), train = Some(docs))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val unseen = math.round(1e6 * math.log10((tn + v).toDouble / (tp + v)))
+    val expFresh = prior + lr("alpha") + unseen + lr("common")
+    assert(scored(10L) ==
+      BigDecimal(expFresh / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("shard export: gapless hash-order prefix sum, budget math, block/partition invariance") {
+    val docs = DocsAdapter.docs(spark, dir)
+    val rows = graft.ml.Packing.shardExport(docs, tokensPerShard = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == docs.count())
+    // offsets form a gapless permutation prefix sum: sorted by off, each
+    // doc starts exactly where the previous ended, from zero
+    val byOff = rows.sortBy(_._3)
+    assert(byOff.head._3 == 0L)
+    byOff.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + a._2, s"gap between ${a._1} and ${b._1}")
+    }
+    // shard assignment is the budget arithmetic, docs stay whole
+    rows.foreach { case (id, _, off, shard, shardOff) =>
+      assert(shard == off / 1000 && shardOff == off % 1000, s"doc $id")
+    }
+    // every shard but the last starts at its exact budget boundary owner
+    val lastShard = rows.map(_._4).max
+    (0L until lastShard).foreach { sh =>
+      assert(rows.exists(r => r._4 == sh), s"empty shard $sh")
+    }
+    // the two-phase block decomposition and input partitioning are
+    // implementation detail: coarse blocks and a reshuffled input give
+    // byte-identical assignments
+    val alt = graft.ml.Packing.shardExport(docs.repartition(7), 1000, blockBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(alt.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+  }
 }

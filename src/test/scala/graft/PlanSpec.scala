@@ -204,6 +204,20 @@ class PlanSpec extends AnyFunSuite {
     assert(stages("4_lm_cutoff") > 0, s"the funnel must not drop everything: $stages")
   }
 
+  test("one-pass funnel equals the union form (observed counters, no double execution)") {
+    // the observed one-pass funnel must reproduce the declarative union
+    // form's stage table EXACTLY — and the signatures self-detect diamond
+    // re-execution (a re-run observed segment doubles its count and xors
+    // its sig to 0), so equality here IS the single-execution proof
+    val docs = graft.sources.DocsAdapter.funnelDocs(spark, dir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("stage"), r.getAs[Long]("n_docs"),
+        Option(r.get(r.fieldIndex("sig"))))
+    val union = graft.ml.Funnel.curationFunnel(docs).collect().map(key).toSet
+    val onePass = graft.ml.Funnel.curationFunnelOnePass(docs).collect().map(key).toSet
+    assert(onePass == union)
+  }
+
   test("route write projection prunes the fields map (ts comes from time-only extraction)") {
     val in = Files.createTempDirectory("plan-route-in").toString
     SequenceGen.sequences(spark, 100, 2).write.mode("overwrite").parquet(in)
@@ -222,5 +236,40 @@ class PlanSpec extends AnyFunSuite {
     val bigSide = plan.split("BroadcastExchange").head
     assert(!bigSide.contains("regexp_replace"),
       s"per-row regexp_replace on the big side (sink must come from the dim):\n$plan")
+  }
+
+  test("bucketed store: groupBy and self-join on the bucket key plan with ZERO exchanges") {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val d = Files.createTempDirectory("graft-bucket-plan").toString
+    graft.plans.BucketedStore.writeBucketed(events, "events_bucketed_plan",
+      s"$d/tbl", buckets = 4)
+    // the repeated-analytics query: agg on the bucket key — the bucketed
+    // scan's HashPartitioning(user_id) satisfies the agg's distribution,
+    // so the whole job is scan -> agg with no shuffle at any data size
+    val stats = graft.plans.BucketedStore.userStats(spark, "events_bucketed_plan")
+    val rows = stats.collect()
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed per-user stats must not shuffle:\n$plan")
+    // values equal the direct aggregation of the raw frame (ts is
+    // TIMESTAMP_NTZ -> rows carry LocalDateTime, so compare generically)
+    val direct = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3))).toSet
+      == direct)
+    // co-located self-join: both sides carry the same bucketing, so the
+    // join needs no hash exchange either (sorts are per-partition work)
+    val t = spark.table("events_bucketed_plan")
+    val j = t.select(col("user_id"), col("ts"))
+      .join(t.groupBy("user_id").agg(max(col("ts")).as("latest")), "user_id")
+      .filter(col("ts") === col("latest"))
+    assert(j.count() >= direct.size, "at least one latest event per user")
+    val jPlan = j.queryExecution.executedPlan.toString
+    assert(!jPlan.contains("Exchange hashpartitioning"),
+      s"co-located self-join must not hash-shuffle either side:\n$jPlan")
+    spark.sql("DROP TABLE IF EXISTS events_bucketed_plan")
+    graft.util.Dirs.deleteRecursively(new java.io.File(d))
   }
 }
