@@ -626,6 +626,10 @@ object SparkEntry {
     // keep-first-cap by deterministic hash within the URL domain
     "q_domain_quota" -> ((s, dir) =>
       graft.ml.TextCleaning.domainQuota(DocsAdapter.piiDocs(s, dir), cap = 10)),
+    // boilerplate line removal by document frequency (CCNet shared-
+    // paragraph scrub): template lines above maxDf dropped from EVERY doc
+    "q_boilerplate" -> ((s, dir) =>
+      graft.ml.TextCleaning.boilerplateScrub(DocsAdapter.boilerDocs(s, dir), maxDf = 2)),
     // corpus-wide top-k trigram stats (boilerplate/decontamination analytics)
     "q_ngram_topk" -> ((s, dir) =>
       graft.ml.TextAnalysis.ngramTopK(DocsAdapter.docs(s, dir), n = 3, k = 50)),
@@ -1072,6 +1076,8 @@ object SparkEntry {
       graft.ml.Funnel.curationFunnelSql(DocsAdapter.funnelDocsSql()),
     "q_domain_quota" ->
       graft.ml.TextCleaning.domainQuotaSql(DocsAdapter.piiDocsSql(), cap = 10),
+    "q_boilerplate" ->
+      graft.ml.TextCleaning.boilerplateScrubSql(DocsAdapter.boilerDocsSql(), maxDf = 2),
     "q_ngram_topk" ->
       graft.ml.TextAnalysis.ngramTopKSql("documents", n = 3, k = 50),
     "q_quality_classifier" ->

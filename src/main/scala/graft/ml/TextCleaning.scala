@@ -227,6 +227,68 @@ object TextCleaning {
        |   FROM $docsRel))""".stripMargin.replace("\n", " ")
   }
 
+  // ------------------------------------------------- boilerplate lines
+
+  /** CCNet/RefinedWeb-style boilerplate LINE removal by document
+    * frequency: a line occurring in more than `maxDf` DISTINCT documents
+    * (nav bars, footers, cookie banners — template text that survives
+    * HTML extraction) is dropped from EVERY document, and the remaining
+    * lines are rejoined in their original order. Complements the
+    * keep-first chunk dedup: chunk dedup keeps ONE copy of duplicated
+    * content, boilerplate scrub keeps NONE (template lines are noise in
+    * every copy). Published precedent: CCNet's shared-paragraph removal
+    * (Wenzek et al., LREC'20 §3.1) and RefinedWeb's line-wise filters
+    * (Penedo et al., 2023 §3.3). No logsuck counterpart — this is a
+    * training-pipeline extension.
+    *
+    * Scale shape: the line document-frequency table is ONE line-keyed
+    * shuffle over (line, doc) pairs (two-phase distinct aggregate,
+    * map-side partials); only the boilerplate SET — bounded by
+    * distinct-lines / maxDf, small by the definition of high-df — joins
+    * back against the exploded lines (AQE broadcasts it when small), and
+    * the rebuild is one doc-keyed shuffle. A df = maxDf line is KEPT
+    * (strictly-greater drop), so legitimate short quotes shared by a
+    * couple of pages survive.
+    *
+    * Output: (doc_id, n_lines, n_kept, text) — a fully-boilerplate doc
+    * stays with n_kept = 0 and empty text, for the caller to drop or
+    * audit.
+    */
+  def boilerplateScrub(docs: DataFrame, maxDf: Long = 2): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+    val hot = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("line"), lit(true).as("hot"))
+    val kept = lines.join(hot, Seq("line"), "left").filter(col("hot").isNull)
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("idx"), col("line")))),
+        x => x.getField("line"))).as("text"))
+    docs.select(col("doc_id"), size(split(col("text"), "\n")).as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
+  /** DuckDB twin of [[boilerplateScrub]] (same split, same strict-greater
+    * threshold, same order-preserving rebuild).
+    */
+  def boilerplateScrubSql(docsRel: String, maxDf: Long = 2): String =
+    s"""WITH blsrc AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM $docsRel),
+       |blx AS (SELECT doc_id, unnest(range(len(ls))) AS idx, ls FROM blsrc),
+       |bln AS (SELECT doc_id, idx, ls[idx + 1] AS line FROM blx),
+       |blhot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df FROM bln GROUP BY line) WHERE df > $maxDf),
+       |blkept AS (SELECT doc_id, idx, line FROM bln WHERE line NOT IN (SELECT line FROM blhot)),
+       |blreb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(line, chr(10) ORDER BY idx) AS text FROM blkept GROUP BY doc_id)
+       |SELECT s.doc_id, len(s.ls) AS n_lines,
+       |  COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.text, '') AS text
+       |FROM blsrc s LEFT JOIN blreb r ON s.doc_id = r.doc_id""".stripMargin.replace("\n", " ")
+
   // ---------------------------------------------------------- domain quota
 
   /** Per-domain document quota (the Gopher/FineWeb-style source cap that

@@ -134,6 +134,27 @@ object DocsAdapter {
     * branch (block drop, break tags, entity decode, whitespace collapse)
     * fires. Pure column arithmetic with a DuckDB twin.
     */
+  /** Docs wrapped in deterministic page template lines for the
+    * boilerplate-line scrub: a nav line shared by EVERY doc (df = N), a
+    * footer in three variants (df ≈ N/3), a "pair" line shared by exactly
+    * TWO docs (df = 2 — sits ON the default maxDf boundary and must be
+    * kept), and the doc's own word-soup line (df = 1 outside the corpus's
+    * planted duplicate families). Pure column arithmetic, DuckDB twin.
+    */
+  def boilerDocs(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).withColumn("text", concat(
+      lit("home | about | contact\n"),
+      col("text"),
+      lit("\nshared pair line "), floor(col("doc_id") / 2).cast("long"),
+      lit("\n(c) example footer "), pmod(col("doc_id"), lit(3))))
+
+  def boilerDocsSql(): String =
+    s"""(SELECT doc_id,
+       | 'home | about | contact' || chr(10) || text ||
+       | chr(10) || 'shared pair line ' || CAST(doc_id // 2 AS BIGINT) ||
+       | chr(10) || '(c) example footer ' || (doc_id % 3) AS text,
+       | lang, source, n_chars FROM documents)""".stripMargin.replace("\n", " ")
+
   def htmlDocs(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir).select(col("doc_id"), concat(
       lit("<html><head><title>t"), col("doc_id"),

@@ -1107,4 +1107,39 @@ class MlSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(alt.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
   }
+
+  test("boilerplate scrub: strict-greater df threshold, order preserved, empty docs survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav\nalpha one.\npair x\nfoot"),
+      (2L, "nav\nbeta two.\npair x\nfoot"),
+      (3L, "nav\ngamma three.\nfoot"),
+      (4L, "nav\nfoot"), // all-boilerplate doc
+      (5L, "nav\nnav\ndelta five.")) // same hot line twice in ONE doc
+      .toDF("doc_id", "text")
+    val got = TextCleaning.boilerplateScrub(docs, maxDf = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    // df: nav=4 docs (>2 drop), foot=4 (>2 drop), "pair x"=2 (== maxDf KEPT)
+    assert(got(1L) == ((4, 2L, "alpha one.\npair x")))
+    assert(got(2L) == ((4, 2L, "beta two.\npair x")))
+    assert(got(3L) == ((3, 1L, "gamma three.")))
+    assert(got(4L) == ((2, 0L, ""))) // survives with empty text, not dropped
+    assert(got(5L) == ((3, 1L, "delta five."))) // BOTH in-doc copies dropped
+  }
+
+  test("boilerplate scrub over boilerDocs: template lines vanish everywhere, pair lines stay") {
+    val res = TextCleaning.boilerplateScrub(DocsAdapter.boilerDocs(spark, dir), maxDf = 2)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    // the universal nav and the three footer variants are gone from EVERY doc
+    rows.foreach { r =>
+      val t = r.getString(3)
+      assert(!t.contains("home | about | contact"), s"doc ${r.getLong(0)}")
+      assert(!t.contains("(c) example footer"), s"doc ${r.getLong(0)}")
+    }
+    // the df=2 pair lines sit on the boundary and are kept in both pair docs
+    val withPair = rows.count(_.getString(3).contains("shared pair line"))
+    assert(withPair == rows.length,
+      s"every doc keeps its df=2 pair line ($withPair of ${rows.length})")
+  }
 }
