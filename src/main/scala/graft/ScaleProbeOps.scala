@@ -187,6 +187,34 @@ object ScaleProbeOps {
         f""""shuffle_records":$seShuffle,"secs":$seSecs%.2f,""" +
         f""""docs_per_sec":${nDocs / seSecs}%.0f}""")
 
+      // ---- boilerplate line scrub at forced scale ------------------------
+      // Cost model: records ∝ line count (the (line, doc) distinct agg's
+      // two phases + the doc-keyed rebuild), NEVER pairs-of-docs; the hot
+      // set (N/4 family lines + 2 universal templates) rides a broadcast
+      // back join. Closed form: every doc keeps exactly its unique + pair
+      // lines (df 1 and 2) and loses nav/footer (df = N) and the family
+      // line (df = 4 > maxDf = 2).
+      val blDocs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat(lit("site navigation menu\nu"), col("id"),
+          lit(" unique content line\nfam line "), floor(col("id") / 4).cast("long"),
+          lit("\npair line "), floor(col("id") / 2).cast("long"),
+          lit("\n(c) footer legal")).as("text"))
+      val ((blAgg, blSecs), blShuffle) =
+        withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
+          time {
+            graft.ml.TextCleaning.boilerplateScrub(blDocs, maxDf = 2)
+              .agg(count(lit(1)), sum(col("n_lines")), sum(col("n_kept"))).head()
+          }
+        }
+      require(blAgg.getLong(0) == nDocs && blAgg.getLong(1) == 5 * nDocs &&
+        blAgg.getLong(2) == 2 * nDocs,
+        s"boilerplate closed form violated: ${blAgg}")
+      require(blShuffle <= 20 * nDocs + 2000000,
+        s"boilerplate scrub shuffled $blShuffle records — must stay ∝ lines, never doc pairs")
+      println(f"""{"probe":"boilerplate","docs":$nDocs,"lines":${5 * nDocs},""" +
+        f""""kept":${blAgg.getLong(2)},"shuffle_records":$blShuffle,""" +
+        f""""secs":$blSecs%.2f,"docs_per_sec":${nDocs / blSecs}%.0f}""")
+
       // ---- semantic dedup (SemDeDup) at forced scale -------------------
       val nVecs = sys.env.getOrElse("PROBE_VECS", "1000000").toLong
       val nCells = sys.env.getOrElse("PROBE_CELLS", "1024").toInt

@@ -845,6 +845,11 @@ object SparkEntry {
       graft.ml.Similarity.embeddingClusters(emb, 16,
         centroids = Some(ivfCentroidsFor(s, dir)))
     }),
+    // per-group embedding diversity (redundancy monitor): mean pairwise
+    // cosine via the linear ||sum(u)||^2 identity — the oracle states the
+    // quadratic all-pairs DEFINITION, so equality proves the identity
+    "q_embed_diversity" -> ((s, dir) =>
+      graft.ml.Similarity.diversityByGroup(DocsAdapter.embeddings(s, dir))),
     // SEMANTIC dedup (SemDeDup): cluster with the build-once quantizer,
     // keep-first within-cluster cosine near-dups — per-cell equi-joins,
     // never all-pairs; the oracle replicates the quantizer build + rule
@@ -1100,6 +1105,8 @@ object SparkEntry {
       graft.ml.TextDedup.simhashPairsSql(DocsAdapter.augmentedDocsSql(), 6),
     "q_embed_clusters" ->
       graft.ml.Similarity.embeddingClustersSql("embeddings", 16),
+    "q_embed_diversity" ->
+      graft.ml.Similarity.diversityByGroupSql("embeddings"),
     "q_semantic_dedup" ->
       graft.ml.Similarity.semanticDedupSql(
         "embeddings", DocsAdapter.augmentedEmbeddingsSql(), 0.999),

@@ -222,6 +222,44 @@ case class Md5Hash64(child: Expression) extends UnaryExpression {
   * per element: the dominant cost of every scored ANN join). Null if the
   * lengths differ (the zip_with form nulls out there too).
   */
+/** Unit-normalize an array<float> vector into array<double>: u = v/||v||,
+  * accumulating the norm in double. A zero vector normalizes to all-zeros
+  * (it contributes nothing to dot products, which is the behavior the
+  * diversity aggregate wants — not a null that would poison the group).
+  * One pass; feeds aggregates that need Σu per dimension.
+  */
+case class VecNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  def doNormalize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      ss += x * x
+      i += 1
+    }
+    val inv = if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      out(i) = a.getFloat(i).toDouble * inv
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    doNormalize(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecnorm", this, classOf[VecNormalize].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.doNormalize($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): VecNormalize = copy(child = c)
+}
+
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

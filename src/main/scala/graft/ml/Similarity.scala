@@ -282,6 +282,65 @@ object Similarity {
     s"""${ivfIndexCtes(embRel, nCells)}
        |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM indexed""".stripMargin.replace("\n", " ")
 
+  /** Unit-normalized vector (array<double>), norm accumulated in double;
+    * zero vectors normalize to zeros. Compiled one-pass expression.
+    */
+  def vecNormalizeCol(v: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.VecNormalize(
+        org.apache.spark.sql.graftbridge.Bridge.expression(v)))
+
+  /** Per-group embedding DIVERSITY: the mean pairwise cosine similarity
+    * of each label's vectors — the redundancy monitor a curation pipeline
+    * watches across dedup/mixing stages (a group whose mean pairwise
+    * similarity creeps up is collapsing onto duplicates or templates).
+    *
+    * The DEFINING computation is quadratic (all pairs within a group —
+    * the DuckDB twin states exactly that), but over UNIT vectors the
+    * pair sum collapses to a closed form:
+    *
+    *   Σ_{i≠j} u_i·u_j  =  ‖Σ_i u_i‖² − Σ_i ‖u_i‖²  =  ‖Σ_i u_i‖² − n
+    *
+    * so the whole operator is LINEAR: one posexplode over the normalized
+    * components, one (label, dim) partial-aggregated sum — the only
+    * corpus-scale exchange, collapsing to groups × dim rows map-side —
+    * and a groups-sized final fold. No join, no pair enumeration; the
+    * 10^12-row shape is a scan. Groups of one vector are omitted
+    * (diversity is undefined; emitting a sentinel would poison averages).
+    *
+    * Output: (label, n_vectors, mean_pairwise_cos) — rounded to 4 dp,
+    * where fp-error between the closed form and the pair sum is ~1e-12.
+    */
+  def diversityByGroup(emb: DataFrame): DataFrame = {
+    val comps = emb.select(col("label"),
+      posexplode(vecNormalizeCol(col("embedding"))).as(Seq("dim", "u")))
+    val dimSums = comps.groupBy("label", "dim")
+      .agg(sum(col("u")).as("s"), count(lit(1)).as("cnt"))
+    dimSums.groupBy("label")
+      .agg(max(col("cnt")).as("n_vectors"), // every dim counts every vector
+        sum(col("s") * col("s")).as("ss"))
+      .filter(col("n_vectors") > 1)
+      .select(col("label"), col("n_vectors"),
+        round((col("ss") - col("n_vectors")) /
+          (col("n_vectors") * (col("n_vectors") - 1)), 4).as("mean_pairwise_cos"))
+  }
+
+  /** DuckDB twin of [[diversityByGroup]] — states the quadratic
+    * DEFINITION (mean list_cosine_similarity over all i<j pairs within
+    * the label), which the Spark side must reproduce through the linear
+    * ‖Σu‖² identity. The oracle equality IS the proof of the identity's
+    * implementation.
+    */
+  def diversityByGroupSql(embRel: String): String =
+    s"""WITH dvv AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM $embRel),
+       |dvn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors FROM dvv GROUP BY label),
+       |dvp AS (SELECT a.label, list_cosine_similarity(a.e, b.e) AS cs
+       |  FROM dvv a JOIN dvv b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT n.label, n.n_vectors, round(avg(p.cs), 4) AS mean_pairwise_cos
+       |FROM dvn n JOIN dvp p ON n.label = p.label
+       |WHERE n.n_vectors > 1
+       |GROUP BY n.label, n.n_vectors""".stripMargin.replace("\n", " ")
+
   /** SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the build-once coarse
     * quantizer, then drop every vector that has a higher-priority

@@ -1108,6 +1108,43 @@ class MlSpec extends AnyFunSuite {
     assert(alt.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
   }
 
+  test("embedding diversity: linear ||sum(u)||^2 identity equals the quadratic definition") {
+    import spark.implicits._
+    val hand = Seq(
+      (1L, Seq(1f, 0f), "a"), (2L, Seq(0f, 1f), "a"), // orthogonal: mean 0
+      (3L, Seq(1f, 0f), "b"), (4L, Seq(2f, 0f), "b"), (5L, Seq(-1f, 0f), "b"), // 1,-1,-1
+      (6L, Seq(3f, 4f), "c")) // singleton group: omitted, not a sentinel
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.diversityByGroup(hand).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("a") == ((2L, 0.0)))
+    assert(got("b") == ((3L, BigDecimal(-1.0 / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(!got.contains("c"))
+
+    // on the real table: the linear form must equal the brute quadratic
+    // mean (the identity, not a coincidence of the hand vectors)
+    val emb = DocsAdapter.embeddings(spark, dir)
+    val lin = Similarity.diversityByGroup(emb).collect()
+      .map(r => r.get(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val a = emb.select(col("label"), col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = emb.select(col("label"), col("vec_id").as("ib"), col("embedding").as("eb"))
+    val brute = a.join(b, Seq("label")).filter(col("ia") < col("ib"))
+      .groupBy("label")
+      .agg(avg(Similarity.cosine(col("ea"), col("eb"))).as("m"), count(lit(1)).as("np"))
+      .collect().map(r => r.get(0) ->
+        ((r.getLong(2), BigDecimal(r.getDouble(1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))).toMap
+    assert(lin.keySet == brute.keySet)
+    for ((label, (n, m)) <- lin) {
+      assert(brute(label)._1 == n * (n - 1) / 2, s"pair count for $label")
+      assert(brute(label)._2 == m, s"mean pairwise cos for $label")
+    }
+    // scale shape: agg-only — no join, no pair enumeration in the plan
+    val plan = Similarity.diversityByGroup(emb).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"diversity must not enumerate pairs:\n$plan")
+  }
+
   test("boilerplate scrub: strict-greater df threshold, order preserved, empty docs survive") {
     import spark.implicits._
     val docs = Seq(
