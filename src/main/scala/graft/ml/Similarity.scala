@@ -310,6 +310,9 @@ object Similarity {
     *
     * Output: (label, n_vectors, mean_pairwise_cos) — rounded to 4 dp,
     * where fp-error between the closed form and the pair sum is ~1e-12.
+    * Assumes a fixed embedding dimension across the table (every ANN
+    * operator here shares that contract): n_vectors is read off the
+    * per-dim counts, which only agree when no vector is ragged.
     */
   def diversityByGroup(emb: DataFrame): DataFrame = {
     val comps = emb.select(col("label"),

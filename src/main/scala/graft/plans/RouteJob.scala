@@ -114,8 +114,18 @@ class RouteJob(spark: SparkSession, outDir: String,
   }
 
   /** All routed rows across committed batches. */
-  def routed(): DataFrame = {
-    val dirs = committedBatches().toSeq.sorted.map(i => batchDir(i).toString)
+  def routed(): DataFrame = routedAt(Int.MaxValue)
+
+  /** TIME-TRAVEL read: the routed table AS OF lineage snapshot
+    * `batch` — only batches committed with id <= `batch` are visible,
+    * exactly Iceberg's read-at-snapshot-id over the same manifests the
+    * writer publishes atomically. A reader pinned to a snapshot never
+    * sees rows from later commits, so audits/re-runs are reproducible
+    * while ingestion keeps appending.
+    */
+  def routedAt(batch: Int): DataFrame = {
+    val dirs = committedBatches().filter(_ <= batch).toSeq.sorted
+      .map(i => batchDir(i).toString)
       .filter(d => Files.isDirectory(Paths.get(d)))
     spark.read.option("basePath", outDir).parquet(dirs: _*)
   }

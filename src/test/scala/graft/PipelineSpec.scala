@@ -49,6 +49,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(linCounts == oracle)
   }
 
+  test("route: time-travel read at a lineage snapshot id") {
+    val out = Files.createTempDirectory("graft-route-tt").toString
+    val job = new RouteJob(spark, out, batches = 4)
+    val lineage = job.run(inputDir, SequenceGen.configs)
+    // a reader pinned at snapshot 1 sees EXACTLY batches 0-1's manifested
+    // rows — later commits are invisible, and the union of the pinned view
+    // and the remaining batches is the full table (no overlap, no loss)
+    val asOf1 = job.routedAt(1)
+    val expect01 = lineage.filter(_.batch <= 1).map(_.rows).sum
+    assert(asOf1.count() == expect01 && expect01 > 0 && expect01 < N)
+    assert(job.routedAt(Int.MaxValue).count() == N)
+    val ids1 = asOf1.select("doc_id").collect().map(_.getString(0)).toSet
+    val idsAll = job.routed().select("doc_id").collect().map(_.getString(0)).toSet
+    assert(ids1.subsetOf(idsAll) && idsAll.size == N)
+    // min/max doc lineage brackets the pinned view (the audit contract)
+    val mins = lineage.filter(_.batch <= 1).map(_.minDoc).min
+    assert(ids1.min >= mins)
+  }
+
   test("route: per-row token-array equality (the invariant)") {
     val out = Files.createTempDirectory("graft-route2").toString
     val job = new RouteJob(spark, out, batches = 3)
