@@ -128,9 +128,14 @@ object Main {
     }
 
     // --serve <port>: the reference's `api/v1` REST surface over this
-    // corpus (internal/web/Web.go); blocks until the process is stopped
+    // corpus (internal/web/Web.go); blocks until the process is stopped.
+    // Finished jobs age out after --job-ttl-ms (default 1h) so the
+    // long-lived server never accumulates result caches unboundedly;
+    // 0 disables expiry (manual releaseJob stays available).
     opts.get("serve").foreach { p =>
-      val api = new graft.api.JobsApi(new QueryEngine(queried, configs))
+      val ttl = opts.get("job-ttl-ms").map(_.toLong).getOrElse(3600000L)
+      val api = new graft.api.JobsApi(new QueryEngine(queried, configs),
+        jobTtlMillis = if (ttl <= 0) None else Some(ttl))
       val http = new graft.api.HttpApi(api,
         opts.get("config").map(java.nio.file.Paths.get(_)))
       val port = http.start(p.toInt)

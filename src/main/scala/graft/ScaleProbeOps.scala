@@ -194,6 +194,8 @@ object ScaleProbeOps {
       // back join. Closed form: every doc keeps exactly its unique + pair
       // lines (df 1 and 2) and loses nav/footer (df = N) and the family
       // line (df = 4 > maxDf = 2).
+      require(nDocs % 4 == 0,
+        "PROBE_DOCS must be a multiple of 4 — a ragged tail family line has df <= maxDf and breaks the closed form")
       val blDocs = spark.range(nDocs).select(col("id").as("doc_id"),
         concat(lit("site navigation menu\nu"), col("id"),
           lit(" unique content line\nfam line "), floor(col("id") / 4).cast("long"),

@@ -475,7 +475,12 @@ object SparkEntry {
     // (the scan's bucketing IS the distribution — PlanSpec pins it). The
     // repeated-analytics disk-layout lever at 100 TB.
     "q_bucketed_stats" -> ((s, dir) => {
-      val tbl = bucketedCache.computeIfAbsent(dir, _ => {
+      // key the memo by SESSION too: unlike the sibling caches (which hold
+      // session-independent filesystem paths) this one holds a catalog
+      // table name, and the in-memory catalog dies with its session — a
+      // fresh session must re-register, not trust a stale name
+      val tbl = bucketedCache.computeIfAbsent(
+          s"${System.identityHashCode(s)}|$dir", _ => {
         val base = {
           val shm = new java.io.File("/dev/shm")
           if (shm.isDirectory && shm.canWrite) shm.toPath

@@ -557,7 +557,11 @@ object JobsApi {
     */
   private[api] def rowLdt(v: Any): java.time.LocalDateTime = v match {
     case l: java.time.LocalDateTime => l
-    case t: java.sql.Timestamp => t.toLocalDateTime
+    // via the instant AT UTC — Timestamp.toLocalDateTime renders in the
+    // JVM default zone, which would skew rows against the UTC anchor on
+    // any non-UTC JVM (every comparison here is UTC wall-clock)
+    case t: java.sql.Timestamp =>
+      java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC)
     case i: java.time.Instant =>
       java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
     case other => throw new IllegalStateException(

@@ -224,8 +224,9 @@ case class Md5Hash64(child: Expression) extends UnaryExpression {
   */
 /** Unit-normalize an array<float> vector into array<double>: u = v/||v||,
   * accumulating the norm in double. A zero vector normalizes to all-zeros
-  * (it contributes nothing to dot products, which is the behavior the
-  * diversity aggregate wants — not a null that would poison the group).
+  * rather than nulls; callers that need unit-norm semantics (the diversity
+  * closed form assumes ||u|| = 1) must exclude zero vectors first —
+  * [[graft.ml.Similarity.diversityByGroup]] filters them in both engines.
   * One pass; feeds aggregates that need Σu per dimension.
   */
 case class VecNormalize(child: Expression) extends UnaryExpression {

@@ -315,8 +315,14 @@ object Similarity {
     * per-dim counts, which only agree when no vector is ragged.
     */
   def diversityByGroup(emb: DataFrame): DataFrame = {
-    val comps = emb.select(col("label"),
-      posexplode(vecNormalizeCol(col("embedding"))).as(Seq("dim", "u")))
+    // zero vectors are excluded UP FRONT in both engines: cosine against a
+    // zero vector is undefined (the quadratic twin would produce NaN), and
+    // letting a normalized-to-zeros row ride the closed form would bias
+    // the mean by z/(n(n-1)) — neither is the defined statistic
+    val comps = emb
+      .filter(exists(col("embedding"), x => x =!= lit(0.0f)))
+      .select(col("label"),
+        posexplode(vecNormalizeCol(col("embedding"))).as(Seq("dim", "u")))
     val dimSums = comps.groupBy("label", "dim")
       .agg(sum(col("u")).as("s"), count(lit(1)).as("cnt"))
     dimSums.groupBy("label")
@@ -335,7 +341,8 @@ object Similarity {
     * implementation.
     */
   def diversityByGroupSql(embRel: String): String =
-    s"""WITH dvv AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM $embRel),
+    s"""WITH dvv AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM $embRel
+       |  WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
        |dvn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors FROM dvv GROUP BY label),
        |dvp AS (SELECT a.label, list_cosine_similarity(a.e, b.e) AS cs
        |  FROM dvv a JOIN dvv b ON a.label = b.label AND a.vec_id < b.vec_id)

@@ -1113,7 +1113,8 @@ class MlSpec extends AnyFunSuite {
     val hand = Seq(
       (1L, Seq(1f, 0f), "a"), (2L, Seq(0f, 1f), "a"), // orthogonal: mean 0
       (3L, Seq(1f, 0f), "b"), (4L, Seq(2f, 0f), "b"), (5L, Seq(-1f, 0f), "b"), // 1,-1,-1
-      (6L, Seq(3f, 4f), "c")) // singleton group: omitted, not a sentinel
+      (6L, Seq(3f, 4f), "c"), // singleton group: omitted, not a sentinel
+      (7L, Seq(0f, 0f), "b")) // zero vector: cosine undefined -> excluded
       .toDF("vec_id", "embedding", "label")
     val got = Similarity.diversityByGroup(hand).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
