@@ -635,6 +635,12 @@ object SparkEntry {
     // paragraph scrub): template lines above maxDf dropped from EVERY doc
     "q_boilerplate" -> ((s, dir) =>
       graft.ml.TextCleaning.boilerplateScrub(DocsAdapter.boilerDocs(s, dir), maxDf = 2)),
+    // corpus drift between snapshots (pre-mix distribution-shift check):
+    // per-word KL(new||old) contributions, top-k — the pii-injected corpus
+    // plays the "new crawl" whose added vocabulary must surface on top
+    "q_corpus_drift" -> ((s, dir) =>
+      graft.ml.TextAnalysis.corpusDrift(
+        DocsAdapter.docs(s, dir), DocsAdapter.piiDocs(s, dir), k = 50)),
     // corpus-wide top-k trigram stats (boilerplate/decontamination analytics)
     "q_ngram_topk" -> ((s, dir) =>
       graft.ml.TextAnalysis.ngramTopK(DocsAdapter.docs(s, dir), n = 3, k = 50)),
@@ -1088,6 +1094,8 @@ object SparkEntry {
       graft.ml.TextCleaning.domainQuotaSql(DocsAdapter.piiDocsSql(), cap = 10),
     "q_boilerplate" ->
       graft.ml.TextCleaning.boilerplateScrubSql(DocsAdapter.boilerDocsSql(), maxDf = 2),
+    "q_corpus_drift" ->
+      graft.ml.TextAnalysis.corpusDriftSql("documents", DocsAdapter.piiDocsSql(), k = 50),
     "q_ngram_topk" ->
       graft.ml.TextAnalysis.ngramTopKSql("documents", n = 3, k = 50),
     "q_quality_classifier" ->

@@ -373,6 +373,76 @@ object TextAnalysis {
        |GROUP BY doc_id, prior""".stripMargin.replace("\n", " ")
   }
 
+  // ----------------------------------------------------------- corpus drift
+
+  /** Fixed scale for [[corpusDrift]] contributions: p·log-ratio terms are
+    * O(1e-7), so they're reported ×1e9 ("per billion") and rounded to 3 dp
+    * — a 1-ulp libm difference between engines lands ~1e-14 after scaling,
+    * ten orders below the rounding step.
+    */
+  val DRIFT_SCALE = 1000000000L
+
+  /** Corpus DRIFT between two snapshots (monitoring distribution shift
+    * between crawls — the check a pipeline runs before mixing a new dump
+    * into training): per-word contributions to KL(P_new ‖ P_old) under
+    * add-one-smoothed unigram models over the UNION vocabulary,
+    * d(w) = p_new(w) · log10(p_new(w)/p_old(w)), reporting the top-k words
+    * by contribution (new template/spam vocabulary surfaces at the top;
+    * vanished vocabulary drifts negative).
+    *
+    * Scale shape: the snapshot tag rides the explode (like
+    * [[qualityClassifier]]'s label), so both corpora cross ONE word-keyed
+    * conditional-aggregate exchange — never a per-snapshot agg + full
+    * outer join; totals ride a 1-row broadcast; top-k is TakeOrdered
+    * (never a global sort). Ordering ties cut by (drift desc, word) in
+    * both engines, so the k-boundary is deterministic.
+    */
+  def corpusDrift(oldDocs: DataFrame, newDocs: DataFrame, k: Int = 50): DataFrame = {
+    def words(d: DataFrame, tag: Int) = d.select(
+      explode(split(TextDedup.normalizeCol(col("text")), " ")).as("w"),
+      lit(tag).as("t"))
+    val counts = words(oldDocs, 0).unionByName(words(newDocs, 1))
+      .groupBy("w").agg(
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("c_old"),
+        sum(when(col("t") === 1, 1L).otherwise(0L)).as("c_new"))
+    val totals = counts.agg(
+      sum(col("c_old")).as("t_old"), sum(col("c_new")).as("t_new"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p_old",
+        (col("c_old") + 1).cast("double") / (col("t_old") + col("v")))
+      .withColumn("p_new",
+        (col("c_new") + 1).cast("double") / (col("t_new") + col("v")))
+      .select(col("w"), col("c_old"), col("c_new"),
+        round(lit(DRIFT_SCALE) * col("p_new") * log10(col("p_new") / col("p_old")), 3)
+          .as("drift_ppb"))
+      .orderBy(col("drift_ppb").desc, col("w"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[corpusDrift]] — same smoothing over the union vocab,
+    * same ×1e9 scaling and tie-cut.
+    */
+  def corpusDriftSql(oldRel: String, newRel: String, k: Int = 50): String = {
+    val norm = TextDedup.normalizeSql("text")
+    s"""WITH cd_w AS (
+       |  SELECT unnest(string_split($norm, ' ')) AS w, 0 AS t FROM $oldRel
+       |  UNION ALL
+       |  SELECT unnest(string_split($norm, ' ')) AS w, 1 AS t FROM $newRel),
+       |cd_c AS (SELECT w,
+       |    CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+       |    CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+       |  FROM cd_w GROUP BY w),
+       |cd_t AS (SELECT CAST(sum(c_old) AS BIGINT) AS t_old,
+       |    CAST(sum(c_new) AS BIGINT) AS t_new, count(*) AS v FROM cd_c)
+       |SELECT w, c_old, c_new,
+       |  round($DRIFT_SCALE * (CAST(c_new + 1 AS DOUBLE) / (t_new + v)) *
+       |    log10((CAST(c_new + 1 AS DOUBLE) / (t_new + v)) /
+       |          (CAST(c_old + 1 AS DOUBLE) / (t_old + v))), 3) AS drift_ppb
+       |FROM cd_c, cd_t
+       |ORDER BY drift_ppb DESC, w LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+
   // --------------------------------------------------------- fingerprints
 
   /** Document fingerprints: md5 of normalized text + the shared 64-bit

@@ -1108,6 +1108,32 @@ class MlSpec extends AnyFunSuite {
     assert(alt.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
   }
 
+  test("corpus drift: new vocabulary tops the KL contributions, exact scaled values") {
+    import spark.implicits._
+    val oldC = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val newC = Seq((1L, "alpha beta spamword spamword"), (2L, "alpha spamword zeta"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.corpusDrift(oldC, newC, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // scalar recompute of the same definitions
+    val ow = Seq("alpha", "beta", "gamma", "delta", "alpha", "beta", "epsilon", "zeta")
+    val nw = Seq("alpha", "beta", "spamword", "spamword", "alpha", "spamword", "zeta")
+    val vocab = (ow ++ nw).distinct
+    def drift(w: String): Double = {
+      val co = ow.count(_ == w); val cn = nw.count(_ == w)
+      val po = (co + 1.0) / (ow.size + vocab.size)
+      val pn = (cn + 1.0) / (nw.size + vocab.size)
+      BigDecimal(1e9 * pn * math.log10(pn / po))
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val exp = vocab.map(w => (w, ow.count(_ == w).toLong, nw.count(_ == w).toLong, drift(w)))
+      .sortBy(t => (-t._4, t._1)).take(3)
+    assert(got.toSeq == exp)
+    // the brand-new heavy word is the single largest positive drift
+    assert(got.head._1 == "spamword" && got.head._4 > 0)
+  }
+
   test("embedding diversity: linear ||sum(u)||^2 identity equals the quadratic definition") {
     import spark.implicits._
     val hand = Seq(
