@@ -31,7 +31,8 @@ object Main {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case flag @ ("--text" | "--stream") => m += flag.drop(2) -> "true"; i += 1
+        case flag @ ("--text" | "--stream" | "--curate") =>
+          m += flag.drop(2) -> "true"; i += 1
         case flag if flag.startsWith("--") && i + 1 < args.length =>
           m += flag.drop(2) -> args(i + 1); i += 2
         case other => throw new IllegalArgumentException(s"unexpected argument: $other")
@@ -71,6 +72,25 @@ object Main {
           parsedCfg.map(_.eventDelimiters).getOrElse(Seq("*" -> "\n")))
           .select("doc_id", "tokens", "n_tok", "source")
       else spark.read.parquet(input)
+
+    // --curate: run the composed curation funnel over a (doc_id, url,
+    // html) crawl parquet at --input; prints the per-stage survivor table
+    // (one-pass observed form) and, with --out, writes the surviving
+    // doc_ids for the downstream tokenize/pack/shard steps.
+    if (opts.contains("curate")) {
+      val crawl = spark.read.parquet(input)
+      val cutoff = opts.get("lm-cutoff").map(_.toDouble)
+        .getOrElse(graft.ml.Funnel.DefaultLmCutoff)
+      val stages = graft.ml.Funnel.curationFunnelOnePass(crawl, cutoff)
+      stages.orderBy("stage").collect().foreach(r =>
+        println(s"  stage=${r.getString(0)} n_docs=${r.getLong(1)} sig=${r.get(2)}"))
+      opts.get("out").foreach { out =>
+        graft.ml.Funnel.survivors(crawl, cutoff)
+          .write.mode("overwrite").parquet(out)
+        println(s"survivor doc_ids -> $out")
+      }
+      return
+    }
 
     if (opts.contains("stream")) {
       val out = opts.getOrElse("out",

@@ -41,11 +41,11 @@ object Funnel {
     */
   val DefaultLmCutoff: Double = -1.72
 
-  /** Run the funnel over a (doc_id, url, html) corpus; returns the
-    * five-row per-stage survivor table described above.
+  /** The declarative stage chain shared by [[curationFunnel]] and
+    * [[survivors]]: (urlKeep, quality, chunked, lmKeep).
     */
-  def curationFunnel(docs: DataFrame,
-      lmCutoff: Double = DefaultLmCutoff): DataFrame = {
+  private def chain(docs: DataFrame, lmCutoff: Double)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val urlKeep = TextCleaning.urlDedup(docs.select(col("doc_id"), col("url")))
       .filter(!col("is_dup")).select("doc_id")
     val extracted = TextCleaning.htmlExtract(
@@ -62,6 +62,15 @@ object Funnel {
       .select(col("doc_id"), col("text"))
     val lmKeep = TextAnalysis.lmScore(chunked)
       .filter(col("lm_score") >= lmCutoff).select("doc_id")
+    (urlKeep, quality, chunked, lmKeep)
+  }
+
+  /** Run the funnel over a (doc_id, url, html) corpus; returns the
+    * five-row per-stage survivor table described above.
+    */
+  def curationFunnel(docs: DataFrame,
+      lmCutoff: Double = DefaultLmCutoff): DataFrame = {
+    val (urlKeep, quality, chunked, lmKeep) = chain(docs, lmCutoff)
     def stage(name: String, ids: DataFrame): DataFrame =
       ids.agg(count(lit(1)).as("n_docs"),
           bit_xor(TextDedup.hash64Col(col("doc_id").cast("string"))).as("sig"))
@@ -73,6 +82,14 @@ object Funnel {
       .unionByName(stage("3_chunk_dedup", chunked.select("doc_id")))
       .unionByName(stage("4_lm_cutoff", lmKeep))
   }
+
+  /** The funnel's FINAL survivor set — the doc_ids a pipeline feeds into
+    * the downstream tokenize/pack/shard steps (`graft.Main --curate
+    * --out` writes exactly this). Same lazy chain as [[curationFunnel]].
+    */
+  def survivors(docs: DataFrame,
+      lmCutoff: Double = DefaultLmCutoff): DataFrame =
+    chain(docs, lmCutoff)._4
 
   /** ONE-PASS form of [[curationFunnel]] — the serving shape. The union
     * form above re-derives each stage's prefix per survivor aggregate

@@ -140,4 +140,24 @@ class ConfigSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     assert(routed.filter(col("host") === "h1").count() == 2)
   }
+
+  test("CLI --curate runs the funnel over a crawl parquet and writes survivors") {
+    import org.apache.spark.sql.functions.col
+    val crawlDir = java.nio.file.Files.createTempDirectory("graft-curate-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-out").toString + "/ids"
+    val crawl = graft.sources.DocsAdapter.funnelDocs(spark, "/root/testdata/sf0.001")
+    crawl.write.mode("overwrite").parquet(crawlDir)
+    Main.run(spark, Map("curate" -> "true", "out" -> out), crawlDir)
+    val ids = spark.read.parquet(out)
+    assert(ids.columns.toSeq == Seq("doc_id"))
+    // the written survivors ARE the funnel's final stage, exactly
+    val expect = graft.ml.Funnel.survivors(spark.read.parquet(crawlDir))
+      .collect().map(_.get(0)).toSet
+    val got = ids.collect().map(_.get(0)).toSet
+    assert(got == expect && got.nonEmpty)
+    // and the stage table's 4_lm_cutoff count agrees
+    val stages = graft.ml.Funnel.curationFunnelOnePass(spark.read.parquet(crawlDir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages("4_lm_cutoff") == got.size)
+  }
 }
