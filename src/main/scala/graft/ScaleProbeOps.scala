@@ -368,6 +368,71 @@ object ScaleProbeOps {
         f""""span_docs_per_sec":${nSpanDocs / spanSecs}%.0f,""" +
         f""""scrub_secs":$scrubSecs%.2f,"dropped_words":$droppedWords,""" +
         f""""scrub_docs_per_sec":${nSpanDocs / scrubSecs}%.0f}""")
+      // ---- BM25 ranked retrieval at forced scale ------------------------
+      // Terms with engineered selectivity over the product-skew vocabulary:
+      // w0 is hot (~63% of docs draw it), w4 is mid (~1.5%), w9801 is the
+      // rarest producible word (99×99), w99990 cannot occur. The cost model
+      // to prove: the exploded stream filters to the query sliver BEFORE
+      // the (doc, dl, term) exchange, so shuffle stays ~ the sliver — the
+      // failure mode (aggregate-then-filter) shuffles every occurrence,
+      // ~52 × docs.
+      val bmTerms = Seq("w0", "w4", "w9801", "w99990")
+      val ((bmRows, bmSecs), bmShuffle) =
+        withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
+          time { graft.ml.Retrieval.bm25TopK(docs, bmTerms, 100).collect() }
+        }
+      require(bmRows.length == 100, s"full top-k expected (${bmRows.length})")
+      val bmScores = bmRows.map(_.getDouble(2))
+      require(bmScores.zip(bmScores.tail).forall { case (a, b) => a >= b },
+        "top-k must arrive score-descending")
+      require(bmRows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 3),
+        "hit-term counts out of range (w99990 can never match)")
+      require(bmShuffle <= 3 * nDocs,
+        s"BM25 shuffled $bmShuffle records — the term filter must precede the exchange (occurrence scale would be ~${52 * nDocs})")
+      println(f"""{"probe":"bm25","docs":$nDocs,"terms":${bmTerms.size},"k":100,""" +
+        f""""shuffle_records":$bmShuffle,"secs":$bmSecs%.2f,""" +
+        f""""docs_per_sec":${nDocs / bmSecs}%.0f}""")
+
+      // ---- span decontamination at forced scale -------------------------
+      // Every 20th doc carries one planted benchmark sentence (18 words,
+      // 11 complete 8-grams) appended after the URL tail; the bench set is
+      // the 50-item eval table. Closed form: exactly nDocs/20 docs scrubbed,
+      // 18 words dropped each. Shuffle stays ~ the HIT sliver (11 grams ×
+      // contaminated docs through the island window + the tiny span set) —
+      // the corpus gram stream meets the bench set on a broadcast and the
+      // text arrays never shuffle.
+      require(nDocs % 20 == 0, "PROBE_DOCS must be a multiple of 20 for the decontam closed form")
+      val nContam = nDocs / 20
+      corpus(spark, nDocs).withColumn("text",
+        when(pmod(col("doc_id"), lit(20)) === 0,
+          concat(col("text"), lit(" "), graft.sources.DocsAdapter.benchSentence(
+            pmod(col("doc_id"), lit(graft.sources.DocsAdapter.BENCH_ITEMS.toLong)))))
+          .otherwise(col("text")))
+        .write.mode("overwrite").parquet(s"$root/contam")
+      val contam = spark.read.parquet(s"$root/contam")
+      val bench = graft.sources.DocsAdapter.benchDocs(spark)
+      val ((dcAgg, dcSecs), dcShuffle) =
+        withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
+          time {
+            graft.ml.Contamination.scrub(contam, bench, L = 8)
+              .agg(count(lit(1)), sum(col("n_dropped")),
+                sum(when(col("n_dropped") > 0, 1L).otherwise(0L))).head()
+          }
+        }
+      val sentW = graft.sources.DocsAdapter.BENCH_SENTENCE_WORDS
+      require(dcAgg.getLong(0) == nDocs &&
+        dcAgg.getLong(1) == sentW.toLong * nContam && dcAgg.getLong(2) == nContam,
+        s"decontam closed form violated (docs/dropped/scrubbed): $dcAgg")
+      // measured 1.55M at 1M docs (hits cross the island window + the
+      // (doc,island) agg, ~2.8 × hitGrams with AQE partials); a doc-keyed
+      // corpus-text exchange would add ~nDocs on top and trip the bound
+      val hitGrams = (sentW - 8 + 1).toLong * nContam
+      require(dcShuffle <= 3 * hitGrams + nDocs / 2,
+        s"decontam shuffled $dcShuffle records (bound ${3 * hitGrams + nDocs / 2}) — " +
+          "a corpus-text exchange crept in")
+      println(f"""{"probe":"decontam","docs":$nDocs,"contaminated":$nContam,""" +
+        f""""dropped_words":${dcAgg.getLong(1)},"shuffle_records":$dcShuffle,""" +
+        f""""secs":$dcSecs%.2f,"docs_per_sec":${nDocs / dcSecs}%.0f}""")
     } finally {
       spark.stop()
       graft.util.Dirs.deleteRecursively(new File(root))

@@ -904,8 +904,36 @@ object SparkEntry {
         aug.filter(col("doc_id") >= DocsAdapter.EXACT_SHIFT),
         aug.filter(col("doc_id") < DocsAdapter.EXACT_SHIFT),
         prebuilt = Some(historyBloomFor(s, dir)))
-    })
+    }),
+    // BM25 ranked retrieval (the ranked upgrade of the boolean search
+    // steps): fixed-point per-term contributions -> exact integer per-doc
+    // scores, deterministic top-k cut at any parallelism
+    "q_bm25" -> ((s, dir) =>
+      graft.ml.Retrieval.bm25TopK(DocsAdapter.docs(s, dir), Bm25Terms, k = 25)),
+    // span-level decontamination: cut benchmark-overlapping runs out of the
+    // training text (keep the page, lose the leak) — broadcast bench gram
+    // set, islands over the contaminated sliver only
+    "q_decontam_scrub" -> ((s, dir) =>
+      graft.ml.Contamination.scrub(
+        DocsAdapter.contamDocs(s, dir), DocsAdapter.benchDocs(s))),
+    // leakage-free train/val split: the hash decision is made per NEAR-DUP
+    // CLUSTER so a page and its near-copies land on the same side
+    "q_split_leakfree" -> ((s, dir) =>
+      graft.ml.Sampling.leakFreeSplit(
+        DocsAdapter.augmentedDocs(s, dir), 0.5, valFrac = 0.125)),
+    // per-(source, lang) dataset card: docs/tokens/bytes + corpus shares —
+    // one cell-cardinality agg with map-side combine, totals on a 1-row
+    // broadcast
+    "q_dataset_card" -> ((s, dir) =>
+      graft.ml.TextAnalysis.datasetCard(DocsAdapter.docs(s, dir)))
   )
+
+  /** Fixed query for the BM25 oracle row: mixed-frequency corpus terms plus
+    * one absent term (contributes nothing on both engines). Shared by the
+    * Spark query and its twin so the term set can't diverge.
+    */
+  private[graft] val Bm25Terms: Seq[String] =
+    Seq("window", "merge", "hash", "stream", "zebra")
 
   /** Per-sink count + cross-engine row-set signature over a compacted
     * store: bit_xor of the shared md5-based 64-bit doc_id hash (the
@@ -1138,6 +1166,16 @@ object SparkEntry {
     "q_incr_dedup" ->
       graft.ml.TextDedup.incrementalDedupSql(
         s"(SELECT * FROM ${DocsAdapter.augmentedDocsSql()} WHERE doc_id >= ${DocsAdapter.EXACT_SHIFT})",
-        s"(SELECT * FROM ${DocsAdapter.augmentedDocsSql()} WHERE doc_id < ${DocsAdapter.EXACT_SHIFT})")
+        s"(SELECT * FROM ${DocsAdapter.augmentedDocsSql()} WHERE doc_id < ${DocsAdapter.EXACT_SHIFT})"),
+    "q_bm25" ->
+      graft.ml.Retrieval.bm25TopKSql("documents", Bm25Terms, k = 25),
+    "q_decontam_scrub" ->
+      graft.ml.Contamination.scrubSql(
+        DocsAdapter.contamDocsSql(), DocsAdapter.benchDocsSql()),
+    "q_split_leakfree" ->
+      graft.ml.Sampling.leakFreeSplitSql(
+        DocsAdapter.augmentedDocsSql(), 0.5, valFrac = 0.125),
+    "q_dataset_card" ->
+      graft.ml.TextAnalysis.datasetCardSql("documents")
   )
 }

@@ -177,4 +177,36 @@ object Sampling {
        |SELECT doc_id, round(lw, 4) AS log_w, round(gk, 6) AS gumbel_key
        |FROM keyed ORDER BY gk DESC, doc_id LIMIT $k""".stripMargin.replace("\n", " ")
   }
+
+  /** LEAKAGE-FREE train/validation split: the split decision is made per
+    * NEAR-DUP CLUSTER, not per document — a doc-granular hash split puts
+    * near-copies of the same page on both sides, and the validation loss
+    * silently measures memorization. Clusters come from
+    * [[TextDedup.nearDupClusters]] (MinHash-LSH pairs + connected
+    * components); every member of a cluster inherits the cluster id's hash
+    * bucket, so a page and all its near-copies land on the SAME side.
+    * Deterministic, resumable: split = pure function of (cluster, salt).
+    *
+    * Scale shape: the clustering dominates (see nearDupClusters — banded
+    * bucket join + label propagation over the near-dup sliver); the split
+    * itself adds one map-only hash comparison on top of the labels.
+    * Returns (doc_id, cluster_id, split).
+    */
+  def leakFreeSplit(docs: DataFrame, threshold: Double, valFrac: Double,
+      salt: String = "split-v1"): DataFrame = {
+    val clusters = TextDedup.nearDupClusters(docs, threshold)
+    clusters.select(col("doc_id"), col("cluster_id"),
+      when(bucket(col("cluster_id"), salt) < valFrac * BUCKETS, "val")
+        .otherwise("train").as("split"))
+  }
+
+  /** DuckDB twin of [[leakFreeSplit]] — the transitive-closure cluster twin
+    * with the same cluster-keyed hash gate.
+    */
+  def leakFreeSplitSql(docsRel: String, threshold: Double, valFrac: Double,
+      salt: String = "split-v1"): String =
+    s"""SELECT doc_id, cluster_id,
+       | CASE WHEN ${bucketSql("cluster_id", salt)} < ${valFrac * BUCKETS}
+       |   THEN 'val' ELSE 'train' END AS split
+       | FROM (${TextDedup.nearDupClustersSql(docsRel, threshold)})""".stripMargin.replace("\n", " ")
 }

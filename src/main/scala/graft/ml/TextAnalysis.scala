@@ -443,6 +443,44 @@ object TextAnalysis {
        |ORDER BY drift_ppb DESC, w LIMIT $k""".stripMargin.replace("\n", " ")
   }
 
+  // --------------------------------------------------------- dataset card
+
+  /** Per-(source, lang) dataset-card statistics — the corpus summary every
+    * training-mix decision starts from (docs, whitespace tokens, bytes, and
+    * each cell's share of the corpus): one exploded-free aggregate with
+    * map-side combine (source×lang cells, never doc-cardinality), corpus
+    * totals on a 1-row broadcast, shares as single exact-integer divisions
+    * rounded at 6 dp.
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .select(col("source"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).as("toks"),
+        length(col("text")).as("chars"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"))
+    val totals = cells.agg(sum(col("n_docs")).as("t_docs"),
+      sum(col("n_tokens")).as("t_tokens"))
+    cells.crossJoin(broadcast(totals))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        round(col("n_docs").cast("double") / col("t_docs"), 6).as("doc_share"),
+        round(col("n_tokens").cast("double") / col("t_tokens"), 6).as("token_share"))
+  }
+
+  def datasetCardSql(docsRel: String): String =
+    s"""WITH dc AS (SELECT source, lang, count(*) AS n_docs,
+       |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens,
+       |    CAST(sum(length(text)) AS BIGINT) AS n_chars
+       |  FROM $docsRel GROUP BY source, lang),
+       |dct AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM dc)
+       |SELECT source, lang, n_docs, n_tokens, n_chars,
+       |  round(CAST(n_docs AS DOUBLE) / t_docs, 6) AS doc_share,
+       |  round(CAST(n_tokens AS DOUBLE) / t_tokens, 6) AS token_share
+       |FROM dc, dct""".stripMargin.replace("\n", " ")
+
   // --------------------------------------------------------- fingerprints
 
   /** Document fingerprints: md5 of normalized text + the shared 64-bit

@@ -267,6 +267,57 @@ object DocsAdapter {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spread(spark.read.parquet(s"$sfDir/embeddings.parquet"), spark)
 
+  /** The synthetic benchmark sentence for eval item k — 17 normalized words,
+    * so it always clears the decontamination gram length L and its interior
+    * is unmistakable against the corpus word soup. Shared by the Spark and
+    * DuckDB builders below.
+    */
+  private val BENCH_PRE = "benchmark item "
+  private val BENCH_MID = " asks whether the optimizer picks hash join order for plan "
+  private val BENCH_POST = " in the suite run"
+  val BENCH_ITEMS = 50
+  val CONTAM_MOD = 29
+
+  /** The 18-word benchmark sentence as a column expression over the item
+    * id — shared by [[benchDocs]], [[contamDocs]], and the 1M-doc scale
+    * probe so the planted run and the bench set can never drift.
+    */
+  def benchSentence(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit(BENCH_PRE), k, lit(BENCH_MID), k, lit(BENCH_POST))
+
+  /** Normalized word count of one benchmark sentence (the closed-form
+    * per-doc drop for a planted leak).
+    */
+  val BENCH_SENTENCE_WORDS = 18
+
+  /** (bench_id, text) — the held-out eval set for span decontamination. */
+  def benchDocs(spark: SparkSession): DataFrame =
+    spark.range(BENCH_ITEMS).select(col("id").as("bench_id"),
+      benchSentence(col("id")).as("text"))
+
+  def benchDocsSql(): String =
+    s"""(SELECT CAST(range AS BIGINT) AS bench_id,
+       | '$BENCH_PRE' || range || '$BENCH_MID' || range || '$BENCH_POST' AS text
+       | FROM range($BENCH_ITEMS))""".stripMargin.replace("\n", " ")
+
+  /** Docs with PLANTED benchmark leakage: every doc_id % [[CONTAM_MOD]] == 0
+    * appends the benchmark sentence for item doc_id % [[BENCH_ITEMS]] — the
+    * contaminated run the span scrub must cut while keeping the rest of the
+    * page. Pure column arithmetic with a DuckDB twin.
+    */
+  def contamDocs(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).withColumn("text",
+      when(pmod(col("doc_id"), lit(CONTAM_MOD)) === 0,
+        concat(col("text"), lit(" "),
+          benchSentence(pmod(col("doc_id"), lit(BENCH_ITEMS)))))
+      .otherwise(col("text")))
+
+  def contamDocsSql(): String =
+    s"""(SELECT doc_id, CASE WHEN doc_id % $CONTAM_MOD = 0
+       | THEN text || ' $BENCH_PRE' || (doc_id % $BENCH_ITEMS) || '$BENCH_MID'
+       |   || (doc_id % $BENCH_ITEMS) || '$BENCH_POST'
+       | ELSE text END AS text, lang, source, n_chars FROM documents)""".stripMargin.replace("\n", " ")
+
   /** Docs with deterministic page structure (the raw corpus is one line of
     * unpunctuated word soup, so C4's line/sentence heuristics would see
     * nothing): every doc gains two well-formed supporting lines and a

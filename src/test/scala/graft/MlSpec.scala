@@ -1206,4 +1206,77 @@ class MlSpec extends AnyFunSuite {
     assert(withPair == rows.length,
       s"every doc keeps its df=2 pair line ($withPair of ${rows.length})")
   }
+
+  test("BM25: tf raises, length normalizes, absent terms contribute nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple apple banana"), // tf=3, short
+      (2L, "apple banana cherry date"), // tf=1, same length
+      (3L, "kiwi lemon mango peach"), // no hit
+      // tf=3 like doc 1 but three times the length: penalized below it
+      (4L, "apple apple apple banana kiwi lemon mango peach kiwi lemon mango peach"))
+      .toDF("doc_id", "text")
+    val got = graft.ml.Retrieval.bm25TopK(docs, Seq("apple"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(1L, 4L, 2L), s"ranking was ${got.toSeq}")
+    val score = got.map(g => g._1 -> g._3).toMap
+    assert(score(1L) > score(4L) && score(4L) > score(2L))
+    assert(got.forall(_._2 == 1L)) // one query term hit everywhere
+    // an absent term matches nothing at all
+    assert(graft.ml.Retrieval.bm25TopK(docs, Seq("zzz"), 10).count() == 0)
+    // multi-term: n_hit_terms counts the distinct matched terms
+    val multi = graft.ml.Retrieval.bm25TopK(docs, Seq("apple", "cherry", "zzz"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi(2L) == 2L && multi(1L) == 1L)
+  }
+
+  test("decontam scrub cuts exactly the planted benchmark run, leaves clean docs alone") {
+    import spark.implicits._
+    val benchSentence = "benchmark item seven asks whether the optimizer picks hash join order"
+    val bench = Seq((7L, benchSentence)).toDF("bench_id", "text")
+    val filler = ("alpha beta gamma delta " * 4).trim // 16 clean words
+    val docs = Seq(
+      (1L, s"$filler $benchSentence $filler"), // planted leak mid-doc
+      (2L, filler), // clean
+      (3L, s"$filler benchmark item seven asks whether the optimizer")) // 7-word overlap < L=8
+      .toDF("doc_id", "text")
+    val got = graft.ml.Contamination.scrub(docs, bench, L = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val bw = benchSentence.split(" ").length.toLong
+    assert(got(1L) == ((32 + bw, bw, s"$filler $filler")),
+      s"leaked run must vanish, the page must survive: ${got(1L)}")
+    assert(got(2L) == ((16L, 0L, filler)))
+    // a sub-L overlap carries no complete L-gram: untouched by construction
+    assert(got(3L)._2 == 0L, s"7-word overlap must not scrub: ${got(3L)}")
+  }
+
+  test("leak-free split: every near-dup cluster lands on one side, both sides used") {
+    val res = graft.ml.Sampling.leakFreeSplit(
+      DocsAdapter.augmentedDocs(spark, dir), 0.5, valFrac = 0.125)
+    val perCluster = res.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("sides"), count(lit(1)).as("n"))
+    assert(perCluster.filter(col("sides") > 1).count() == 0,
+      "a cluster straddles train/val — leakage")
+    // the planted exact copies share their original's side
+    val split = res.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    split.keys.filter(_ >= DocsAdapter.EXACT_SHIFT)
+      .filter(_ < DocsAdapter.NEAR_SHIFT).foreach { id =>
+        assert(split(id) == split(id - DocsAdapter.EXACT_SHIFT), s"copy $id split apart")
+      }
+    val sides = split.values.toSet
+    assert(sides == Set("train", "val"), s"expected both sides, got $sides")
+  }
+
+  test("dataset card: cells reconcile with direct counts and shares sum to one") {
+    val docs = DocsAdapter.docs(spark, dir)
+    val card = TextAnalysis.datasetCard(docs).collect()
+    val direct = docs.groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(card.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap == direct)
+    assert(card.map(_.getLong(2)).sum == docs.count())
+    val docShare = card.map(_.getDouble(5)).sum
+    val tokShare = card.map(_.getDouble(6)).sum
+    assert(math.abs(docShare - 1.0) < 1e-3 && math.abs(tokShare - 1.0) < 1e-3,
+      s"shares must sum to ~1: $docShare / $tokShare")
+  }
 }

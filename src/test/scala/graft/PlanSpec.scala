@@ -272,4 +272,26 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS events_bucketed_plan")
     graft.util.Dirs.deleteRecursively(new java.io.File(d))
   }
+
+  test("BM25 broadcasts df/totals and plans the cut as top-k, never a full sort") {
+    val df = SparkEntry.queries("q_bm25")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // df table (|terms| rows) and the 1-row totals ride broadcasts
+    assert(plan.contains("BroadcastHashJoin"), s"df join must broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"totals must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no corpus-side shuffle join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"k-cut must be top-k:\n$plan")
+  }
+
+  test("decontam scrub broadcasts the bench gram set; corpus text never shuffles") {
+    val df = SparkEntry.queries("q_decontam_scrub")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench gram match must broadcast:\n$plan")
+    // the only hash exchanges carry hit positions / span structs — never the
+    // ws word array (the corpus text column)
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(!_.contains("ws#")),
+      s"an exchange carries the corpus word arrays:\n${exchanges.mkString("\n")}")
+  }
 }
