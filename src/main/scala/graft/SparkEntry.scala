@@ -925,7 +925,15 @@ object SparkEntry {
     // one cell-cardinality agg with map-side combine, totals on a 1-row
     // broadcast
     "q_dataset_card" -> ((s, dir) =>
-      graft.ml.TextAnalysis.datasetCard(DocsAdapter.docs(s, dir)))
+      graft.ml.TextAnalysis.datasetCard(DocsAdapter.docs(s, dir))),
+    // the `| bm25` PIPELINE step: ranked retrieval inside the query
+    // language — search narrows, bm25 ranks the survivors and exposes the
+    // score as a field; the score string round-trips to the exact rounded
+    // double (Java shortest-repr), so the twin compares doubles
+    "q_bm25_step" -> ((s, dir) =>
+      eng(s, dir).run("error | bm25 k=20 \"error 13\"").df
+        .select(col("doc_id"),
+          try_element_at(col("fields"), lit("bm25")).cast("double").as("bm25")))
   )
 
   /** Fixed query for the BM25 oracle row: mixed-frequency corpus terms plus
@@ -1176,6 +1184,10 @@ object SparkEntry {
       graft.ml.Sampling.leakFreeSplitSql(
         DocsAdapter.augmentedDocsSql(), 0.5, valFrac = 0.125),
     "q_dataset_card" ->
-      graft.ml.TextAnalysis.datasetCardSql("documents")
+      graft.ml.TextAnalysis.datasetCardSql("documents"),
+    "q_bm25_step" ->
+      s"""SELECT doc_id, bm25 FROM (${graft.ml.Retrieval.bm25TopKSql(
+        s"(SELECT $DOC AS doc_id, $RAW AS text FROM events WHERE event_type = 'error')",
+        Seq("error", "13"), k = 20)})""".stripMargin.replace("\n", " ")
   )
 }

@@ -244,6 +244,28 @@ class QueryEngine(val events: DataFrame, val configs: Seq[SourceConfig]) {
     }
   }
 
+  /** `bm25` (extension — the reference's search is boolean-only): keep the
+    * k incoming events most relevant to the quoted term list, ranked by
+    * BM25 over the normalized raw line, and expose the rounded score as
+    * the `bm25` field (so `where`/`table`/field stats compose with it).
+    * Scoring runs on the (doc_id, raw) projection; the k winners ride a
+    * broadcast back onto the full event rows (graft.ml.Retrieval).
+    */
+  final case class Bm25Step(terms: Seq[String], k: Int) extends Step {
+    val name = "bm25"
+    val inputType = PipeType.Events
+    val outputType = PipeType.Events
+    def apply(in: Frame): Frame = in match {
+      case EventsFrame(df) =>
+        val ranked = graft.ml.Retrieval.bm25JoinBack(df, "doc_id", "raw", terms, k)
+        EventsFrame(ranked
+          .withColumn("fields", F.map_union(col("fields"),
+            map(lit("bm25"), col("bm25").cast("string"))))
+          .drop("bm25"))
+      case _: TableFrame => throw QueryError("bm25 requires an events input")
+    }
+  }
+
   // ---------------------------------------------------------------- compile
 
   /** Compile one parsed step (registry analog of
@@ -276,6 +298,12 @@ class QueryEngine(val events: DataFrame, val configs: Seq[SourceConfig]) {
       val id = p.args.getOrElse("eventId",
         throw QueryError("failed to compile surrounding: eventId must be provided"))
       SurroundingStep(id, p.args.get("count").map(_.toInt).getOrElse(100))
+    case "bm25" =>
+      // terms lowercase up front: scoring tokenizes through the same
+      // normalize pass as every text operator (lowercased words)
+      val terms = p.value.split("\\s+").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
+      if (terms.isEmpty) throw QueryError("failed to compile bm25: no terms given")
+      Bm25Step(terms, p.args.get("k").map(_.toInt).getOrElse(100))
     case other => throw QueryError(s"unknown step type: $other")
   }
 

@@ -63,6 +63,22 @@ object Retrieval {
         round(col("score_scaled").cast("double") / BM25_SCALE, 4).as("bm25"))
   }
 
+  /** Rank an arbitrary frame by BM25 of one of its text columns and keep
+    * the top-k rows WITH their original columns plus `bm25` — the engine's
+    * `| bm25` pipeline step. Scoring runs over the (id, text) projection
+    * (the sliver shapes of [[bm25TopK]]); the k result ids then ride a
+    * broadcast back onto the full frame, so wide event rows never join
+    * shuffle-side and the final order is a k-row sort.
+    */
+  def bm25JoinBack(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val scores = bm25TopK(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")), terms, k)
+      .select(col("doc_id").as(idCol), col("bm25"))
+    df.join(broadcast(scores), Seq(idCol))
+      .orderBy(col("bm25").desc, col(idCol))
+  }
+
   /** DuckDB twin of [[bm25TopK]] — same fixed-point contributions, same
     * (score_scaled desc, doc_id) cut.
     */

@@ -237,4 +237,27 @@ class StepsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(occ("a") == 1L && occ("b") == 2L)
   }
+
+  test("bm25 step ranks events by relevance, exposes the score field, composes") {
+    val e = engine(frame(
+      ("1", "my-log.txt", "my-host", SID, T0, 0L, "2021-01-20 beta beta beta alpha"),
+      ("2", "my-log.txt", "my-host", SID, T0, 10L, "2021-01-20 beta alpha gamma delta"),
+      ("3", "my-log.txt", "my-host", SID, T0, 20L, "2021-01-20 alpha gamma delta zeta"),
+      // tf like doc 1 but twice the length: length-normalized below it
+      ("4", "my-log.txt", "my-host", SID, T0, 30L,
+        "2021-01-20 beta beta beta alpha x1 x2 x3 x4 x5 x6 x7 x8")))
+    val ranked = e.run("alpha | bm25 k=3 \"beta\"").df
+      .select(col("doc_id"), try_element_at(col("fields"), lit("bm25")).cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(ranked.map(_._1).toSeq == Seq("1", "4", "2"), s"ranking was ${ranked.toSeq}")
+    assert(ranked(0)._2 > ranked(1)._2 && ranked(1)._2 > ranked(2)._2)
+    // doc 3 has no query term: excluded even though k would allow it
+    assert(!ranked.map(_._1).contains("3"))
+    // the score is an ordinary field downstream: table can project it
+    val t = e.run("alpha | bm25 k=1 \"beta\" | table \"bm25\"")
+    val cell = t.df.collect().map(_.getString(0))
+    assert(cell.length == 1 && cell.head.toDouble > 0)
+    // unknown-terms step still compiles; empty terms must not
+    intercept[QueryError] { e.run("alpha | bm25 k=3 \"\"") }
+  }
 }
