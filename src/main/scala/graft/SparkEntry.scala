@@ -933,7 +933,13 @@ object SparkEntry {
     "q_bm25_step" -> ((s, dir) =>
       eng(s, dir).run("error | bm25 k=20 \"error 13\"").df
         .select(col("doc_id"),
-          try_element_at(col("fields"), lit("bm25")).cast("double").as("bm25")))
+          try_element_at(col("fields"), lit("bm25")).cast("double").as("bm25"))),
+    // TOKEN-SPACE decontamination over the input_hint payload shape
+    // (tokens array<int>): eval sets leak as token subsequences; windows
+    // hash map-only, the bench set rides a broadcast
+    "q_token_contam" -> ((s, dir) =>
+      graft.ml.Contamination.flagTokens(
+        DocsAdapter.tokenSeqs(s, dir), DocsAdapter.tokenBench(s)))
   )
 
   /** Fixed query for the BM25 oracle row: mixed-frequency corpus terms plus
@@ -1188,6 +1194,9 @@ object SparkEntry {
     "q_bm25_step" ->
       s"""SELECT doc_id, bm25 FROM (${graft.ml.Retrieval.bm25TopKSql(
         s"(SELECT $DOC AS doc_id, $RAW AS text FROM events WHERE event_type = 'error')",
-        Seq("error", "13"), k = 20)})""".stripMargin.replace("\n", " ")
+        Seq("error", "13"), k = 20)})""".stripMargin.replace("\n", " "),
+    "q_token_contam" ->
+      graft.ml.Contamination.flagTokensSql(
+        DocsAdapter.tokenSeqsSql(), DocsAdapter.tokenBenchSql())
   )
 }

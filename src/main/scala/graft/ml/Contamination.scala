@@ -94,6 +94,44 @@ object Contamination {
         concat_ws(" ", col("kept")).as("text"))
   }
 
+  /** TOKEN-SPACE decontamination — the variant a pre-tokenized pipeline
+    * (the BASELINE input_hint shape: `tokens array<int>`) actually runs,
+    * since eval sets leak as token subsequences regardless of surface
+    * text: flag every sequence sharing at least one L-token window with
+    * the benchmark's token sequences. Same scale shape as [[flag]]: both
+    * sides hash positioned windows (map-only), the benchmark side is tiny
+    * and distinct-deduped onto a broadcast, the corpus side never
+    * shuffles; per-doc counts are the only aggregate.
+    * Returns (doc_id, n_contaminated_grams).
+    */
+  def flagTokens(seqs: DataFrame, bench: DataFrame, L: Int = 8): DataFrame = {
+    def gramArr(ts: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), size(ts) - L),
+        i => TextDedup.hash64Col(
+          concat_ws(" ", transform(slice(ts, i + 1, lit(L)), _.cast("string")))))
+    val docGrams = seqs.filter(size(col("tokens")) >= L)
+      .select(col("doc_id"), explode(gramArr(col("tokens"))).as("gh"))
+    val benchGrams = bench.filter(size(col("tokens")) >= L)
+      .select(explode(gramArr(col("tokens"))).as("gh")).distinct()
+    docGrams.join(broadcast(benchGrams), Seq("gh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_grams"))
+  }
+
+  /** DuckDB twin of [[flagTokens]] — same positioned windows and hash over
+    * the space-joined token slice.
+    */
+  def flagTokensSql(seqsRel: String, benchRel: String, L: Int = 8): String = {
+    val gram = TextDedup.hash64Sql(s"array_to_string(tokens[pos + 1 : pos + $L], ' ')")
+    s"""WITH tkd AS (SELECT doc_id, $gram AS gh
+       |  FROM (SELECT doc_id, tokens, unnest(generate_series(0, len(tokens) - $L)) AS pos
+       |    FROM $seqsRel WHERE len(tokens) >= $L)),
+       |tkb AS (SELECT DISTINCT $gram AS gh
+       |  FROM (SELECT tokens, unnest(generate_series(0, len(tokens) - $L)) AS pos
+       |    FROM $benchRel WHERE len(tokens) >= $L))
+       |SELECT d.doc_id, count(*) AS n_contaminated_grams
+       |FROM tkd d JOIN tkb USING (gh) GROUP BY d.doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB twin of [[scrub]]: same positioned grams, benchmark gram set,
     * island merge, and ordered rebuild.
     */

@@ -312,6 +312,51 @@ object DocsAdapter {
           benchSentence(pmod(col("doc_id"), lit(BENCH_ITEMS)))))
       .otherwise(col("text")))
 
+  // -------- token-space contamination (the input_hint tokens payload) ----
+
+  val TOKEN_CONTAM_MOD = 23
+  val TOKEN_BENCH_ITEMS = 10
+  val TOKEN_BENCH_BASE = 9000000L
+  val TOKEN_BENCH_LEN = 16
+
+  /** (doc_id, tokens array<int>) — deterministic pre-tokenized sequences
+    * over the documents ids (40..99 tokens of bounded arithmetic ids), with
+    * PLANTED benchmark leakage: every doc_id % [[TOKEN_CONTAM_MOD]] == 0
+    * carries benchmark run doc_id % [[TOKEN_BENCH_ITEMS]] at positions
+    * 10..25. Benchmark token ids live above 9e6 while corpus ids stay
+    * below 50k, so the only cross-hits are the planted runs. Pure column
+    * arithmetic with a DuckDB twin.
+    */
+  def tokenSeqs(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = lit(40) + pmod(col("doc_id"), lit(60))
+    val b = pmod(col("doc_id"), lit(TOKEN_BENCH_ITEMS.toLong))
+    docs(spark, sfDir).select(col("doc_id"),
+      transform(sequence(lit(0), (nTok - 1).cast("int")), i =>
+        when(pmod(col("doc_id"), lit(TOKEN_CONTAM_MOD.toLong)) === 0 &&
+            i >= 10 && i < 10 + TOKEN_BENCH_LEN,
+          (lit(TOKEN_BENCH_BASE) + b * 100 + (i - 10)).cast("int"))
+        .otherwise(pmod(col("doc_id") * 31 + i * 7, lit(50000L)).cast("int")))
+        .as("tokens"))
+  }
+
+  def tokenSeqsSql(): String =
+    s"""(SELECT doc_id, list_transform(range(40 + doc_id % 60), i ->
+       | CAST(CASE WHEN doc_id % $TOKEN_CONTAM_MOD = 0 AND i >= 10 AND i < ${10 + TOKEN_BENCH_LEN}
+       |  THEN $TOKEN_BENCH_BASE + (doc_id % $TOKEN_BENCH_ITEMS) * 100 + (i - 10)
+       |  ELSE (doc_id * 31 + i * 7) % 50000 END AS INTEGER)) AS tokens
+       | FROM documents)""".stripMargin.replace("\n", " ")
+
+  /** (bench_id, tokens) — the held-out eval set in token space. */
+  def tokenBench(spark: SparkSession): DataFrame =
+    spark.range(TOKEN_BENCH_ITEMS).select(col("id").as("bench_id"),
+      transform(sequence(lit(0), lit(TOKEN_BENCH_LEN - 1)), j =>
+        (lit(TOKEN_BENCH_BASE) + col("id") * 100 + j).cast("int")).as("tokens"))
+
+  def tokenBenchSql(): String =
+    s"""(SELECT b AS bench_id, list_transform(range($TOKEN_BENCH_LEN), j ->
+       | CAST($TOKEN_BENCH_BASE + b * 100 + j AS INTEGER)) AS tokens
+       | FROM (SELECT range AS b FROM range($TOKEN_BENCH_ITEMS)))""".stripMargin.replace("\n", " ")
+
   def contamDocsSql(): String =
     s"""(SELECT doc_id, CASE WHEN doc_id % $CONTAM_MOD = 0
        | THEN text || ' $BENCH_PRE' || (doc_id % $BENCH_ITEMS) || '$BENCH_MID'

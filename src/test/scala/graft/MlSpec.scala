@@ -1267,6 +1267,20 @@ class MlSpec extends AnyFunSuite {
     assert(sides == Set("train", "val"), s"expected both sides, got $sides")
   }
 
+  test("token-space decontamination flags exactly the planted benchmark runs") {
+    val res = graft.ml.Contamination.flagTokens(
+      DocsAdapter.tokenSeqs(spark, dir), DocsAdapter.tokenBench(spark))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = DocsAdapter.docs(spark, dir).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % DocsAdapter.TOKEN_CONTAM_MOD == 0).toSet
+    assert(planted.nonEmpty && res.keySet == planted,
+      s"flagged ${res.keySet.size} docs, planted ${planted.size}")
+    // the 16-token run holds exactly 16-8+1 complete windows; windows
+    // straddling the run mix sub-50k corpus ids and never match bench
+    val expected = DocsAdapter.TOKEN_BENCH_LEN - 8 + 1
+    assert(res.values.forall(_ == expected.toLong), s"gram counts: ${res.values.toSet}")
+  }
+
   test("dataset card: cells reconcile with direct counts and shares sum to one") {
     val docs = DocsAdapter.docs(spark, dir)
     val card = TextAnalysis.datasetCard(docs).collect()
