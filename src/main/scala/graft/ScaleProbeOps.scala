@@ -433,6 +433,49 @@ object ScaleProbeOps {
       println(f"""{"probe":"decontam","docs":$nDocs,"contaminated":$nContam,""" +
         f""""dropped_words":${dcAgg.getLong(1)},"shuffle_records":$dcShuffle,""" +
         f""""secs":$dcSecs%.2f,"docs_per_sec":${nDocs / dcSecs}%.0f}""")
+      // ---- heavy-hitter n-grams: MG sketch vs exact shuffle --------------
+      // The web-scale shape: a tiny heavy head (5 template sentences over
+      // half the corpus — top trigram counts ~nDocs/10) under a huge
+      // near-unique tail (6 × nDocs/2 distinct filler trigrams). The exact
+      // aggregate must shuffle the whole distinct-gram table; the sketch
+      // path shuffles only the candidate summaries + candidate partials,
+      // and its self-check PROVES the answer exact before serving it.
+      // 5 variant-specific 7-word templates -> 25 distinct heavy trigrams,
+      // each with count nDocs/10 (so the whole top-20 sits in the head)
+      val hhWords = (0 until 8).map(j => concat(lit("u"), col("id"), lit(s"x$j")))
+      val hhHeavy = concat_ws(" ", (0 until 7).map(j =>
+        concat(lit("h"), pmod(col("id"), lit(10)), lit(s"w$j"))): _*)
+      val hhDocs0 = spark.range(nDocs).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(2)) === 0, hhHeavy)
+          .otherwise(concat_ws(" ", hhWords: _*)).as("text"))
+      hhDocs0.write.mode("overwrite").parquet(s"$root/hh")
+      val hhDocs = spark.read.parquet(s"$root/hh")
+      val ((hhRes, hhSecs), hhShuffle) =
+        withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
+          time {
+            val (df, proven) =
+              graft.ml.TextAnalysis.ngramTopKSketchProven(hhDocs, 3, 20, 4096)
+            (df.collect().map(r => (r.getString(0), r.getLong(1))), proven)
+          }
+        }
+      require(hhRes._2, "the heavy head clears N/(capacity+1): proof must succeed")
+      val ((exRes, exSecs), exShuffle) =
+        withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
+          time {
+            graft.ml.TextAnalysis.ngramTopK(hhDocs, 3, 20)
+              .collect().map(r => (r.getString(0), r.getLong(1)))
+          }
+        }
+      require(hhRes._1.toSeq == exRes.toSeq,
+        "sketch-served top-k must equal the exact aggregate")
+      require(hhRes._1.forall(_._2 >= nDocs / 10),
+        s"top-k must be the heavy head: ${hhRes._1.take(3).toSeq}")
+      require(5 * hhShuffle <= exShuffle,
+        s"sketch must cut the shuffle >=5x (sketch $hhShuffle vs exact $exShuffle)")
+      println(f"""{"probe":"hh_ngrams","docs":$nDocs,"capacity":4096,"k":20,""" +
+        f""""sketch_shuffle":$hhShuffle,"exact_shuffle":$exShuffle,""" +
+        f""""shuffle_ratio":${exShuffle.toDouble / math.max(hhShuffle, 1)}%.1f,""" +
+        f""""sketch_secs":$hhSecs%.2f,"exact_secs":$exSecs%.2f}""")
     } finally {
       spark.stop()
       graft.util.Dirs.deleteRecursively(new File(root))

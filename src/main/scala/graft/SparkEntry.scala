@@ -939,7 +939,13 @@ object SparkEntry {
     // hash map-only, the bench set rides a broadcast
     "q_token_contam" -> ((s, dir) =>
       graft.ml.Contamination.flagTokens(
-        DocsAdapter.tokenSeqs(s, dir), DocsAdapter.tokenBench(s)))
+        DocsAdapter.tokenSeqs(s, dir), DocsAdapter.tokenBench(s))),
+    // heavy-hitter n-grams via Misra-Gries candidates + exact recount (the
+    // web-scale path that never shuffles the distinct-gram table); the
+    // self-check proves exactness or falls back to the exact aggregate, so
+    // the twin is simply the exact top-k
+    "q_ngram_topk_sketch" -> ((s, dir) =>
+      graft.ml.TextAnalysis.ngramTopKSketch(DocsAdapter.docs(s, dir), n = 3, k = 50))
   )
 
   /** Fixed query for the BM25 oracle row: mixed-frequency corpus terms plus
@@ -1197,6 +1203,8 @@ object SparkEntry {
         Seq("error", "13"), k = 20)})""".stripMargin.replace("\n", " "),
     "q_token_contam" ->
       graft.ml.Contamination.flagTokensSql(
-        DocsAdapter.tokenSeqsSql(), DocsAdapter.tokenBenchSql())
+        DocsAdapter.tokenSeqsSql(), DocsAdapter.tokenBenchSql()),
+    "q_ngram_topk_sketch" ->
+      graft.ml.TextAnalysis.ngramTopKSql("documents", n = 3, k = 50)
   )
 }

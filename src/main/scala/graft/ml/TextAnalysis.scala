@@ -51,6 +51,73 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Heavy-hitter n-grams via per-partition Misra-Gries summaries + an
+    * exact candidate recount — the 10^12-token scale path for
+    * [[ngramTopK]], whose shuffle carries every distinct gram (at web
+    * scale: trillions of near-unique grams for a top-50 answer).
+    *
+    * Pass 1 (map-only): each partition folds its gram stream through a
+    * capacity-`capacity` Misra-Gries summary (Misra & Gries '82; merging
+    * preserves the guarantee — Agarwal et al., PODS'12 mergeable
+    * summaries), so any gram with global count > N/(capacity+1) survives
+    * in some partition. The candidate union (≤ capacity×partitions rows,
+    * the only driver traffic) broadcasts back.
+    * Pass 2: exact recount of CANDIDATES only — non-candidates are
+    * filtered before the aggregate, so the exchange carries the partial
+    * counts of ≤ capacity grams per partition, never the distinct-gram
+    * table.
+    *
+    * The operator NEVER returns an approximate answer: the result is
+    * provably exact iff the k-th recounted frequency clears the MG
+    * threshold N/(capacity+1) (then every gram with count ≥ k-th is a
+    * candidate, ties included); when the check fails — flat distributions,
+    * tiny corpora — it falls back to the exact [[ngramTopK]]. The sketch
+    * only ever decides how much shuffles.
+    */
+  def ngramTopKSketch(docs: DataFrame, n: Int, k: Int,
+      capacity: Int = 65536): DataFrame =
+    ngramTopKSketchProven(docs, n, k, capacity)._1
+
+  /** [[ngramTopKSketch]] plus whether the sketch path PROVED exactness (vs
+    * taking the exact fallback) — exposed for tests and the scale probe.
+    */
+  private[graft] def ngramTopKSketchProven(docs: DataFrame, n: Int, k: Int,
+      capacity: Int): (DataFrame, Boolean) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws = split(TextDedup.normalizeCol(col("text")), " ")
+    def gramArr = transform(sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
+    val grams = docs.filter(size(ws) >= n).select(explode(gramArr).as("gram"))
+    val candidates = grams.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { g =>
+        m.get(g) match {
+          case Some(c) => m.update(g, c + 1)
+          case None if m.size < capacity => m.update(g, 1L)
+          case None =>
+            // decrement-all: O(capacity) amortized over >= capacity arrivals
+            val dead = List.newBuilder[String]
+            m.mapValuesInPlace((_, c) => c - 1)
+            m.foreach { case (g0, c) => if (c <= 0) dead += g0 }
+            dead.result().foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.distinct().collect()
+    val total = docs
+      .select(sum(greatest(size(ws) - (n - 1), lit(0))).as("t"))
+      .head().getLong(0)
+    val top = grams.filter(col("gram").isInCollection(candidates.toSeq))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(k)
+      .localCheckpoint(eager = true) // k rows; pinned so the check is free
+    val rows = top.collect()
+    val exactProven = rows.length == k &&
+      rows.map(_.getLong(1)).min > total.toDouble / (capacity + 1)
+    if (exactProven) (top, true) else (ngramTopK(docs, n, k), false)
+  }
+
   def ngramTopKSql(docsRel: String, n: Int, k: Int): String =
     s"""SELECT gram, count(*) AS n FROM (
        | SELECT unnest(list_transform(range(len(ws) - ${n - 1}),

@@ -1281,6 +1281,31 @@ class MlSpec extends AnyFunSuite {
     assert(res.values.forall(_ == expected.toLong), s"gram counts: ${res.values.toSet}")
   }
 
+  test("MG sketch top-k equals the exact aggregate on every code path") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val docs = DocsAdapter.docs(spark, dir)
+    val exact = rows(TextAnalysis.ngramTopK(docs, 3, 20))
+    // generous capacity: no evictions, proof succeeds on the sketch path
+    val (bigDf, bigProven) = TextAnalysis.ngramTopKSketchProven(docs, 3, 20, 65536)
+    assert(bigProven && rows(bigDf) == exact)
+    // starved capacity: evictions break the guarantee, the self-check must
+    // refuse the sketch and fall back to the exact aggregate
+    val (smallDf, smallProven) = TextAnalysis.ngramTopKSketchProven(docs, 3, 20, 8)
+    assert(!smallProven && rows(smallDf) == exact)
+    // skew: heavy grams repeat 500×, the filler tail is all-unique — the
+    // tiny summary evicts the tail yet provably retains the heavies
+    val skew = (0 until 1000).map { i =>
+      if (i % 2 == 0) (i.toLong, "heavy alpha beta gamma delta")
+      else (i.toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e")
+    }.toDF("doc_id", "text")
+    val exactSkew = rows(TextAnalysis.ngramTopK(skew, 3, 3))
+    val (skewDf, skewProven) = TextAnalysis.ngramTopKSketchProven(skew, 3, 3, 16)
+    assert(skewProven, "the heavy counts clear N/(capacity+1): proof must succeed")
+    assert(rows(skewDf) == exactSkew && exactSkew.forall(_._2 == 500L))
+  }
+
   test("dataset card: cells reconcile with direct counts and shares sum to one") {
     val docs = DocsAdapter.docs(spark, dir)
     val card = TextAnalysis.datasetCard(docs).collect()
