@@ -945,7 +945,20 @@ object SparkEntry {
     // self-check proves exactness or falls back to the exact aggregate, so
     // the twin is simply the exact top-k
     "q_ngram_topk_sketch" -> ((s, dir) =>
-      graft.ml.TextAnalysis.ngramTopKSketch(DocsAdapter.docs(s, dir), n = 3, k = 50))
+      graft.ml.TextAnalysis.ngramTopKSketch(DocsAdapter.docs(s, dir), n = 3, k = 50)),
+    // AS-OF join: every event enriched with the config version live at its
+    // timestamp (tag-and-union + one keyed window — never a range join);
+    // the twin is DuckDB's NATIVE ASOF LEFT JOIN, so the green row proves
+    // the union-window plan IS the as-of semantics
+    "q_asof_enrich" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("ts"))
+      graft.plans.AsOfJoin.enrich(ev, EventsAdapter.configVersions(s),
+          key = "event_type", ord = "ts",
+          payload = Seq("cfg_version", "retention_days"))
+        .select(col("event_id"), col("event_type"),
+          col("cfg_version"), col("retention_days"))
+    })
   )
 
   /** Fixed query for the BM25 oracle row: mixed-frequency corpus terms plus
@@ -1205,6 +1218,10 @@ object SparkEntry {
       graft.ml.Contamination.flagTokensSql(
         DocsAdapter.tokenSeqsSql(), DocsAdapter.tokenBenchSql()),
     "q_ngram_topk_sketch" ->
-      graft.ml.TextAnalysis.ngramTopKSql("documents", n = 3, k = 50)
+      graft.ml.TextAnalysis.ngramTopKSql("documents", n = 3, k = 50),
+    "q_asof_enrich" ->
+      s"""SELECT e.event_id, e.event_type, v.cfg_version, v.retention_days
+         |FROM events e ASOF LEFT JOIN ${EventsAdapter.configVersionsSql()} v
+         |ON e.event_type = v.event_type AND e.ts >= v.ts""".stripMargin.replace("\n", " ")
   )
 }

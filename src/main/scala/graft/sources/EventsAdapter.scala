@@ -114,6 +114,43 @@ object EventsAdapter {
       |     WHEN event_id % 3 = 1 THEN date_trunc('second', ts)
       |     ELSE make_timestamp((epoch_us(ts) // 1000000) * 1000000 + (epoch_us(ts) % 1000000) // 1000) END""".stripMargin.replace("\n", " ")
 
+  /** Deterministic CONFIG VERSION HISTORY for the as-of enrich: every
+    * event type gets [[CONFIG_VERSIONS]] config generations spaced
+    * [[CONFIG_STEP_HOURS]] apart from the corpus epoch (the dynamic-config
+    * reload history a long-lived ingest accumulates). Pure column
+    * arithmetic with a DuckDB twin; `ts` is TIMESTAMP_NTZ to match the
+    * parquet events column.
+    */
+  val CONFIG_TYPES: Seq[String] = Seq("click", "signup", "error", "view", "purchase")
+  val CONFIG_VERSIONS = 20
+  val CONFIG_STEP_HOURS = 36
+
+  def configVersions(spark: SparkSession): DataFrame = {
+    val t = pmod(col("id"), lit(CONFIG_TYPES.length.toLong))
+    val v = floor(col("id") / CONFIG_TYPES.length)
+    val etype = CONFIG_TYPES.zipWithIndex.tail.foldLeft(
+      lit(CONFIG_TYPES.head)) { case (acc, (name, i)) =>
+      when(t === i, name).otherwise(acc)
+    }
+    spark.range(CONFIG_TYPES.length.toLong * CONFIG_VERSIONS).select(
+      etype.as("event_type"),
+      (lit("2024-01-01 00:00:00").cast("timestamp_ntz") +
+        make_dt_interval(lit(0), (v * CONFIG_STEP_HOURS).cast("int"),
+          lit(0), lit(0))).as("ts"),
+      concat(lit("kv-v"), v.cast("long")).as("cfg_version"),
+      (v + 30).cast("long").as("retention_days"))
+  }
+
+  def configVersionsSql(): String = {
+    val cases = CONFIG_TYPES.zipWithIndex
+      .map { case (n, i) => s"WHEN $i THEN '$n'" }.mkString(" ")
+    s"""(SELECT CASE (r % ${CONFIG_TYPES.length}) $cases END AS event_type,
+       | TIMESTAMP '2024-01-01 00:00:00' + to_hours($CONFIG_STEP_HOURS * (r // ${CONFIG_TYPES.length})) AS ts,
+       | 'kv-v' || (r // ${CONFIG_TYPES.length}) AS cfg_version,
+       | CAST((r // ${CONFIG_TYPES.length}) + 30 AS BIGINT) AS retention_days
+       | FROM (SELECT range AS r FROM range(${CONFIG_TYPES.length * CONFIG_VERSIONS})))""".stripMargin.replace("\n", " ")
+  }
+
   /** The same events rendered as a pre-tokenized `sequences` table
     * (BASELINE.json input_hint shape) — lets the DuckDB oracle verify the
     * full tokens -> parse -> enrich -> route -> aggregate pipeline, because

@@ -273,6 +273,39 @@ class PlanSpec extends AnyFunSuite {
     graft.util.Dirs.deleteRecursively(new java.io.File(d))
   }
 
+  test("as-of enrich: latest-at-or-before semantics, one keyed exchange, no range join") {
+    import spark.implicits._
+    val t = (s: String) => java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+    val left = Seq(
+      ("e1", "k1", t("2024-01-01 05:00:00")),
+      ("e2", "k1", t("2024-01-01 04:00:00")), // exactly AT a version ts
+      ("e3", "k1", t("2023-12-31 23:00:00")), // before any version
+      ("e4", "k2", t("2024-01-01 05:00:00"))) // other key: its own history
+      .toDF("event_id", "k", "ts")
+    val right = Seq(
+      ("k1", t("2024-01-01 00:00:00"), "v1", 1L),
+      ("k1", t("2024-01-01 04:00:00"), "v2", 2L),
+      ("k1", t("2024-01-01 06:00:00"), "v3", 3L),
+      ("k2", t("2024-01-01 01:00:00"), "w1", 9L))
+      .toDF("k", "ts", "cfg", "n")
+    val df = graft.plans.AsOfJoin.enrich(left, right, "k", "ts", Seq("cfg", "n"))
+    val got = df.collect().map(r => r.getString(0) -> ((r.getString(3), r.get(4)))).toMap
+    assert(got("e1") == (("v2", 2L))) // latest <= 05:00 is the 04:00 version
+    assert(got("e2") == (("v2", 2L))) // a version taking effect AT t applies
+    assert(got("e3") == ((null, null))) // no prior version -> left-join nulls
+    assert(got("e4") == (("w1", 9L))) // histories never cross keys
+    // plan: ONE hash exchange on the key (the union sides coalesce into the
+    // same window shuffle) and no range/nested-loop join anywhere — read
+    // off an unexecuted twin frame (the collected one prints the AQE
+    // initial plan too, double-counting the exchange)
+    val plan = graft.plans.AsOfJoin.enrich(left, right, "k", "ts", Seq("cfg", "n"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      s"as-of must never plan a range/theta join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"tag-and-union must cost exactly one keyed exchange:\n$plan")
+  }
+
   test("BM25 broadcasts df/totals and plans the cut as top-k, never a full sort") {
     val df = SparkEntry.queries("q_bm25")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
