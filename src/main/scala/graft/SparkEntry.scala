@@ -958,7 +958,14 @@ object SparkEntry {
           payload = Seq("cfg_version", "retention_days"))
         .select(col("event_id"), col("event_type"),
           col("cfg_version"), col("retention_days"))
-    })
+    }),
+    // exact per-type value percentiles from the (group, value) histogram —
+    // cells cross the wire and the cumulative walk windows over CELLS,
+    // never rows; type-1 rank rule so both engines agree bit-for-bit
+    "q_percentiles" -> ((s, dir) =>
+      graft.plans.Percentiles.byGroup(
+        s.read.parquet(s"$dir/events.parquet"), "event_type", "value",
+        Seq(0.5, 0.9, 0.99)))
   )
 
   /** Fixed query for the BM25 oracle row: mixed-frequency corpus terms plus
@@ -1222,6 +1229,9 @@ object SparkEntry {
     "q_asof_enrich" ->
       s"""SELECT e.event_id, e.event_type, v.cfg_version, v.retention_days
          |FROM events e ASOF LEFT JOIN ${EventsAdapter.configVersionsSql()} v
-         |ON e.event_type = v.event_type AND e.ts >= v.ts""".stripMargin.replace("\n", " ")
+         |ON e.event_type = v.event_type AND e.ts >= v.ts""".stripMargin.replace("\n", " "),
+    "q_percentiles" ->
+      graft.plans.Percentiles.byGroupSql("events", "event_type", "value",
+        Seq(0.5, 0.9, 0.99))
   )
 }

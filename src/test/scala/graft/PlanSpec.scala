@@ -306,6 +306,30 @@ class PlanSpec extends AnyFunSuite {
       s"tag-and-union must cost exactly one keyed exchange:\n$plan")
   }
 
+  test("percentiles: type-1 ranks on a hand distribution; sort is over cells, not rows") {
+    import spark.implicits._
+    // 100 rows of value=i per group g1 (p50 = ceil(0.5*100)=rank 50 -> 50)
+    // plus a skewed g2 where one hot value holds the median
+    val rows = (1 to 100).map(i => ("g1", i.toDouble)) ++
+      (1 to 10).map(_ => ("g2", 7.0)) ++ Seq(("g2", 1.0), ("g2", 99.0))
+    val df = rows.toDF("g", "value")
+    val got = graft.plans.Percentiles.byGroup(df, "g", "value", Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("g1") == ((100L, 50.0, 90.0, 99.0)))
+    // ranks 6 and 11 of 12 both land inside the hot 7.0 run (cum 11);
+    // rank ceil(.99*12)=12 reaches the tail
+    assert(got("g2") == ((12L, 7.0, 7.0, 99.0)))
+    // the row stream crosses ONE exchange (the histogram agg); the
+    // cumulative walk re-partitions CELLS on the group key only
+    val plan = graft.plans.Percentiles
+      .byGroup(df, "g", "value", Seq(0.5)).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"histogram agg + cell-keyed window = two exchanges, rows cross once:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"no global sort of the row stream:\n$plan")
+  }
+
   test("BM25 broadcasts df/totals and plans the cut as top-k, never a full sort") {
     val df = SparkEntry.queries("q_bm25")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
