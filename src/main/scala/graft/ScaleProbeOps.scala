@@ -476,6 +476,45 @@ object ScaleProbeOps {
         f""""sketch_shuffle":$hhShuffle,"exact_shuffle":$exShuffle,""" +
         f""""shuffle_ratio":${exShuffle.toDouble / math.max(hhShuffle, 1)}%.1f,""" +
         f""""sketch_secs":$hhSecs%.2f,"exact_secs":$exSecs%.2f}""")
+      // ---- embedding diversity at forced scale ---------------------------
+      // 1M unit vectors over 100 labels; within a label the vectors
+      // alternate between TWO orthogonal basis vectors, so the mean
+      // pairwise cosine has the closed form (n/2 - 1)/(n - 1) (same-basis
+      // pairs contribute 1, cross pairs 0). The linear ||sum||^2 identity
+      // must hit it exactly; the exchange carries (label, dim) partial
+      // sums — pair enumeration would be ~n^2/labels ≈ 10^10 comparisons.
+      val nDiv = sys.env.getOrElse("PROBE_DIV_VECS", "1000000").toLong
+      require(nDiv % 200 == 0, "PROBE_DIV_VECS must make even per-label parity splits")
+      val dBase = pmod(pmod(col("id"), lit(100L)), lit(8L)) * 2
+      val dTarget = (dBase + pmod(floor(col("id") / 100), lit(2L))).cast("int")
+      spark.range(nDiv).select(
+        col("id").as("vec_id"),
+        concat(lit("l"), pmod(col("id"), lit(100L))).as("label"),
+        transform(sequence(lit(0), lit(15)),
+          d => when(d === dTarget, 1.0f).otherwise(0.0f)).as("embedding"))
+        .write.mode("overwrite").parquet(s"$root/divvecs")
+      val divEmb = spark.read.parquet(s"$root/divvecs")
+      val ((divRows, divSecs), divShuffle) =
+        withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
+          time {
+            graft.ml.Similarity.diversityByGroup(divEmb)
+              .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          }
+        }
+      val nPer = nDiv / 100
+      val expCos = {
+        val raw = (nPer / 2.0 - 1.0) / (nPer - 1.0)
+        math.round(raw * 10000).toDouble / 10000
+      }
+      require(divRows.length == 100 &&
+        divRows.forall(r => r._2 == nPer && r._3 == expCos),
+        s"diversity closed form violated (expected ($nPer, $expCos)): ${divRows.take(3).toSeq}")
+      require(divShuffle <= nDiv / 10,
+        s"diversity shuffled $divShuffle records — the (label, dim) partial " +
+          "aggregation must combine map-side, never ship components")
+      println(f"""{"probe":"diversity","vecs":$nDiv,"labels":100,"dim":16,""" +
+        f""""shuffle_records":$divShuffle,"secs":$divSecs%.2f,""" +
+        f""""vecs_per_sec":${nDiv / divSecs}%.0f}""")
     } finally {
       spark.stop()
       graft.util.Dirs.deleteRecursively(new File(root))
