@@ -515,6 +515,41 @@ object ScaleProbeOps {
       println(f"""{"probe":"diversity","vecs":$nDiv,"labels":100,"dim":16,""" +
         f""""shuffle_records":$divShuffle,"secs":$divSecs%.2f,""" +
         f""""vecs_per_sec":${nDiv / divSecs}%.0f}""")
+      // ---- as-of join at forced scale -------------------------------------
+      // nDocs events over 100 keys against 100k versions (1000 generations
+      // per key at ord = v*1000): the as-of version of event `ord` is
+      // closed-form floor(ord/1000), capped at the last generation. The
+      // tag-and-union plan must ship events + versions through ONE keyed
+      // exchange — a range-exploded join would blow up ~1000× on the
+      // version side.
+      val nVer = 100000L
+      val aevents = spark.range(nDocs).select(
+        col("id").as("event_id"),
+        concat(lit("k"), pmod(col("id"), lit(100L))).as("key"),
+        pmod(xxhash64(col("id")), lit(nVer * 10)).as("ord"))
+      val aversions = spark.range(nVer).select(
+        concat(lit("k"), pmod(col("id"), lit(100L))).as("key"),
+        (floor(col("id") / 100) * 1000).cast("long").as("ord"),
+        floor(col("id") / 100).cast("long").as("ver"))
+      aevents.write.mode("overwrite").parquet(s"$root/aev")
+      aversions.write.mode("overwrite").parquet(s"$root/aver")
+      val (aeD, avD) = (spark.read.parquet(s"$root/aev"), spark.read.parquet(s"$root/aver"))
+      val ((aoBad, aoSecs), aoShuffle) =
+        withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
+          time {
+            graft.plans.AsOfJoin.enrich(aeD, avD, "key", "ord", Seq("ver"))
+              .filter(col("ver") =!= least(floor(col("ord") / 1000),
+                lit(nVer / 100 - 1)).cast("long"))
+              .count()
+          }
+        }
+      require(aoBad == 0, s"as-of closed form violated on $aoBad events")
+      require(aoShuffle <= 2 * (nDocs + nVer),
+        s"as-of shuffled $aoShuffle records — events + versions must cross " +
+          s"one keyed exchange (bound ${2 * (nDocs + nVer)})")
+      println(f"""{"probe":"asof","events":$nDocs,"versions":$nVer,"keys":100,""" +
+        f""""shuffle_records":$aoShuffle,"secs":$aoSecs%.2f,""" +
+        f""""events_per_sec":${nDocs / aoSecs}%.0f}""")
     } finally {
       spark.stop()
       graft.util.Dirs.deleteRecursively(new File(root))
