@@ -965,7 +965,31 @@ object SparkEntry {
     "q_percentiles" -> ((s, dir) =>
       graft.plans.Percentiles.byGroup(
         s.read.parquet(s"$dir/events.parquet"), "event_type", "value",
-        Seq(0.5, 0.9, 0.99)))
+        Seq(0.5, 0.9, 0.99))),
+    // collocation mining: top-k word pairs by lift (the log-free PMI rank);
+    // pairs generate per-row via higher-order functions, ONE pair exchange,
+    // and both engines build the identical IEEE double so the raw-lift
+    // ORDER BY agrees bit-for-bit
+    "q_collocations" -> ((s, dir) =>
+      graft.ml.CorpusStats.collocations(DocsAdapter.docs(s, dir))),
+    // tokenizer sizing: smallest vocab covering 50/90/99% of token
+    // occurrences — the cumulative walk runs over the COUNT-VALUE histogram
+    // (cells), never over ranked tokens; closed-form inside tie-cells
+    "q_vocab_coverage" -> ((s, dir) =>
+      graft.ml.CorpusStats.vocabCoverage(DocsAdapter.tokenSeqs(s, dir))),
+    // padding cost of sorted vs arrival batching over the token sequences;
+    // global ranks come from the two-phase block prefix sum (blocks =
+    // length values / doc_id ranges), the twin uses the naive global
+    // row_number — the green row proves the two-phase rank IS the order
+    "q_length_batches" -> ((s, dir) =>
+      graft.ml.CorpusStats.lengthBatchCost(DocsAdapter.tokenSeqs(s, dir))),
+    // host-graph PageRank, three damped power iterations entirely in
+    // fixed-point BIGINT (contributions = pr div deg, damping = ·85 div
+    // 100) — bit-exact across engines, one dst-keyed exchange per
+    // iteration, rank/degree tables stay host-cardinality
+    "q_pagerank" -> ((s, dir) =>
+      graft.plans.LinkGraph.pagerank(
+        graft.plans.LinkGraph.hostEdges(DocsAdapter.docs(s, dir))))
   )
 
   /** Fixed query for the BM25 oracle row: mixed-frequency corpus terms plus
@@ -1232,6 +1256,15 @@ object SparkEntry {
          |ON e.event_type = v.event_type AND e.ts >= v.ts""".stripMargin.replace("\n", " "),
     "q_percentiles" ->
       graft.plans.Percentiles.byGroupSql("events", "event_type", "value",
-        Seq(0.5, 0.9, 0.99))
+        Seq(0.5, 0.9, 0.99)),
+    "q_collocations" ->
+      graft.ml.CorpusStats.collocationsSql("documents"),
+    "q_vocab_coverage" ->
+      graft.ml.CorpusStats.vocabCoverageSql(DocsAdapter.tokenSeqsSql()),
+    "q_length_batches" ->
+      graft.ml.CorpusStats.lengthBatchCostSql(DocsAdapter.tokenSeqsSql()),
+    "q_pagerank" ->
+      graft.plans.LinkGraph.pagerankSql(
+        graft.plans.LinkGraph.hostEdgesSql("documents"))
   )
 }
