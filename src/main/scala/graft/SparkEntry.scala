@@ -989,7 +989,18 @@ object SparkEntry {
     // iteration, rank/degree tables stay host-cardinality
     "q_pagerank" -> ((s, dir) =>
       graft.plans.LinkGraph.pagerank(
-        graft.plans.LinkGraph.hostEdges(DocsAdapter.docs(s, dir))))
+        graft.plans.LinkGraph.hostEdges(DocsAdapter.docs(s, dir)))),
+    // per-doc TF-IDF keywords with the LINEAR idf N/df — the rational
+    // score is the identical IEEE double on both engines, so the ranking
+    // (incl. near-ties) agrees bit-for-bit; row_number<=k rewrites to
+    // map-side WindowGroupLimit
+    "q_keywords" -> ((s, dir) =>
+      graft.ml.TextAnalysis.keywords(DocsAdapter.docs(s, dir))),
+    // bigram-LM quality score: mean log10 p(b|a) under the corpus's own
+    // add-one bigram model — the conditional upgrade of q_lm_score (word
+    // ORDER now costs); same (doc,a,b,cnt) fold shape on both engines
+    "q_bigram_lm" -> ((s, dir) =>
+      graft.ml.TextAnalysis.bigramLmScore(DocsAdapter.docs(s, dir)))
   )
 
   /** Fixed query for the BM25 oracle row: mixed-frequency corpus terms plus
@@ -1265,6 +1276,10 @@ object SparkEntry {
       graft.ml.CorpusStats.lengthBatchCostSql(DocsAdapter.tokenSeqsSql()),
     "q_pagerank" ->
       graft.plans.LinkGraph.pagerankSql(
-        graft.plans.LinkGraph.hostEdgesSql("documents"))
+        graft.plans.LinkGraph.hostEdgesSql("documents")),
+    "q_keywords" ->
+      graft.ml.TextAnalysis.keywordsSql("documents"),
+    "q_bigram_lm" ->
+      graft.ml.TextAnalysis.bigramLmScoreSql("documents")
   )
 }

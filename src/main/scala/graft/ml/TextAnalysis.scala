@@ -562,4 +562,122 @@ object TextAnalysis {
     val norm = TextDedup.normalizeSql("text")
     s"SELECT doc_id, md5(norm) AS fp_md5, ${TextDedup.hash64Sql("norm")} AS fp_int FROM (SELECT doc_id, $norm AS norm FROM $docsRel)"
   }
+
+  // --------------------------------------------------- keyword extraction
+
+  /** Per-document top-k keywords by tf·idf with the LINEAR idf `N/df`
+    * (instead of log N/df): the score is then the pure rational
+    * `cnt·N/df`, and both engines materialize it as the IDENTICAL IEEE
+    * double (exact integer operands < 2^53, same op order), so the
+    * per-document ranking — including near-ties — agrees bit-for-bit.
+    * A log idf would rank almost identically but hang the ORDER BY on a
+    * transcendental the two engines may round differently at the ulp.
+    * Stopwords need no list: df ≈ N drives their idf to the floor.
+    *
+    * Scale shape: one (doc, word) occurrence exchange with map-side
+    * combine, a vocab-sized df join (AQE-broadcast here, word-keyed
+    * shuffle at web vocab), the corpus size on a 1-row broadcast; the
+    * per-doc top-k is a `row_number ≤ k` filter that Spark rewrites to
+    * WindowGroupLimit — each map task forwards at most k rows per doc
+    * before the window exchange, so the sort never sees full postings.
+    */
+  def keywords(docs: DataFrame, k: Int = 5, minLen: Int = 3): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+        explode(split(TextDedup.normalizeCol(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= minLen)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val dfreq = occ.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    occ.join(dfreq, "w").crossJoin(broadcast(n))
+      .withColumn("score_raw",
+        col("cnt").cast("double") * col("n") / col("df"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_raw").desc, col("w"))))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("w").as("keyword"),
+        round(col("score_raw"), 4).as("tfidf"), col("rn"))
+  }
+
+  /** DuckDB twin of [[keywords]] — same double, same tie-break. */
+  def keywordsSql(docsRel: String, k: Int = 5, minLen: Int = 3): String = {
+    val norm = TextDedup.normalizeSql("text")
+    s"""WITH occ AS (SELECT doc_id, w, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(string_split($norm, ' ')) AS w
+       |        FROM $docsRel)
+       |  WHERE length(w) >= $minLen GROUP BY doc_id, w),
+       |dfreq AS (SELECT w, count(*) AS df FROM occ GROUP BY w),
+       |n AS (SELECT count(*) AS n FROM $docsRel)
+       |SELECT doc_id, keyword, round(score_raw, 4) AS tfidf, rn
+       |FROM (SELECT occ.doc_id, occ.w AS keyword,
+       |    CAST(occ.cnt AS DOUBLE) * n.n / dfreq.df AS score_raw,
+       |    row_number() OVER (PARTITION BY occ.doc_id
+       |      ORDER BY CAST(occ.cnt AS DOUBLE) * n.n / dfreq.df DESC, occ.w) AS rn
+       |  FROM occ JOIN dfreq ON dfreq.w = occ.w, n)
+       |WHERE rn <= $k""".stripMargin.replace("\n", " ")
+  }
+
+  // ------------------------------------------------------ bigram LM score
+
+  /** Bigram-LM quality score — the conditional upgrade of [[lmScore]]'s
+    * unigram model (CCNet uses a real LM; the add-one-smoothed bigram is
+    * the strongest model two engines can share exactly): per document, the
+    * mean log10 of p(b|a) = (c(a,b)+1) / (c(a)+V) over its adjacent word
+    * bigrams, where c(·) are corpus counts and V the corpus vocab size.
+    * Repetitive or template text scores high, gibberish word salad low —
+    * and unlike the unigram score, scrambled word order now costs.
+    *
+    * Same staging discipline as [[lmScore]]: everything aggregates through
+    * the (doc, a, b, cnt) exchange, so both engines fold the same addends
+    * in the per-doc mean; documents with fewer than two words have no
+    * bigram and emit no row (both engines).
+    *
+    * Scale shape: one bigram-pair exchange (map-side combined) reused by
+    * the model aggregate and the scoring join (ReuseExchange), a
+    * bigram-vocab join, a word-vocab join, V on a 1-row broadcast.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"),
+      split(TextDedup.normalizeCol(col("text")), " ").as("ws"))
+    val occ = ws.filter(size(col("ws")) > 1)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - 2), i =>
+          struct(element_at(col("ws"), i + 1).as("a"),
+            element_at(col("ws"), i + 2).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("cnt"))
+    val big = occ.groupBy("a", "b").agg(sum(col("cnt")).as("cab"))
+    val uni = ws.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("ca"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    occ.join(big, Seq("a", "b"))
+      .join(uni.select(col("w").as("a"), col("ca")), "a")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log10((col("cab") + 1).cast("double") /
+        (col("ca") + col("v")).cast("double")))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        round(sum(col("cnt") * col("lp")) / sum(col("cnt")), 4).as("bi_score"))
+  }
+
+  /** DuckDB twin of [[bigramLmScore]] — same smoothing, same (doc, a, b,
+    * cnt) fold shape, same 4-dp rounding.
+    */
+  def bigramLmScoreSql(docsRel: String): String = {
+    val norm = TextDedup.normalizeSql("text")
+    s"""WITH w0 AS (SELECT doc_id, string_split($norm, ' ') AS ws FROM $docsRel),
+       |occ AS (SELECT doc_id, p['a'] AS a, p['b'] AS b, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+       |      i -> {'a': ws[i], 'b': ws[i + 1]})) AS p FROM w0)
+       |  GROUP BY 1, 2, 3),
+       |big AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS cab FROM occ GROUP BY a, b),
+       |uni AS (SELECT w, count(*) AS ca
+       |  FROM (SELECT unnest(ws) AS w FROM w0) GROUP BY w),
+       |voc AS (SELECT count(*) AS v FROM uni)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       |  round(sum(cnt * log10(CAST(cab + 1 AS DOUBLE) / CAST(ca + v AS DOUBLE)))
+       |    / sum(cnt), 4) AS bi_score
+       |FROM occ JOIN big USING (a, b) JOIN uni ON uni.w = occ.a, voc
+       |GROUP BY doc_id""".stripMargin.replace("\n", " ")
+  }
 }

@@ -72,6 +72,45 @@ class CorpusStatsSpec extends AnyFunSuite {
       _.asInstanceOf[Long] < 7))
   }
 
+  test("keywords: linear-idf tf-idf ranks rare-and-frequent first, WindowGroupLimit in plan") {
+    // N=3; df: apple 1, banana 2, cherry 2, common 3
+    val docs = Seq(
+      (0L, "apple apple banana common common"),
+      (1L, "banana cherry common"),
+      (2L, "common cherry cherry cherry")).toDF("doc_id", "text")
+    val out = graft.ml.TextAnalysis.keywords(docs, k = 2)
+    val d0 = out.filter(col("doc_id") === 0).orderBy("rn").collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getInt(3)))
+    // doc0: apple 2*3/1=6.0 > common 2*3/3=2.0 > banana 1*3/2=1.5 (cut)
+    assert(d0.toSeq === Seq(("apple", 6.0, 1), ("common", 2.0, 2)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number<=k must rewrite to a map-side group limit:\n$plan")
+  }
+
+  test("bigramLmScore: add-one conditional model, <2-word docs emit no row") {
+    // corpus: two copies of "x y" and one 1-word doc; the 1-word doc has
+    // no bigram but its word IS vocabulary: c(x,y)=2, c(x)=2, V=3
+    // -> lp = log10((2+1)/(2+3)) per bigram
+    val docs = Seq((0L, "x y"), (1L, "x y"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val rows = graft.ml.TextAnalysis.bigramLmScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val exp = math.round(math.log10(3.0 / 5) * 1e4) / 1e4
+    assert(rows.toSeq === Seq((0L, 1L, exp), (1L, 1L, exp)))
+  }
+
+  test("bigramLmScore: scrambled word order scores lower than natural order") {
+    // 10 copies of the same sentence + 1 scrambled copy: the scrambled
+    // doc's bigrams are unseen (count 1 = itself), so it must score lower
+    val natural = (0 until 10).map(i => (i.toLong, "the cat sat on the mat"))
+    val docs = (natural :+ ((10L, "mat the on sat cat the")))
+      .toDF("doc_id", "text")
+    val s = graft.ml.TextAnalysis.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(10L) < s(0L), s"scrambled ${s(10L)} should be < natural ${s(0L)}")
+  }
+
   test("pagerank: one fixed-point iteration matches the hand recurrence") {
     // edges 0->1, 1->2, 2->0, 0->2 ; deg 0:2, 1:1, 2:1 ; hosts=3
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L)).toDF("src", "dst")
