@@ -1,0 +1,142 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ml.TextDedup
+
+/** Scaling probe for winnowing fingerprints (q_winnow) at a corpus shape the
+  * 500-doc oracle cannot exercise, asserting a CLOSED FORM built from the
+  * winnowing guarantee itself (Schleimer SIGMOD'03 §4):
+  *
+  * Every doc embeds one fixed run R of exactly `WINNOW_W + SHINGLE_K - 1`
+  * words. R contributes exactly `WINNOW_W` consecutive shingles, so exactly
+  * ONE window lies fully inside R — and a window minimum is position-free,
+  * so EVERY document's fingerprint set must contain `fp_R = min(hash(R's
+  * shingles))`, computable driver-side from four constant strings. Even ids
+  * are one shared 50-word template (identical text ⇒ identical
+  * (n_fps, fp_sig, fp_min) triple — distinct count must be 1); odd ids wrap
+  * R in 22 doc-unique prefix and 22 doc-unique suffix words.
+  *
+  * The plan claim: winnowing is ENTIRELY row-local (normalize → shingle →
+  * hash → window-min → distinct are array expressions in one projection), so
+  * the only shuffle in the verification job is the final aggregate's
+  * partial rows — the listener-read shuffle-write record count must stay at
+  * partition scale (bound 12×cpus), never document scale. A failure mode
+  * where the fingerprint arrays or text cross an exchange blows the bound
+  * by 5 orders of magnitude at 1M docs.
+  *
+  * Env: PROBE_DOCS (default 1,000,000, must be even), PROBE_CPUS (32).
+  */
+object ScaleProbeWinnow {
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def withStageSum[A](spark: SparkSession)(
+      pick: org.apache.spark.executor.TaskMetrics => Long)(body: => A): (A, Long) = {
+    val total = new AtomicLong()
+    val listener = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        Option(s.stageInfo.taskMetrics).foreach(m => total.addAndGet(pick(m)): Unit)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val a = try body finally {
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    (a, total.get())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("PROBE_DOCS", "1000000").toLong
+    val cpus = sys.env.getOrElse("PROBE_CPUS", "32").toInt
+    require(nDocs % 2 == 0, "PROBE_DOCS must be even (template/mixed halves)")
+    val shm = new File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val root = Files.createDirectory(
+      Paths.get(base, s"probe3-winnow-${ProcessHandle.current().pid()}")).toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-winnow-probe")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", s"$root/spark-local")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val w = TextDedup.WINNOW_W
+      val k = TextDedup.SHINGLE_K
+      val runWords = (10 until (10 + w + k - 1)).map(i => s"t$i") // inside T
+      // fp_R: the minimum shingle hash of the guaranteed run — four constant
+      // strings, hashed through the same compiled expression
+      val fpR = spark.range(1).select(array_min(array(
+          runWords.sliding(k).map(s => TextDedup.hash64Col(lit(s.mkString(" "))))
+            .toSeq: _*)).as("fp"))
+        .head().getLong(0)
+
+      val template = (0 until 50).map(i => s"t$i").mkString(" ")
+      val prefix = (0 until 22).map(j => format_string(s"p%07dx$j", col("id")))
+      val suffix = (0 until 22).map(j => format_string(s"q%07dy$j", col("id")))
+      val mixed = concat_ws(" ",
+        (prefix ++ runWords.map(lit(_)) ++ suffix): _*)
+      spark.range(nDocs).select(col("id").as("doc_id"),
+          when(pmod(col("id"), lit(2L)) === 0, lit(template))
+            .otherwise(mixed).as("text"))
+        .write.mode("overwrite").parquet(s"$root/docs")
+      val docs = spark.read.parquet(s"$root/docs")
+
+      val ((row, secs), shuffled) =
+        withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
+          time {
+            val f = docs.select(col("doc_id"),
+                TextDedup.winnowFpsCol(col("text")).as("fps"))
+              .select(col("doc_id"),
+                size(col("fps")).as("n_fps"),
+                aggregate(col("fps"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_sig"),
+                array_min(col("fps")).as("fp_min"),
+                array_contains(col("fps"), lit(fpR)).as("has_r"))
+            f.agg(
+                count(lit(1)).as("n"),
+                sum(when(col("has_r"), 1L).otherwise(0L)).as("n_has_r"),
+                countDistinct(when(pmod(col("doc_id"), lit(2L)) === 0,
+                  struct(col("n_fps"), col("fp_sig"), col("fp_min")))).as("n_tpl"),
+                max(col("fp_min")).as("max_min"),
+                max(col("n_fps")).as("max_fps"),
+                min(col("n_fps")).as("min_fps"))
+              .head()
+          }
+        }
+      require(row.getLong(0) == nDocs, s"count: ${row.getLong(0)}")
+      require(row.getLong(1) == nDocs,
+        s"winnowing guarantee violated at scale: only ${row.getLong(1)} of " +
+          s"$nDocs docs carry fp_R=$fpR")
+      require(row.getLong(2) == 1L,
+        s"template docs must share ONE scalar triple, got ${row.getLong(2)}")
+      require(row.getLong(3) <= fpR, "fp_min must never exceed the shared fp_R")
+      // 50 words -> 48 shingles -> 45 windows; distinct can only shrink
+      require(row.getInt(5) >= 1 && row.getInt(4) <= 45,
+        s"n_fps out of [1,45]: [${row.getInt(5)}, ${row.getInt(4)}]")
+      val bound = 12L * cpus
+      require(shuffled <= bound,
+        s"winnow verification shuffled $shuffled records (bound $bound) — " +
+          "the operator must stay row-local; only aggregate partials may cross")
+      println(f"""{"probe":"winnow","docs":$nDocs,"fp_r":$fpR,""" +
+        f""""shuffle_records":$shuffled,"secs":$secs%.2f,""" +
+        f""""docs_per_sec":${nDocs / secs}%.0f}""")
+    } finally {
+      spark.stop()
+      graft.util.Dirs.deleteRecursively(new File(root))
+    }
+  }
+}

@@ -570,6 +570,10 @@ object SparkEntry {
     // document fingerprints (md5 + shared 64-bit int hash)
     "q_fingerprint" -> ((s, dir) =>
       graft.ml.TextAnalysis.fingerprints(DocsAdapter.docs(s, dir))),
+    // winnowing (MOSS) fingerprints: window-min over the shingle hash
+    // sequence — guaranteed detection of shared runs, zero-exchange plan
+    "q_winnow" -> ((s, dir) =>
+      graft.ml.TextDedup.winnow(DocsAdapter.docs(s, dir))),
     // multimodal: binary payload + typed metadata through the mapPartitions
     // decode stub (metadata projection is the oracle-comparable part)
     "q_multimodal_meta" -> ((s, dir) =>
@@ -1161,6 +1165,8 @@ object SparkEntry {
       graft.ml.TextAnalysis.perplexityBucketsSql("documents"),
     "q_fingerprint" ->
       graft.ml.TextAnalysis.fingerprintsSql("documents"),
+    "q_winnow" ->
+      graft.ml.TextDedup.winnowSql("documents"),
     "q_multimodal_meta" ->
       graft.ml.Multimodal.mediaMetaSql("documents"),
     "q_media_decode" ->

@@ -690,4 +690,77 @@ object TextDedup {
        |    bit_count(xor(x.sh, y.sh)) AS dist
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= $maxDist""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------- winnowing
+
+  /** Window size for [[winnow]]: every shared run of at least
+    * `WINNOW_W + SHINGLE_K - 1` words is GUARANTEED to share a fingerprint
+    * (the winnowing guarantee, Schleimer et al. SIGMOD'03 §4).
+    */
+  val WINNOW_W = 4
+
+  /** Ordered k-word shingle hash sequence (positions intact — unlike
+    * [[shinglesCol]]'s distinct set): documents shorter than k words hash
+    * their whole normalized text as the one shingle.
+    */
+  private def orderedShingleHashes(text: Column): Column = {
+    val ws = split(normalizeCol(text), " ")
+    val sh = when(size(ws) >= SHINGLE_K,
+        transform(sequence(lit(0), size(ws) - SHINGLE_K),
+          i => concat_ws(" ", slice(ws, i + 1, lit(SHINGLE_K)))))
+      .otherwise(array(concat_ws(" ", ws)))
+    transform(sh, s => hash64Col(s))
+  }
+
+  /** Per-document winnowing fingerprint SET as an array column: the distinct
+    * minima of every [[WINNOW_W]]-window over the ordered shingle hash
+    * sequence (MOSS — local document fingerprinting). Selecting window
+    * minima instead of `hash % p == 0` sampling guarantees every
+    * sufficiently long shared run is DETECTED, not just likely-detected.
+    */
+  def winnowFpsCol(text: Column, w: Int = WINNOW_W): Column = {
+    val hs = orderedShingleHashes(text)
+    val nw = greatest(size(hs) - (w - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), nw),
+      j => array_min(slice(hs, j, lit(w)))))
+  }
+
+  /** Winnowing document fingerprints, oracle-comparable scalars per doc:
+    * fingerprint count, order-free XOR signature, and the minimum
+    * fingerprint (simultaneously the doc's global min shingle hash — a
+    * 1-perm MinHash the caller can band on). Two near-identical documents
+    * share most fingerprints, so candidate generation can bucket-join on
+    * exploded fps; this projection keeps the oracle row per-doc.
+    *
+    * Scale shape: ENTIRELY row-local — normalize, shingle, hash, window-min
+    * and distinct are array expressions inside one projection; the plan has
+    * ZERO exchanges (MlSpec pins it). At 100 TB this stage is pure
+    * map-side scan throughput; only downstream candidate joins shuffle, and
+    * they shuffle fingerprints, never text.
+    */
+  def winnow(docs: DataFrame, w: Int = WINNOW_W): DataFrame =
+    docs.select(col("doc_id"),
+      winnowFpsCol(col("text"), w).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fps"),
+        aggregate(col("fps"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_sig"),
+        array_min(col("fps")).as("fp_min"))
+
+  /** DuckDB twin of [[winnow]] — same shingles, same window minima, scalars
+    * aggregated from the unnested fingerprint set (bit_xor/min/count are
+    * order-free, so list order never matters).
+    */
+  def winnowSql(docsRel: String, w: Int = WINNOW_W): String = {
+    val norm = normalizeSql("text")
+    s"""WITH d AS (SELECT doc_id, string_split($norm, ' ') AS ws, $norm AS norm FROM $docsRel),
+       |sh AS (SELECT doc_id, CASE WHEN len(ws) >= $SHINGLE_K
+       |    THEN list_transform(range(len(ws) - ${SHINGLE_K - 1}), i -> array_to_string(ws[i + 1 : i + $SHINGLE_K], ' '))
+       |    ELSE [norm] END AS s FROM d),
+       |h AS (SELECT doc_id, list_transform(s, x -> ${hash64Sql("x")}) AS hs FROM sh),
+       |f AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(greatest(len(hs) - ${w - 1}, 1)), j -> list_min(hs[j + 1 : j + $w]))) AS fps FROM h)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+       |  CAST(bit_xor(fp) AS BIGINT) AS fp_sig, CAST(min(fp) AS BIGINT) AS fp_min
+       |FROM (SELECT doc_id, unnest(fps) AS fp FROM f) GROUP BY doc_id""".stripMargin.replace("\n", " ")
+  }
 }

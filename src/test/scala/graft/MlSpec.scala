@@ -1318,4 +1318,61 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(docShare - 1.0) < 1e-3 && math.abs(tokShare - 1.0) < 1e-3,
       s"shares must sum to ~1: $docShare / $tokShare")
   }
+
+  test("winnowing: detection guarantee, brute-force equality, zero exchanges") {
+    import spark.implicits._
+    val w = TextDedup.WINNOW_W
+    val k = TextDedup.SHINGLE_K
+    val run = w + k - 1 // the guaranteed-detection run length (SIGMOD'03 §4)
+    // B shares a run of EXACTLY w+k-1 words with A; C is fully disjoint;
+    // D is shorter than k words (whole-text shingle path)
+    val shared = "charlie delta echo foxtrot golf hotel".split(" ").toSeq
+    assert(shared.size == run)
+    val a = "alpha bravo " + shared.mkString(" ") + " india juliet"
+    val b = "zulu yankee xray " + shared.mkString(" ") + " whiskey victor"
+    val c = "nebula quasar pulsar comet meteor asteroid planet orbit gravity"
+    val d = "tiny doc"
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"), TextDedup.winnowFpsCol(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // brute force: sliding shingles -> shared hash -> sliding window minima
+    val allShingles = Seq(a, b, c, d).flatMap { t =>
+      val ws = t.split(" ")
+      if (ws.length >= k) ws.sliding(k).map(_.mkString(" ")).toSeq else Seq(t)
+    }.distinct
+    val h = allShingles.toDF("s")
+      .select(col("s"), TextDedup.hash64Col(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val brute = Seq((1L, a), (2L, b), (3L, c), (4L, d)).map { case (id, t) =>
+      val ws = t.split(" ")
+      val hs = (if (ws.length >= k) ws.sliding(k).map(_.mkString(" ")).toSeq
+                else Seq(t)).map(h)
+      val mins = if (hs.length <= w) Seq(hs.min) else hs.sliding(w).map(_.min).toSeq
+      id -> mins.distinct.toSet
+    }.toMap
+    assert(fps == brute, s"winnowFpsCol diverges from brute force:\n$fps\nvs $brute")
+    // the winnowing guarantee: the exactly-minimal shared run is detected
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared w+k-1 run must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs must not collide")
+    // short doc: one whole-text shingle, one fingerprint
+    assert(fps(4L) == Set(h(d)))
+    // scalar projection: sig/min/count derive from the set; fp_min is the
+    // global min shingle hash (a 1-perm MinHash)
+    val scal = TextDedup.winnow(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    brute.foreach { case (id, s) =>
+      assert(scal(id) == (s.size.toLong, s.reduce(_ ^ _), s.min), s"doc $id scalars")
+    }
+    val minShingle = Seq((1L, a), (2L, b), (3L, c), (4L, d)).map { case (id, t) =>
+      val ws = t.split(" ")
+      id -> (if (ws.length >= k) ws.sliding(k).map(m => h(m.mkString(" "))).min else h(t))
+    }.toMap
+    brute.keys.foreach(id => assert(scal(id)._3 == minShingle(id), s"fp_min($id)"))
+    // scale shape: the whole operator is one projection over the scan (the
+    // adapter's round-robin staging repartition is input plumbing, not ours)
+    val plan = TextDedup.winnow(DocsAdapter.docs(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"winnow must be map-only:\n$plan")
+  }
 }
