@@ -31,7 +31,14 @@ import graft.ml.TextDedup
   * where the fingerprint arrays or text cross an exchange blows the bound
   * by 5 orders of magnitude at 1M docs.
   *
-  * Env: PROBE_DOCS (default 1,000,000, must be even), PROBE_CPUS (32).
+  * A second phase probes the DETECTION JOIN ([[graft.ml.TextDedup
+  * .winnowPairs]]) on 500k planted pairs with disjoint cross-pair vocab:
+  * the result must be exactly the planted pair set, each pair sharing at
+  * least ceil(25/w) fingerprints (the guarantee lifted to pairs), with the
+  * (doc, fp) rows crossing ONE fp-keyed exchange.
+  *
+  * Env: PROBE_DOCS (default 1,000,000, must be even), PROBE_PAIR_DOCS
+  * (default PROBE_DOCS, even), PROBE_CPUS (32).
   */
 object ScaleProbeWinnow {
   private def time[A](f: => A): (A, Double) = {
@@ -134,6 +141,51 @@ object ScaleProbeWinnow {
       println(f"""{"probe":"winnow","docs":$nDocs,"fp_r":$fpR,""" +
         f""""shuffle_records":$shuffled,"secs":$secs%.2f,""" +
         f""""docs_per_sec":${nDocs / secs}%.0f}""")
+
+      // ---- detection join: planted pairs, closed-form exact ---------------
+      // doc 2j and 2j+1 share a 30-word pair-unique body and differ in a
+      // 20-word doc-unique tail; cross-pair vocab is disjoint, so the pair
+      // set is EXACTLY {(2j, 2j+1)}. The body's 28 interior shingles give 25
+      // windows whose minima are position-free and identical in both docs;
+      // a value can be the min of at most w consecutive windows, so every
+      // pair shares >= ceil(25/w) = 7 fingerprints.
+      val nPairDocs = sys.env.getOrElse("PROBE_PAIR_DOCS", nDocs.toString).toLong
+      require(nPairDocs % 2 == 0, "PROBE_PAIR_DOCS must be even")
+      val pairId = (col("id") / 2).cast("long")
+      val bodyW = (0 until 30).map(j => format_string(s"c%07dw$j", pairId))
+      val tailW = (0 until 20).map(j =>
+        when(pmod(col("id"), lit(2L)) === 0, format_string(s"a%07dw$j", pairId))
+          .otherwise(format_string(s"b%07dw$j", pairId)))
+      spark.range(nPairDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", (bodyW ++ tailW): _*).as("text"))
+        .write.mode("overwrite").parquet(s"$root/pairdocs")
+      val pairDocs = spark.read.parquet(s"$root/pairdocs")
+      val ((prow, psecs), pshuffled) =
+        withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
+          time {
+            graft.ml.TextDedup.winnowPairs(pairDocs)
+              .agg(count(lit(1)).as("n_pairs"),
+                sum(when(col("doc_b") === col("doc_a") + 1 &&
+                  pmod(col("doc_a"), lit(2L)) === 0, 1L).otherwise(0L)).as("n_adjacent"),
+                min(col("n_shared")).as("min_shared"),
+                max(col("n_shared")).as("max_shared"))
+              .head()
+          }
+        }
+      require(prow.getLong(0) == nPairDocs / 2 && prow.getLong(1) == nPairDocs / 2,
+        s"pairs must be exactly the planted (2j, 2j+1) set: $prow")
+      require(prow.getLong(2) >= 7L,
+        s"every pair shares >= 7 fingerprints (25 shared windows / w): $prow")
+      require(prow.getLong(3) <= 45L, s"n_shared bounded by the window count: $prow")
+      // one fp-keyed exchange of the (doc, fp) rows (n_fps <= 45 per doc,
+      // self-join side AQE-reused) + the pair-aggregate partials; the
+      // quadratic failure mode (a hot fp fanning out) adds pairs^2 records
+      val pBound = 3L * 45L * nPairDocs
+      require(pshuffled <= pBound,
+        s"winnowPairs shuffled $pshuffled records (bound $pBound)")
+      println(f"""{"probe":"winnow_pairs","docs":$nPairDocs,""" +
+        f""""pairs":${prow.getLong(0)},"shuffle_records":$pshuffled,""" +
+        f""""secs":$psecs%.2f,"docs_per_sec":${nPairDocs / psecs}%.0f}""")
     } finally {
       spark.stop()
       graft.util.Dirs.deleteRecursively(new File(root))

@@ -574,6 +574,10 @@ object SparkEntry {
     // sequence — guaranteed detection of shared runs, zero-exchange plan
     "q_winnow" -> ((s, dir) =>
       graft.ml.TextDedup.winnow(DocsAdapter.docs(s, dir))),
+    // MOSS detection join: pairs by shared-fingerprint count, hot-fp cap
+    // inside the one fingerprint exchange (guaranteed recall vs LSH bands)
+    "q_winnow_pairs" -> ((s, dir) =>
+      graft.ml.TextDedup.winnowPairs(DocsAdapter.augmentedDocs(s, dir))),
     // multimodal: binary payload + typed metadata through the mapPartitions
     // decode stub (metadata projection is the oracle-comparable part)
     "q_multimodal_meta" -> ((s, dir) =>
@@ -1167,6 +1171,8 @@ object SparkEntry {
       graft.ml.TextAnalysis.fingerprintsSql("documents"),
     "q_winnow" ->
       graft.ml.TextDedup.winnowSql("documents"),
+    "q_winnow_pairs" ->
+      graft.ml.TextDedup.winnowPairsSql(DocsAdapter.augmentedDocsSql()),
     "q_multimodal_meta" ->
       graft.ml.Multimodal.mediaMetaSql("documents"),
     "q_media_decode" ->

@@ -418,6 +418,80 @@ case class ShingleHash(child: Expression, k: Int, mod: Long) extends UnaryExpres
   override protected def withNewChildInternal(c: Expression): ShingleHash = copy(child = c)
 }
 
+/** Winnowing fingerprints straight from the words array: ordered k-word
+  * shingle md5-prefix hashes (positions intact, repeats KEPT — unlike
+  * [[ShingleRuntime.shingles]]'s distinct set), then the distinct minima of
+  * every `w`-window via a monotonic deque — one O(n) pass. The composed
+  * form (`transform(sequence)` + `array_min(slice)` over the derived hash
+  * array) re-evaluated the whole shingle+md5 pipeline once PER WINDOW
+  * (~45x per 50-word doc) and measured 1.3k docs/s at 1M docs.
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def doFps(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val m = if (n >= k) n - k + 1 else 1
+    val hs = new Array[Long](m)
+    if (n >= k) {
+      var i = 0
+      while (i <= n - k) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(words.getUTF8String(i + j).toString)
+          j += 1
+        }
+        hs(i) = ShingleRuntime.md5Prefix64(sb.toString)
+        i += 1
+      }
+    } else {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < n) {
+        if (i > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i).toString)
+        i += 1
+      }
+      hs(0) = ShingleRuntime.md5Prefix64(sb.toString)
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m <= w) {
+      var best = hs(0)
+      var i = 1
+      while (i < m) { if (hs(i) < best) best = hs(i); i += 1 }
+      out.add(best)
+    } else {
+      // ascending monotonic deque of indices over [lo, hi); head = window min
+      val dq = new Array[Int](m)
+      var lo = 0
+      var hi = 0
+      var i = 0
+      while (i < m) {
+        while (hi > lo && hs(dq(hi - 1)) >= hs(i)) hi -= 1
+        dq(hi) = i
+        hi += 1
+        if (dq(lo) <= i - w) lo += 1
+        if (i >= w - 1) out.add(hs(dq(lo)))
+        i += 1
+      }
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = doFps(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowFps].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.doFps($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowFps = copy(child = c)
+}
+
 /** md5-prefix hashes of the distinct words (SimHash input), one pass. */
 case class WordHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

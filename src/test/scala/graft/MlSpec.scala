@@ -1375,4 +1375,58 @@ class MlSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"winnow must be map-only:\n$plan")
   }
+
+  test("winnow pairs: exact intersection counts, hot-fingerprint cap kills boilerplate") {
+    import spark.implicits._
+    // 1,2: shared 30-word body, distinct endings (true near-dups); 3:
+    // unrelated; 10-15: six IDENTICAL boilerplate docs (disjoint vocab) —
+    // every fingerprint they own has df=6, so a cap of 5 must erase them
+    val body = (0 until 30).map(i => s"b$i").mkString(" ")
+    val boiler = (0 until 20).map(i => s"t$i").mkString(" ")
+    val docsSeq = Seq(
+      1L -> (body + " ending one"),
+      2L -> (body + " ending two"),
+      3L -> "nebula quasar pulsar comet meteor asteroid planet orbit") ++
+      (10L to 15L).map(i => i -> boiler)
+    val docs = docsSeq.toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"), TextDedup.winnowFpsCol(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def brute(minShared: Int, maxDf: Long): Set[(Long, Long, Long)] = {
+      val df = fps.values.toSeq.flatten.groupBy(identity)
+        .map { case (f, xs) => f -> xs.size.toLong }
+      val kept = fps.map { case (id, s) => id -> s.filter(f => df(f) <= maxDf) }
+      (for {
+        (a, sa) <- kept.toSeq
+        (b, sb) <- kept.toSeq if a < b
+        n = (sa & sb).size if n >= minShared
+      } yield (a, b, n.toLong)).toSet
+    }
+    def run(minShared: Int, maxDf: Long): Set[(Long, Long, Long)] =
+      TextDedup.winnowPairs(docs, minShared, maxDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // uncapped: the near-dup pair plus the full 15-pair boilerplate clique
+    val loose = run(1, 1000L)
+    assert(loose == brute(1, 1000L), s"uncapped pairs diverge from brute force")
+    assert(loose.exists(p => p._1 == 1L && p._2 == 2L), "near dups must pair")
+    assert(loose.count(_._1 >= 10L) == 15, "6 identical docs -> 15 pairs")
+    assert(!loose.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc pairs with nobody")
+    // capped at 5: boilerplate fingerprints (df=6) drop INSIDE the one fp
+    // exchange; the true pair survives on its body fingerprints (df=2)
+    val capped = run(2, 5L)
+    assert(capped == brute(2, 5L), s"capped pairs diverge from brute force")
+    assert(capped.exists(p => p._1 == 1L && p._2 == 2L), "cap must not hurt true pairs")
+    assert(!capped.exists(_._1 >= 10L), s"cap must erase the boilerplate clique: $capped")
+    // scale shape: the self-join must reuse the fp-window exchange (one
+    // fingerprint shuffle), and no exchange may carry the text column
+    val q = TextDedup.winnowPairs(DocsAdapter.augmentedDocs(spark, dir))
+    q.collect(): Unit
+    val qPlan = q.queryExecution.executedPlan.toString
+    assert(qPlan.contains("ReusedExchange") || qPlan.contains("ReusedQueryStage"),
+      s"self-join must reuse the fp exchange:\n$qPlan")
+    val exchanges = qPlan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(!_.contains("text#")),
+      s"an exchange carries document text:\n${exchanges.mkString("\n")}")
+    assert(!qPlan.contains("CartesianProduct") &&
+      !qPlan.contains("BroadcastNestedLoopJoin"), s"all-pairs plan:\n$qPlan")
+  }
 }

@@ -151,7 +151,7 @@ class PlanSpec extends AnyFunSuite {
     val spark0 = spark
     val checks = Seq("q_dedup_ngram", "q_dedup_minhash", "q_dedup_embedding",
       "q_ann_lsh", "q_ann_ivf", "q_ann_ivfpq", "q_simhash_pairs", "q_packing",
-      "q_contamination", "q_dedup_chunks", "q_semantic_dedup")
+      "q_contamination", "q_dedup_chunks", "q_semantic_dedup", "q_winnow_pairs")
     checks.foreach { name =>
       val plan = SparkEntry.queries(name)(spark0, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
