@@ -6,6 +6,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.data.SequenceGen
 import graft.plans.LogPipeline
+import graft.util.ProbeSupport.timeSecs
 
 /** Diagnostic (not driver contract): scaling N vs 4N *executor processes*
   * via Spark's `local-cluster[workers,cores,memMB]` master — each executor
@@ -37,11 +38,7 @@ object ScaleProbe3 {
     s
   }
 
-  private def time[A](f: => A): Double = {
-    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-  }
-
-  private def run(spark: SparkSession, in: String, out: String): Double = time {
+  private def run(spark: SparkSession, in: String, out: String): Double = timeSecs {
     val enriched = LogPipeline.run(spark, spark.read.parquet(in), SequenceGen.configs)
     val parts = sys.env.get("PROBE_ROUTE_PARTS").map(_.toInt)
       .getOrElse(spark.sparkContext.defaultParallelism)

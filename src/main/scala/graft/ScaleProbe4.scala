@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.data.SequenceGen
 import graft.plans.LogPipeline
+import graft.util.ProbeSupport.timeSecs
 
 /** Diagnostic (not driver contract): which pipeline phase stops scaling
   * 8 -> 32 threads. Parse-only vs +shuffle vs +write, same input.
@@ -23,10 +24,6 @@ object ScaleProbe4 {
     s.sparkContext.setLogLevel("WARN")
     s
   }
-  private def time[A](f: => A): Double = {
-    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-  }
-
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("PROBE_ROWS", "16000000").toLong
     val in = Files.createTempDirectory("probe4-in").toString
@@ -43,16 +40,16 @@ object ScaleProbe4 {
       enriched.agg(count(lit(1))).collect() // warmup
       val gc0 = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .stream.mapToLong(_.getCollectionTime).sum
-      val tScan = time(seqs.agg(sum("n_tok")).collect())
-      val tTs = time(enriched.agg(max(col("ts"))).collect())
-      val tFields = time(enriched.agg(sum(size(col("fields")))).collect())
+      val tScan = timeSecs(seqs.agg(sum("n_tok")).collect())
+      val tTs = timeSecs(enriched.agg(max(col("ts"))).collect())
+      val tFields = timeSecs(enriched.agg(sum(size(col("fields")))).collect())
       val persisted = enriched.select(col("doc_id"), col("tokens"), col("n_tok"),
         col("source"), col("host"), col("source_id"), col("ts"), col("offset"), col("sink"))
-      val tShuffle = time(persisted
+      val tShuffle = timeSecs(persisted
         .withColumn("_salt", pmod(hash(col("doc_id")), lit(n * 8)))
         .repartition(n, col("sink"), col("_salt"))
         .agg(count(lit(1))).collect())
-      val tWrite = time(LogPipeline.routeWrite(enriched, s"$out/w$n-${System.nanoTime()}", n))
+      val tWrite = timeSecs(LogPipeline.routeWrite(enriched, s"$out/w$n-${System.nanoTime()}", n))
       val gc1 = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .stream.mapToLong(_.getCollectionTime).sum
       println(f"PROBE4 cores=$n%2d scan=$tScan%6.2f ts=$tTs%6.2f fields=$tFields%6.2f shuffle=$tShuffle%6.2f fullWrite=$tWrite%6.2f gcSec=${(gc1 - gc0) / 1000.0}%6.2f")

@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.ProbeSupport.time
 
 /** Scaling probe for the near-dup CLUSTERING operator's distributed path
   * (label propagation over the LSH pair graph): the oracle corpora are small
@@ -26,12 +27,6 @@ object ScaleProbeCluster {
   private def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
-  }
-
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val a = f
-    (a, (System.nanoTime() - t0) / 1e9)
   }
 
   def corpus(spark: SparkSession, nDocs: Long, famSize: Int): DataFrame = {

@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.ProbeSupport.time
 
 /** Scale probe for the ONE-PASS composed curation funnel
   * ([[graft.ml.Funnel.curationFunnelOnePass]]) — the flagship composition —
@@ -40,12 +41,6 @@ import org.apache.spark.sql.functions._
   * standard ~-2.5 and gibberish ~-7.3 bands).
   */
 object ScaleProbeFunnel {
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val a = f
-    (a, (System.nanoTime() - t0) / 1e9)
-  }
-
   /** Synthetic crawl corpus: (doc_id, url, html) with the class layout
     * above. Text is 3 lines x 20 words, each line "."-terminated (C4: 3
     * sentences, every line kept), with stopwords at fixed positions

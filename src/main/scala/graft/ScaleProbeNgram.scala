@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.ProbeSupport.time
 
 /** Scaling probe for the exact n-gram Jaccard dedup path (PPJoin prefix
   * filter + the round-4 length bound): the oracle corpora are uniform in
@@ -33,12 +34,6 @@ import org.apache.spark.sql.functions._
   * PROBE_FAM (default 4).
   */
 object ScaleProbeNgram {
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val a = f
-    (a, (System.nanoTime() - t0) / 1e9)
-  }
-
   def corpus(spark: SparkSession, nDocs: Long, famSize: Int): DataFrame = {
     val fam = (col("id") / famSize).cast("long")
     val rare = (0 until 12).map(k => concat(lit("f"), fam, lit("r"), lit(k)))

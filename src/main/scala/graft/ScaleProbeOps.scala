@@ -2,11 +2,10 @@ package graft
 
 import java.io.File
 import java.nio.file.{Files, Paths}
-import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.ProbeSupport.{time, withStageSum}
 
 /** Scaling probe for the round-4 operator additions whose scale story the
   * tiny oracle corpora cannot exercise:
@@ -37,30 +36,6 @@ import org.apache.spark.sql.functions._
   * PROBE_VECS (default 1,000,000), PROBE_CELLS (default 1024).
   */
 object ScaleProbeOps {
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val a = f
-    (a, (System.nanoTime() - t0) / 1e9)
-  }
-
-  /** Runs `body` under a stage-completion listener summing `pick` over the
-    * completed stages' task metrics; waits out the async listener bus
-    * before unregistering so late-posted stages aren't dropped.
-    */
-  private def withStageSum[A](spark: SparkSession)(
-      pick: org.apache.spark.executor.TaskMetrics => Long)(body: => A): (A, Long) = {
-    val total = new AtomicLong()
-    val listener = new SparkListener {
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        Option(s.stageInfo.taskMetrics).foreach(m => total.addAndGet(pick(m)): Unit)
-    }
-    spark.sparkContext.addSparkListener(listener)
-    val a = try body finally {
-      Thread.sleep(500)
-      spark.sparkContext.removeSparkListener(listener)
-    }
-    (a, total.get())
-  }
 
   def corpus(spark: SparkSession, nDocs: Long): DataFrame = {
     val wid = (k: Int) =>
@@ -550,6 +525,55 @@ object ScaleProbeOps {
       println(f"""{"probe":"asof","events":$nDocs,"versions":$nVer,"keys":100,""" +
         f""""shuffle_records":$aoShuffle,"secs":$aoSecs%.2f,""" +
         f""""events_per_sec":${nDocs / aoSecs}%.0f}""")
+
+      // ---- bucket-count anomaly flags (median/MAD Hampel filter) ----------
+      // 4 types × 1000 hours, exactly nDocs/(4·1000) events per cell, plus
+      // one planted burst on (t0, hour 42). Closed form: every type's
+      // median is the uniform cell count and its MAD is 0, so EXACTLY ONE
+      // cell flags (strict >), carrying the burst on top of the base. The
+      // shuffle bound proves the apparatus is cells-scale: raw events cross
+      // only as (window, type) combine partials, so total shuffle records
+      // stay far under the event count (a plan that shuffled rows before
+      // aggregating would write >= nDocs records).
+      require(nDocs % 4000 == 0, "PROBE_DOCS must be a multiple of 4000")
+      val anBase = 1767225600L // 2026-01-01 00:00:00 UTC
+      val anBurst = 5000L
+      val cellN = nDocs / 4000L
+      val anH = pmod(floor(col("id") / 4).cast("long"), lit(1000L))
+      val uniform = spark.range(nDocs).select(
+        concat(lit("t"), pmod(col("id"), lit(4L))).as("event_type"),
+        timestamp_seconds(lit(anBase) + anH * 3600L +
+          pmod(col("id"), lit(3600L))).as("ts"))
+      val burst = spark.range(anBurst).select(
+        lit("t0").as("event_type"),
+        timestamp_seconds(lit(anBase) + lit(42L * 3600L) +
+          pmod(col("id"), lit(3600L))).as("ts"))
+      uniform.unionByName(burst).write.mode("overwrite").parquet(s"$root/anev")
+      val anEvents = spark.read.parquet(s"$root/anev")
+      val ((anRow, anSecs), anShuffle) =
+        withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
+          time {
+            graft.plans.Anomaly.bucketCountAnomalies(anEvents)
+              .agg(count(lit(1)).as("cells"),
+                sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anom"),
+                max(when(col("is_anomaly"), col("n_events"))).as("anom_n"),
+                min(col("med")).as("med_lo"), max(col("med")).as("med_hi"),
+                max(col("mad")).as("mad_hi"))
+              .head()
+          }
+        }
+      require(anRow.getLong(0) == 4000L, s"cells: $anRow")
+      require(anRow.getLong(1) == 1L && anRow.getLong(2) == cellN + anBurst,
+        s"exactly the planted burst cell must flag: $anRow")
+      require(anRow.getLong(3) == cellN && anRow.getLong(4) == cellN &&
+        anRow.getLong(5) == 0L,
+        s"uniform medians $cellN and zero MAD everywhere: $anRow")
+      require(anShuffle <= nDocs / 2,
+        s"anomaly apparatus shuffled $anShuffle records — must stay " +
+          s"cells-scale, never event-scale (bound ${nDocs / 2})")
+      println(f"""{"probe":"anomaly","events":${nDocs + anBurst},"cells":4000,""" +
+        f""""shuffle_records":$anShuffle,"secs":$anSecs%.2f,""" +
+        f""""events_per_sec":${(nDocs + anBurst) / anSecs}%.0f}""")
     } finally {
       spark.stop()
       graft.util.Dirs.deleteRecursively(new File(root))

@@ -2,11 +2,10 @@ package graft
 
 import java.io.File
 import java.nio.file.{Files, Paths}
-import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.util.ProbeSupport.{time, withStageSum}
 
 /** Scaling probe for the per-document text scorers (TF-IDF keywords and the
   * bigram LM score) at corpus shapes the 500-doc oracle cannot exercise.
@@ -34,26 +33,6 @@ import org.apache.spark.sql.functions._
   * PROBE_CPUS (default 32).
   */
 object ScaleProbeText {
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val a = f
-    (a, (System.nanoTime() - t0) / 1e9)
-  }
-
-  private def withStageSum[A](spark: SparkSession)(
-      pick: org.apache.spark.executor.TaskMetrics => Long)(body: => A): (A, Long) = {
-    val total = new AtomicLong()
-    val listener = new SparkListener {
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        Option(s.stageInfo.taskMetrics).foreach(m => total.addAndGet(pick(m)): Unit)
-    }
-    spark.sparkContext.addSparkListener(listener)
-    val a = try body finally {
-      Thread.sleep(500)
-      spark.sparkContext.removeSparkListener(listener)
-    }
-    (a, total.get())
-  }
 
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("PROBE_DOCS", "1000000").toLong

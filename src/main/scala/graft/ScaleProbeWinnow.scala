@@ -2,13 +2,12 @@ package graft
 
 import java.io.File
 import java.nio.file.{Files, Paths}
-import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.ml.TextDedup
+import graft.util.ProbeSupport.{time, withStageSum}
 
 /** Scaling probe for winnowing fingerprints (q_winnow) at a corpus shape the
   * 500-doc oracle cannot exercise, asserting a CLOSED FORM built from the
@@ -41,27 +40,6 @@ import graft.ml.TextDedup
   * (default PROBE_DOCS, even), PROBE_CPUS (32).
   */
 object ScaleProbeWinnow {
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val a = f
-    (a, (System.nanoTime() - t0) / 1e9)
-  }
-
-  private def withStageSum[A](spark: SparkSession)(
-      pick: org.apache.spark.executor.TaskMetrics => Long)(body: => A): (A, Long) = {
-    val total = new AtomicLong()
-    val listener = new SparkListener {
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        Option(s.stageInfo.taskMetrics).foreach(m => total.addAndGet(pick(m)): Unit)
-    }
-    spark.sparkContext.addSparkListener(listener)
-    val a = try body finally {
-      Thread.sleep(500)
-      spark.sparkContext.removeSparkListener(listener)
-    }
-    (a, total.get())
-  }
-
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("PROBE_DOCS", "1000000").toLong
     val cpus = sys.env.getOrElse("PROBE_CPUS", "32").toInt
@@ -163,7 +141,7 @@ object ScaleProbeWinnow {
       val ((prow, psecs), pshuffled) =
         withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
           time {
-            graft.ml.TextDedup.winnowPairs(pairDocs)
+            TextDedup.winnowPairs(pairDocs)
               .agg(count(lit(1)).as("n_pairs"),
                 sum(when(col("doc_b") === col("doc_a") + 1 &&
                   pmod(col("doc_a"), lit(2L)) === 0, 1L).otherwise(0L)).as("n_adjacent"),

@@ -974,6 +974,11 @@ object SparkEntry {
       graft.plans.Percentiles.byGroup(
         s.read.parquet(s"$dir/events.parquet"), "event_type", "value",
         Seq(0.5, 0.9, 0.99))),
+    // hour-bucket count anomalies per event type: median/MAD Hampel flag,
+    // integer-exact (two type-1 percentile walks over CELLS, never rows)
+    "q_anomaly" -> ((s, dir) =>
+      graft.plans.Anomaly.bucketCountAnomalies(
+        s.read.parquet(s"$dir/events.parquet"))),
     // collocation mining: top-k word pairs by lift (the log-free PMI rank);
     // pairs generate per-row via higher-order functions, ONE pair exchange,
     // and both engines build the identical IEEE double so the raw-lift
@@ -1280,6 +1285,8 @@ object SparkEntry {
     "q_percentiles" ->
       graft.plans.Percentiles.byGroupSql("events", "event_type", "value",
         Seq(0.5, 0.9, 0.99)),
+    "q_anomaly" ->
+      graft.plans.Anomaly.bucketCountAnomaliesSql("events"),
     "q_collocations" ->
       graft.ml.CorpusStats.collocationsSql("documents"),
     "q_vocab_coverage" ->

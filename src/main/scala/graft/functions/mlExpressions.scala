@@ -431,6 +431,11 @@ case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression 
 
   def doFps(words: ArrayData): ArrayData = {
     val n = words.numElements()
+    // decode every word ONCE up front — getUTF8String(i).toString inside
+    // the shingle loop would re-decode each word up to k times per row
+    val ws = new Array[String](n)
+    var p = 0
+    while (p < n) { ws(p) = words.getUTF8String(p).toString; p += 1 }
     val m = if (n >= k) n - k + 1 else 1
     val hs = new Array[Long](m)
     if (n >= k) {
@@ -440,7 +445,7 @@ case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression 
         var j = 0
         while (j < k) {
           if (j > 0) sb.append(' ')
-          sb.append(words.getUTF8String(i + j).toString)
+          sb.append(ws(i + j))
           j += 1
         }
         hs(i) = ShingleRuntime.md5Prefix64(sb.toString)
@@ -451,7 +456,7 @@ case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression 
       var i = 0
       while (i < n) {
         if (i > 0) sb.append(' ')
-        sb.append(words.getUTF8String(i).toString)
+        sb.append(ws(i))
         i += 1
       }
       hs(0) = ShingleRuntime.md5Prefix64(sb.toString)

@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-bucketed event-rate anomaly flags — the monitoring surface on top
+  * of the histogram extension (reference: the search-page histogram,
+  * web/static/.. time chart; SURVEY.md §2.3): flag (event_type, hour)
+  * buckets whose count deviates from the type's median by more than
+  * `k` × MAD (a Hampel-style robust filter; the classic z-score breaks on
+  * the very outliers it should find because they inflate the mean/stddev).
+  *
+  * Integer-exact by construction: counts are integers, the median and MAD
+  * are type-1 percentiles of integers ([[Percentiles.byGroup]] — rank
+  * `ceil(0.5·n)`, no interpolation), and the flag is a strict `>` on
+  * integer products — so the DuckDB twin agrees bit-for-bit, with none of
+  * the cross-engine float-summation hazards a mean/stddev flag would have.
+  * (The Gaussian-consistency constant 1.4826 is folded into the caller's
+  * choice of `k`; keeping the rule integral is what keeps it exact.)
+  *
+  * Scale shape: the corpus crosses exactly ONE (window, type) combine
+  * exchange into hour-bucket cells; everything after — both percentile
+  * walks and the flag joins — runs over CELLS (types × hours, bounded by
+  * the time range, never by event count), and the median/MAD sides join
+  * back via broadcast. At 10^12 events the post-agg apparatus is
+  * constant-sized.
+  */
+object Anomaly {
+
+  /** The rule over PRE-AGGREGATED cells — any (group, bucket, count) frame
+    * qualifies, notably the streaming histogram's merge-on-read serving
+    * view ([[graft.streaming.StreamingPipeline.servedHistogram]]), so live
+    * monitoring composes on the serving path without re-reading events.
+    * Passes every input column through and appends med/dev/mad/is_anomaly.
+    */
+  def flagCells(cells: DataFrame, groupCol: String, nCol: String,
+      k: Int = 3): DataFrame = {
+    val med = Percentiles.byGroup(cells, groupCol, nCol, Seq(0.5))
+      .select(col(groupCol), col("p50").as("med"))
+    val dev = cells.join(broadcast(med), groupCol)
+      .withColumn("dev", abs(col(nCol) - col("med")))
+    val mad = Percentiles.byGroup(dev, groupCol, "dev", Seq(0.5))
+      .select(col(groupCol), col("p50").as("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .withColumn("is_anomaly", col("dev") > lit(k.toLong) * col("mad"))
+  }
+
+  def bucketCountAnomalies(events: DataFrame, k: Int = 3): DataFrame = {
+    val cells = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("w.start").as("bucket_start"),
+        col("n_events"))
+    flagCells(cells, "event_type", "n_events", k)
+      .select(col("event_type"),
+        date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+        col("n_events"), col("med"), col("dev"), col("mad"),
+        col("is_anomaly"))
+  }
+
+  /** DuckDB twin of [[bucketCountAnomalies]] — same cells, same two type-1
+    * percentile walks ([[Percentiles.byGroupSql]]), same strict-greater
+    * integer rule.
+    */
+  def bucketCountAnomaliesSql(eventsRel: String, k: Int = 3): String = {
+    val cells = s"(SELECT event_type, date_trunc('hour', ts) AS bucket_start," +
+      s" count(*) AS n_events FROM $eventsRel GROUP BY 1, 2)"
+    val medQ = Percentiles.byGroupSql(cells, "event_type", "n_events", Seq(0.5))
+    val devCells = s"(SELECT c.event_type, c.bucket_start, c.n_events," +
+      s" m.p50 AS med, abs(c.n_events - m.p50) AS dev" +
+      s" FROM $cells c JOIN ($medQ) m USING (event_type))"
+    val madQ = Percentiles.byGroupSql(devCells, "event_type", "dev", Seq(0.5))
+    s"""SELECT d.event_type,
+       |  strftime(d.bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       |  d.n_events, d.med, d.dev, a.p50 AS mad,
+       |  d.dev > $k * a.p50 AS is_anomaly
+       |FROM $devCells d JOIN ($madQ) a USING (event_type)""".stripMargin
+      .replace("\n", " ")
+  }
+}

@@ -329,6 +329,24 @@ class PipelineSpec extends AnyFunSuite {
       LogPipeline.run(spark, spark.read.parquet(streamIn), SequenceGen.configs))
     assert(served.exceptAll(batch).isEmpty && batch.exceptAll(served).isEmpty,
       "served histogram must equal the batch recomputation")
+    // the monitoring op composes over the SERVING view (no event re-read):
+    // flags recompute exactly from the served cells, brute-forced per sink
+    val flagged = graft.plans.Anomaly.flagCells(served, "sink", "n")
+      .collect().map(r => (r.getAs[Any]("bucket_start").toString,
+        r.getAs[String]("sink")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("med"), r.getAs[Long]("mad"),
+          r.getAs[Boolean]("is_anomaly")))).toMap
+    def t1med(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    served.collect().groupBy(_.getAs[String]("sink")).foreach { case (s, rows) =>
+      val med = t1med(rows.toSeq.map(_.getAs[Long]("n")))
+      val mad = t1med(rows.toSeq.map(r => math.abs(r.getAs[Long]("n") - med)))
+      rows.foreach { r =>
+        val dev = math.abs(r.getAs[Long]("n") - med)
+        assert(flagged((r.getAs[Any]("bucket_start").toString, s)) ==
+          ((r.getAs[Long]("n"), med, mad, dev > 3 * mad)),
+          s"flag mismatch at sink=$s bucket=${r.getAs[Any]("bucket_start")}")
+      }
+    }
     // exactly-once: a delta dir is keyed by batch id — both runs' deltas
     // coexist and the view picks the newest per window
     val deltaDirs = new java.io.File(sink).listFiles((_, n) => n.startsWith("delta="))

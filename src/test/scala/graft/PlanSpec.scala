@@ -330,6 +330,41 @@ class PlanSpec extends AnyFunSuite {
       s"no global sort of the row stream:\n$plan")
   }
 
+  test("anomaly flags: hand-built median/MAD, strict boundary, cells-only apparatus") {
+    import spark.implicits._
+    // type A: hourly counts [1,1,1,1,10] -> med 1, devs [0,0,0,0,9], MAD 0
+    //   -> only the burst hour trips dev > 3*0 (strict >: the 0-dev hours
+    //      must NOT flag on a zero MAD)
+    // type B: counts [2,4,6,8,100] -> med 6 (rank 3 of 5), devs
+    //   [4,2,0,2,94] -> MAD 2 -> threshold 6: only 94 flags (4 does not)
+    def hours(tpe: String, counts: Seq[Int]): Seq[(String, Timestamp)] =
+      counts.zipWithIndex.flatMap { case (c, h) =>
+        Seq.fill(c)(tpe -> Timestamp.valueOf(f"2026-01-01 $h%02d:30:00"))
+      }
+    val events = (hours("A", Seq(1, 1, 1, 1, 10)) ++
+      hours("B", Seq(2, 4, 6, 8, 100))).toDF("event_type", "ts")
+    val got = graft.plans.Anomaly.bucketCountAnomalies(events).collect()
+      .map(r => (r.getString(0), r.getString(1).substring(11, 13)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    assert(got(("A", "04")) == ((10L, 1L, 9L, 0L, true)))
+    (0 to 3).foreach(h => assert(got(("A", f"$h%02d")) == ((1L, 1L, 0L, 0L, false)),
+      s"zero-dev hour $h must not flag on zero MAD (strict >)"))
+    assert(got(("B", "04")) == ((100L, 6L, 94L, 2L, true)))
+    assert(got(("B", "03")) == ((8L, 6L, 2L, 2L, false)))
+    assert(got(("B", "00")) == ((2L, 6L, 4L, 2L, false)), "dev 4 <= 3*MAD 6")
+    // scale shape: raw event columns cross only the first combine exchange
+    // as (window, type) partials; median/MAD sides join back via broadcast
+    val q = SparkEntry.queries("q_anomaly")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"cell-scale percentile sides must broadcast:\n$plan")
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l => !l.contains("props#") && !l.contains("value#")),
+      s"an exchange carries raw event payload columns:\n${exchanges.mkString("\n")}")
+    assert(!plan.contains("rangepartitioning"), s"no global sort:\n$plan")
+  }
+
   test("BM25 broadcasts df/totals and plans the cut as top-k, never a full sort") {
     val df = SparkEntry.queries("q_bm25")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
