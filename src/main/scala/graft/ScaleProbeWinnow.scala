@@ -164,6 +164,78 @@ object ScaleProbeWinnow {
       println(f"""{"probe":"winnow_pairs","docs":$nPairDocs,""" +
         f""""pairs":${prow.getLong(0)},"shuffle_records":$pshuffled,""" +
         f""""secs":$psecs%.2f,"docs_per_sec":${nPairDocs / psecs}%.0f}""")
+
+      // ---- source overlap matrix: 100 sources, one planted pair ----------
+      // Docs carry their source's private 50-word template (disjoint vocab
+      // across sources) EXCEPT sources s00/s01, which both embed run R.
+      // Closed form: the matrix is exactly ONE row (s00, s01) — every
+      // other pair shares nothing. The shuffle bound proves the distinct
+      // collapses map-side: (source, fp) distincts ≈ sources × fps-per-
+      // template per partition, never the ~45M occurrence scale.
+      val soTpl = (0 until 50).map(j =>
+        concat(lit("v"), pmod(col("id"), lit(100L)), lit(s"w$j")))
+      val soText = when(pmod(col("id"), lit(100L)) < 2,
+          concat_ws(" ",
+            (0 until 22).map(j => concat(lit("v"), pmod(col("id"), lit(100L)),
+              lit(s"w$j"))) ++ runWords.map(lit(_)) ++
+            (28 until 50).map(j => concat(lit("v"), pmod(col("id"), lit(100L)),
+              lit(s"w$j"))): _*))
+        .otherwise(concat_ws(" ", soTpl: _*))
+      spark.range(nDocs).select(
+          concat(lit("s"), pmod(col("id"), lit(100L))).as("source"),
+          soText.as("text"))
+        .write.mode("overwrite").parquet(s"$root/sodocs")
+      val soDocs = spark.read.parquet(s"$root/sodocs")
+      val ((soRows, soSecs), soShuffle) =
+        withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
+          time {
+            TextDedup.sourceOverlap(soDocs).collect()
+          }
+        }
+      require(soRows.length == 1 &&
+        soRows(0).getString(0) == "s0" && soRows(0).getString(1) == "s1" &&
+        soRows(0).getLong(2) >= 1L,
+        s"overlap matrix must be exactly the planted (s0, s1) row: " +
+          soRows.mkString("; "))
+      val soBound = 100L * 50L * cpus * 4
+      require(soShuffle <= soBound,
+        s"sourceOverlap shuffled $soShuffle records (bound $soBound) — the " +
+          "(source, fp) distinct must collapse map-side, never occurrence-scale")
+      println(f"""{"probe":"source_overlap","docs":$nDocs,"sources":100,""" +
+        f""""shuffle_records":$soShuffle,"secs":$soSecs%.2f,""" +
+        f""""docs_per_sec":${nDocs / soSecs}%.0f}""")
+
+      // ---- token run trim: planted 20-run per doc, closed-form cut -------
+      // Every doc: 100 tokens, positions 40..59 all equal (a 20-run) and
+      // every other adjacent pair distinct (base steps by 7 mod big). Trim
+      // at maxRun=3 cuts exactly 17 per doc; the position-weighted sig is
+      // order-sensitive, so the count AND placement both verify via the
+      // n_after sum. Map-only: only aggregate partials may shuffle.
+      spark.range(nDocs).select(col("id").as("doc_id"),
+          transform(sequence(lit(0), lit(99)),
+            i => when(i >= 40 && i < 60, lit(77))
+              .otherwise((pmod(col("id") * 131 + i.cast("long") * 7,
+                lit(1000000L)) + lit(100L)).cast("int"))).as("tokens"))
+        .write.mode("overwrite").parquet(s"$root/trseqs")
+      val trSeqs = spark.read.parquet(s"$root/trseqs")
+      val ((trRow, trSecs), trShuffle) =
+        withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
+          time {
+            graft.ml.Packing.tokenRunTrim(trSeqs)
+              .agg(count(lit(1)).as("n"),
+                sum(col("n_before") - col("n_after")).as("cut"),
+                min(col("n_after")).as("lo"), max(col("n_after")).as("hi"))
+              .head()
+          }
+        }
+      require(trRow.getLong(0) == nDocs && trRow.getLong(1) == 17L * nDocs &&
+        trRow.getLong(2) == 83L && trRow.getLong(3) == 83L,
+        s"run trim closed form violated: $trRow")
+      require(trShuffle <= 12L * cpus,
+        s"tokenRunTrim shuffled $trShuffle records — must be map-only")
+      println(f"""{"probe":"token_runs","docs":$nDocs,"tokens":${100 * nDocs},""" +
+        f""""shuffle_records":$trShuffle,"secs":$trSecs%.2f,""" +
+        f""""docs_per_sec":${nDocs / trSecs}%.0f}""")
     } finally {
       spark.stop()
       graft.util.Dirs.deleteRecursively(new File(root))

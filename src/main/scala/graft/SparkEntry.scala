@@ -578,6 +578,14 @@ object SparkEntry {
     // inside the one fingerprint exchange (guaranteed recall vs LSH bands)
     "q_winnow_pairs" -> ((s, dir) =>
       graft.ml.TextDedup.winnowPairs(DocsAdapter.augmentedDocs(s, dir))),
+    // cross-source duplication matrix: distinct shared winnow fps per
+    // source pair (zero row == NO shared >= w+k-1-word run, by guarantee)
+    "q_source_overlap" -> ((s, dir) =>
+      graft.ml.TextDedup.sourceOverlap(DocsAdapter.docs(s, dir))),
+    // repeated-token-run trimming in token space (keep-first maxRun);
+    // position-weighted exact signature proves the full trimmed sequence
+    "q_token_runs" -> ((s, dir) =>
+      graft.ml.Packing.tokenRunTrim(DocsAdapter.tokenRunSeqs(s, dir))),
     // multimodal: binary payload + typed metadata through the mapPartitions
     // decode stub (metadata projection is the oracle-comparable part)
     "q_multimodal_meta" -> ((s, dir) =>
@@ -1178,6 +1186,10 @@ object SparkEntry {
       graft.ml.TextDedup.winnowSql("documents"),
     "q_winnow_pairs" ->
       graft.ml.TextDedup.winnowPairsSql(DocsAdapter.augmentedDocsSql()),
+    "q_source_overlap" ->
+      graft.ml.TextDedup.sourceOverlapSql("documents"),
+    "q_token_runs" ->
+      graft.ml.Packing.tokenRunTrimSql(DocsAdapter.tokenRunSeqsSql()),
     "q_multimodal_meta" ->
       graft.ml.Multimodal.mediaMetaSql("documents"),
     "q_media_decode" ->

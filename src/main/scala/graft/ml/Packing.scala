@@ -154,4 +154,57 @@ object Packing {
        |  count(*) AS n_docs
        |FROM pieces GROUP BY win""".stripMargin.replace("\n", " ")
   }
+
+  // --------------------------------------------------------- run trimming
+
+  /** Trim intra-sequence repeated-token runs to at most `maxRun` copies —
+    * repetition mitigation applied in TOKEN space, upstream of [[pack]]
+    * (the text-side analog is the Gopher repetition rule set;
+    * reference-domain pages stuck in template loops emit thousands-long
+    * runs of one token and burn training steps). Keeps the FIRST `maxRun`
+    * tokens of each run; everything else is order-preserved.
+    *
+    * Output keeps the oracle row per doc and proves the full trimmed
+    * SEQUENCE, not just its length: `sig` is the position-weighted sum
+    * Σ (1-based pos) × token — exact BIGINT arithmetic in both engines, so
+    * any reorder/off-by-one flips it.
+    *
+    * Scale shape: entirely row-local array expressions (the run test reads
+    * the `maxRun` predecessors of each position; the `when` guard keeps
+    * ANSI element_at in range) — ZERO exchanges, pure scan throughput.
+    */
+  def tokenRunTrim(seqs: DataFrame, maxRun: Int = 3): DataFrame = {
+    require(maxRun >= 1, "maxRun must be >= 1")
+    val t = col("tokens")
+    val kept = filter(sequence(lit(0), size(t) - 1), i =>
+      when(i < maxRun, lit(true)).otherwise(
+        !(1 to maxRun).map(j => element_at(t, i - j + 1) === element_at(t, i + 1))
+          .reduce(_ && _)))
+    val staged = seqs.select(col("doc_id"), col("tokens"),
+      transform(kept, i => element_at(t, i + 1)).as("trimmed"))
+    staged.select(col("doc_id"),
+      size(col("tokens")).cast("long").as("n_before"),
+      size(col("trimmed")).cast("long").as("n_after"),
+      aggregate(
+        transform(sequence(lit(1), size(col("trimmed"))),
+          p => p.cast("long") * element_at(col("trimmed"), p).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("sig"))
+  }
+
+  /** DuckDB twin of [[tokenRunTrim]] — same keep rule over 1-based list
+    * extracts, same position-weighted signature.
+    */
+  def tokenRunTrimSql(seqsRel: String, maxRun: Int = 3): String = {
+    val prevEq = (1 to maxRun)
+      .map(j => s"tokens[i - ${j - 1}] = tokens[i + 1]").mkString(" AND ")
+    s"""WITH s AS (SELECT doc_id, tokens FROM $seqsRel),
+       |tr AS (SELECT doc_id, tokens, list_transform(
+       |    list_filter(range(len(tokens)), i -> CASE WHEN i < $maxRun THEN true
+       |      ELSE NOT ($prevEq) END), i -> tokens[i + 1]) AS trimmed FROM s)
+       |SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_before,
+       |  CAST(len(trimmed) AS BIGINT) AS n_after,
+       |  CAST(coalesce(list_sum(list_transform(range(1, len(trimmed) + 1),
+       |    p -> CAST(p AS BIGINT) * trimmed[p])), 0) AS BIGINT) AS sig
+       |FROM tr""".stripMargin.replace("\n", " ")
+  }
 }

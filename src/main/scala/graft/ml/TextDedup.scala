@@ -795,6 +795,41 @@ object TextDedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Cross-source duplication forensics: for every source pair, how many
+    * DISTINCT winnowing fingerprints they share — the corpus-level view of
+    * [[winnowPairs]] (how much of source B is already in source A decides
+    * mixing weights and dedup order; the winnowing guarantee makes a zero
+    * row mean NO shared run of ≥ w+k−1 words anywhere between the two).
+    *
+    * Scale shape: text reduces to (source, fp) pairs row-locally, ONE
+    * distinct exchange collapses them (map-side combined), and the self
+    * join fans out per fp by at most the SOURCE count, never doc count —
+    * no hot-fp cap needed because distinctness bounds the fan. The pair
+    * aggregate is sources² cells.
+    */
+  def sourceOverlap(docs: DataFrame, w: Int = WINNOW_W): DataFrame = {
+    val sf = docs.select(col("source"),
+      explode(winnowFpsCol(col("text"), w)).as("fp")).distinct()
+    sf.as("x").join(sf.as("y"),
+        col("x.fp") === col("y.fp") && col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+  }
+
+  /** DuckDB twin of [[sourceOverlap]] — fps re-join their doc's source,
+    * then the same distinct + pair count.
+    */
+  def sourceOverlapSql(docsRel: String, w: Int = WINNOW_W): String =
+    s"""WITH ${winnowFpsCtesSql(docsRel, w)},
+       |sfp AS (SELECT DISTINCT d2.source, u.fp
+       |  FROM (SELECT doc_id, unnest(fps) AS fp FROM f) u
+       |  JOIN (SELECT doc_id, source FROM $docsRel) d2 ON u.doc_id = d2.doc_id)
+       |SELECT x.source AS source_a, y.source AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared_fps
+       |FROM sfp x JOIN sfp y ON x.fp = y.fp AND x.source < y.source
+       |GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+
   /** DuckDB twin of [[winnowPairs]] — same fps, same window-count cap, same
     * intersection counting.
     */

@@ -346,6 +346,33 @@ object DocsAdapter {
        |  ELSE (doc_id * 31 + i * 7) % 50000 END AS INTEGER)) AS tokens
        | FROM documents)""".stripMargin.replace("\n", " ")
 
+  val TOKEN_RUN_MOD = 5
+  val TOKEN_RUN_LEN = 12
+
+  /** (doc_id, tokens) with PLANTED repeated-token runs: every doc_id %
+    * [[TOKEN_RUN_MOD]] == 0 repeats token (doc_id % 1000) at positions
+    * 20..20+[[TOKEN_RUN_LEN]]. The base formula steps by 7 mod 50000, so
+    * consecutive base tokens are never equal — the planted runs are the
+    * ONLY runs, making trim effects exactly predictable.
+    */
+  def tokenRunSeqs(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = lit(40) + pmod(col("doc_id"), lit(60))
+    docs(spark, sfDir).select(col("doc_id"),
+      transform(sequence(lit(0), (nTok - 1).cast("int")), i =>
+        when(pmod(col("doc_id"), lit(TOKEN_RUN_MOD.toLong)) === 0 &&
+            i >= 20 && i < 20 + TOKEN_RUN_LEN,
+          pmod(col("doc_id"), lit(1000L)).cast("int"))
+        .otherwise(pmod(col("doc_id") * 31 + i * 7, lit(50000L)).cast("int")))
+        .as("tokens"))
+  }
+
+  def tokenRunSeqsSql(): String =
+    s"""(SELECT doc_id, list_transform(range(40 + doc_id % 60), i ->
+       | CAST(CASE WHEN doc_id % $TOKEN_RUN_MOD = 0 AND i >= 20 AND i < ${20 + TOKEN_RUN_LEN}
+       |  THEN doc_id % 1000
+       |  ELSE (doc_id * 31 + i * 7) % 50000 END AS INTEGER)) AS tokens
+       | FROM documents)""".stripMargin.replace("\n", " ")
+
   /** (bench_id, tokens) — the held-out eval set in token space. */
   def tokenBench(spark: SparkSession): DataFrame =
     spark.range(TOKEN_BENCH_ITEMS).select(col("id").as("bench_id"),

@@ -1429,4 +1429,77 @@ class MlSpec extends AnyFunSuite {
     assert(!qPlan.contains("CartesianProduct") &&
       !qPlan.contains("BroadcastNestedLoopJoin"), s"all-pairs plan:\n$qPlan")
   }
+
+  test("token run trim: keep-first maxRun, boundary runs, brute force, map-only") {
+    import spark.implicits._
+    val maxRun = 3
+    val seqs = Seq(
+      1L -> Seq(5, 5, 5, 5, 5, 9),          // leading 5-run -> keep 3
+      2L -> Seq(1, 2, 2, 2, 3, 3, 3, 3),    // exactly-3 run stays whole; 4-run trims
+      3L -> Seq(7, 8, 7, 8, 7, 8),          // alternation is NOT a run
+      4L -> Seq(4, 4, 4),                   // run == maxRun at the very end
+      5L -> Seq(6)                          // singleton
+    ).map { case (id, ts) => (id, ts.map(Integer.valueOf)) }
+    val df = seqs.toDF("doc_id", "tokens")
+    def bruteTrim(ts: Seq[Int]): Seq[Int] =
+      ts.zipWithIndex.filter { case (v, i) =>
+        i < maxRun || !(1 to maxRun).forall(j => ts(i - j) == v)
+      }.map(_._1)
+    val got = graft.ml.Packing.tokenRunTrim(df, maxRun).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    seqs.foreach { case (id, ts0) =>
+      val ts = ts0.map(_.toInt)
+      val tr = bruteTrim(ts)
+      val sig = tr.zipWithIndex.map { case (v, i) => (i + 1).toLong * v }.sum
+      assert(got(id) == ((ts.size.toLong, tr.size.toLong, sig)), s"doc $id: $tr")
+    }
+    // the planted-run adapter: every doc_id % TOKEN_RUN_MOD == 0 loses
+    // exactly TOKEN_RUN_LEN - maxRun tokens, everyone else loses none
+    val adapted = graft.ml.Packing
+      .tokenRunTrim(DocsAdapter.tokenRunSeqs(spark, dir), maxRun).collect()
+    adapted.foreach { r =>
+      val cut = r.getLong(1) - r.getLong(2)
+      val expect = if (r.getLong(0) % DocsAdapter.TOKEN_RUN_MOD == 0)
+        (DocsAdapter.TOKEN_RUN_LEN - maxRun).toLong else 0L
+      assert(cut == expect, s"doc ${r.getLong(0)}: cut $cut, expected $expect")
+    }
+    val plan = graft.ml.Packing.tokenRunTrim(DocsAdapter.tokenRunSeqs(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"run trim must be map-only:\n$plan")
+  }
+
+  test("source overlap: brute-force fp intersections per source pair, text never shuffles") {
+    import spark.implicits._
+    val body = (0 until 30).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, "web", body + " tail one"),
+      (2L, "web", "completely different web words entirely here today"),
+      (3L, "books", body + " tail two"),      // shares body with web doc 1
+      (4L, "wiki", "nebula quasar pulsar comet meteor asteroid planet")
+    ).toDF("doc_id", "source", "text")
+    val fps = docs.select(col("source"), TextDedup.winnowFpsCol(col("text")).as("fps"))
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.flatMap(_.getSeq[Long](1)).toSet }
+    val brute = (for {
+      (a, sa) <- fps.toSeq; (b, sb) <- fps.toSeq if a < b
+      n = (sa & sb).size if n >= 1
+    } yield (a, b, n.toLong)).toSet
+    val got = TextDedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == brute, s"got $got vs brute $brute")
+    assert(got.exists(p => p._1 == "books" && p._2 == "web"),
+      "the shared 30-word body must surface as books-web overlap (guarantee)")
+    assert(!got.exists(p => p._1 == "wiki" || p._2 == "wiki"),
+      "disjoint wiki must overlap nothing")
+    // scale shape on the real table: exchanges carry (source, fp), never text
+    val q = TextDedup.sourceOverlap(DocsAdapter.docs(spark, dir))
+    q.collect(): Unit
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
+      s"an exchange carries document text:\n${exchanges.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs plan:\n$plan")
+  }
 }
