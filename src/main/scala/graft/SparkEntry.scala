@@ -739,6 +739,14 @@ object SparkEntry {
         graft.util.Dirs.deleteRecursively(new java.io.File(sink))
       }
     }),
+    // live monitoring ON the serving path: the median/MAD anomaly rule
+    // composes over the streaming histogram's merge-on-read view (same
+    // stream -> delta sink -> compact -> serve chain, then flagCells);
+    // the twin recomputes the rule from the batch histogram, so the whole
+    // streaming lifecycle sits under the exactness gate
+    "q_stream_anomaly" -> ((s, dir) =>
+      graft.plans.Anomaly.flagCells(
+        queries("q_stream_histogram")(s, dir), "sink", "n")),
     // S5 dedup insert on the STREAMING path: the corpus is shipped twice
     // as two files, forced into separate micro-batches
     // (maxFilesPerTrigger=1) — the second delivery is dropped entirely by
@@ -1238,6 +1246,10 @@ object SparkEntry {
       s"SELECT doc_id, ${graft.ml.TextDedup.normalizeSql("text")} AS decoded FROM documents",
     "q_stream_histogram" ->
       s"SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n FROM events GROUP BY 1, 2",
+    "q_stream_anomaly" ->
+      graft.plans.Anomaly.flagCellsSql(
+        s"(SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n FROM events GROUP BY 1, 2)",
+        "sink", "n", Seq("bucket_start")),
     "q_ann_lsh" ->
       graft.ml.Similarity.lshNearDupPairsSql(DocsAdapter.augmentedEmbeddingsSql(), 0.999),
     "q_ann_ivf" ->

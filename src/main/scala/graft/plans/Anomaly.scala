@@ -58,23 +58,31 @@ object Anomaly {
         col("is_anomaly"))
   }
 
-  /** DuckDB twin of [[bucketCountAnomalies]] — same cells, same two type-1
-    * percentile walks ([[Percentiles.byGroupSql]]), same strict-greater
-    * integer rule.
+  /** DuckDB twin of [[flagCells]] over any cells relation — the same two
+    * type-1 percentile walks ([[Percentiles.byGroupSql]]) and the same
+    * strict-greater integer rule; `otherCols` are passed through like the
+    * Spark side passes every input column through.
     */
-  def bucketCountAnomaliesSql(eventsRel: String, k: Int = 3): String = {
-    val cells = s"(SELECT event_type, date_trunc('hour', ts) AS bucket_start," +
-      s" count(*) AS n_events FROM $eventsRel GROUP BY 1, 2)"
-    val medQ = Percentiles.byGroupSql(cells, "event_type", "n_events", Seq(0.5))
-    val devCells = s"(SELECT c.event_type, c.bucket_start, c.n_events," +
-      s" m.p50 AS med, abs(c.n_events - m.p50) AS dev" +
-      s" FROM $cells c JOIN ($medQ) m USING (event_type))"
-    val madQ = Percentiles.byGroupSql(devCells, "event_type", "dev", Seq(0.5))
-    s"""SELECT d.event_type,
-       |  strftime(d.bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket_start,
-       |  d.n_events, d.med, d.dev, a.p50 AS mad,
-       |  d.dev > $k * a.p50 AS is_anomaly
-       |FROM $devCells d JOIN ($madQ) a USING (event_type)""".stripMargin
+  def flagCellsSql(cellsRel: String, groupCol: String, nCol: String,
+      otherCols: Seq[String], k: Int = 3): String = {
+    val medQ = Percentiles.byGroupSql(cellsRel, groupCol, nCol, Seq(0.5))
+    val passThru = otherCols.map(c => s"c.$c, ").mkString
+    val devCells = s"(SELECT c.$groupCol, $passThru c.$nCol," +
+      s" m.p50 AS med, abs(c.$nCol - m.p50) AS dev" +
+      s" FROM $cellsRel c JOIN ($medQ) m USING ($groupCol))"
+    val madQ = Percentiles.byGroupSql(devCells, groupCol, "dev", Seq(0.5))
+    val outThru = otherCols.map(c => s"d.$c, ").mkString
+    s"""SELECT d.$groupCol, $outThru d.$nCol, d.med, d.dev,
+       |  a.p50 AS mad, d.dev > $k * a.p50 AS is_anomaly
+       |FROM $devCells d JOIN ($madQ) a USING ($groupCol)""".stripMargin
       .replace("\n", " ")
+  }
+
+  /** DuckDB twin of [[bucketCountAnomalies]]. */
+  def bucketCountAnomaliesSql(eventsRel: String, k: Int = 3): String = {
+    val cells = s"(SELECT event_type," +
+      s" strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start," +
+      s" count(*) AS n_events FROM $eventsRel GROUP BY 1, 2)"
+    flagCellsSql(cells, "event_type", "n_events", Seq("bucket_start"), k)
   }
 }
