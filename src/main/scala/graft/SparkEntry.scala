@@ -1029,8 +1029,45 @@ object SparkEntry {
     // add-one bigram model — the conditional upgrade of q_lm_score (word
     // ORDER now costs); same (doc,a,b,cnt) fold shape on both engines
     "q_bigram_lm" -> ((s, dir) =>
-      graft.ml.TextAnalysis.bigramLmScore(DocsAdapter.docs(s, dir)))
+      graft.ml.TextAnalysis.bigramLmScore(DocsAdapter.docs(s, dir))),
+    // Drain-style log template mining: one template per (source, token
+    // count), wildcard = any position with >1 distinct token — a strict
+    // integer rule, so the twin agrees bit-for-bit; the corpus collapses
+    // map-side to distinct (group, pos, token) cells before the one exchange
+    "q_log_templates" -> ((s, dir) =>
+      graft.plans.LogTemplates.templatesFlat(EventsAdapter.events(s, dir))),
+    // template assignment (log compression): every line -> its template +
+    // wildcard params, reconstructing the line exactly; MAP-ONLY after the
+    // template-dictionary broadcast (params slice the line's own array)
+    "q_template_assign" -> ((s, dir) =>
+      graft.plans.LogTemplates.assign(EventsAdapter.events(s, dir))),
+    // interval containment join: windows explode into covered days, events
+    // equi-join on (type, day) + exact [start,end) filter — never a
+    // nested-loop range join; the twin IS the native range predicate
+    "q_interval_join" -> ((s, dir) =>
+      graft.plans.IntervalJoin.eventsPerWindow(
+        s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id").cast("string").as("doc_id"),
+            col("event_type"), col("ts")),
+        EventsAdapter.maintWindows(s))),
+    // weekly cohort retention: first-seen week per user (one user-keyed
+    // agg, exchange reused by the join back) -> distinct active users per
+    // (cohort, week offset) cell, two-phase distinct
+    "q_cohort_retention" -> ((s, dir) =>
+      graft.plans.EventAnalytics.cohortRetention(
+        s.read.parquet(s"$dir/events.parquet"))),
+    // ROLLUP subtotals in one pass: (type, day) + per-type + grand totals
+    // from a single partial-aggregated read, integer-only outputs
+    "q_rollup" -> ((s, dir) =>
+      graft.plans.EventAnalytics.rollupCounts(
+        s.read.parquet(s"$dir/events.parquet")))
   )
+
+  /** The events relation rendered as mineable log lines — shared shape for
+    * the template-mining twins (doc_id, source, raw).
+    */
+  private def eventLinesSql: String =
+    s"(SELECT $DOC AS doc_id, $SRC AS source, $RAW AS raw FROM events)"
 
   /** Fixed query for the BM25 oracle row: mixed-frequency corpus terms plus
     * one absent term (contributes nothing on both engines). Shared by the
@@ -1323,6 +1360,18 @@ object SparkEntry {
     "q_keywords" ->
       graft.ml.TextAnalysis.keywordsSql("documents"),
     "q_bigram_lm" ->
-      graft.ml.TextAnalysis.bigramLmScoreSql("documents")
+      graft.ml.TextAnalysis.bigramLmScoreSql("documents"),
+    "q_log_templates" ->
+      graft.plans.LogTemplates.templatesSql(eventLinesSql),
+    "q_template_assign" ->
+      graft.plans.LogTemplates.assignSql(eventLinesSql),
+    "q_interval_join" ->
+      graft.plans.IntervalJoin.eventsPerWindowSql(
+        s"(SELECT $DOC AS doc_id, event_type, ts FROM events)",
+        EventsAdapter.maintWindowsSql()),
+    "q_cohort_retention" ->
+      graft.plans.EventAnalytics.cohortRetentionSql("events"),
+    "q_rollup" ->
+      graft.plans.EventAnalytics.rollupCountsSql("events")
   )
 }

@@ -151,6 +151,47 @@ object EventsAdapter {
        | FROM (SELECT range AS r FROM range(${CONFIG_TYPES.length * CONFIG_VERSIONS})))""".stripMargin.replace("\n", " ")
   }
 
+  /** Deterministic MAINTENANCE WINDOWS for the interval join: every event
+    * type gets [[MAINT_WINDOWS]] windows at staggered starts from the
+    * corpus epoch; every other window lasts 30 hours so it crosses a day
+    * boundary and exercises the day explode. Pure column arithmetic with a
+    * DuckDB twin, `timestamp_ntz` to match the parquet events column.
+    */
+  val MAINT_WINDOWS = 10
+
+  def maintWindows(spark: SparkSession): DataFrame = {
+    val t = pmod(col("id"), lit(CONFIG_TYPES.length.toLong))
+    val i = floor(col("id") / CONFIG_TYPES.length)
+    val etype = CONFIG_TYPES.zipWithIndex.tail.foldLeft(
+      lit(CONFIG_TYPES.head)) { case (acc, (name, j)) =>
+      when(t === j, name).otherwise(acc)
+    }
+    val startH = (i * 61 + t * 13).cast("int")
+    val durH = (lit(3) + lit(27) * pmod(i, lit(2))).cast("int")
+    val epoch = lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    spark.range(CONFIG_TYPES.length.toLong * MAINT_WINDOWS).select(
+      concat(lit("w-"), etype, lit("-"), i.cast("long")).as("window_id"),
+      etype.as("event_type"),
+      (epoch + make_dt_interval(lit(0), startH, lit(0), lit(0)))
+        .as("start_ts"),
+      (epoch + make_dt_interval(lit(0), startH + durH, lit(0), lit(0)))
+        .as("end_ts"))
+  }
+
+  def maintWindowsSql(): String = {
+    val n = CONFIG_TYPES.length
+    val cases = CONFIG_TYPES.zipWithIndex
+      .map { case (nm, j) => s"WHEN $j THEN '$nm'" }.mkString(" ")
+    s"""(SELECT 'w-' || CASE (r % $n) $cases END || '-' || (r // $n) AS window_id,
+       | CASE (r % $n) $cases END AS event_type,
+       | TIMESTAMP '2024-01-01 00:00:00'
+       |   + to_hours((r // $n) * 61 + (r % $n) * 13) AS start_ts,
+       | TIMESTAMP '2024-01-01 00:00:00'
+       |   + to_hours((r // $n) * 61 + (r % $n) * 13 + 3 + 27 * ((r // $n) % 2)) AS end_ts
+       | FROM (SELECT range AS r FROM range(${n * MAINT_WINDOWS})))"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** The same events rendered as a pre-tokenized `sequences` table
     * (BASELINE.json input_hint shape) — lets the DuckDB oracle verify the
     * full tokens -> parse -> enrich -> route -> aggregate pipeline, because

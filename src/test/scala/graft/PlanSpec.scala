@@ -376,6 +376,110 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"k-cut must be top-k:\n$plan")
   }
 
+  test("log templates: wildcard rule, reconstruction, corpus never shuffles to assign") {
+    import spark.implicits._
+    val lines = Seq(
+      ("1", "app.log", "start job 17 on hostA"),
+      ("2", "app.log", "start job 23 on hostB"),
+      ("3", "app.log", "start job 17 on hostA"), // dup line: distinct, not occ, drives the rule
+      ("4", "app.log", "done"),                  // different len -> own group
+      ("5", "web.log", "GET /a 200"),
+      ("6", "web.log", "GET /b 404")
+    ).toDF("doc_id", "source", "raw")
+    val tpl = graft.plans.LogTemplates.templatesFlat(lines).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getString(3), r.getLong(4)))).toMap
+    assert(tpl(("app.log", 5)) == (("start job <*> on <*>", "2,4", 3L)))
+    assert(tpl(("app.log", 1)) == (("done", "", 1L)))
+    assert(tpl(("web.log", 3)) == (("GET <*> <*>", "1,2", 2L)))
+    // template + params reconstruct every line exactly
+    val back = graft.plans.LogTemplates.assign(lines).collect().map { r =>
+      val params = r.getString(2).split(" ", -1).filter(_.nonEmpty).iterator
+      r.getString(0) -> r.getString(1).split(" ", -1)
+        .map(t => if (t == "<*>") params.next() else t).mkString(" ")
+    }.toMap
+    val raws = lines.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    raws.foreach { case (id, raw) =>
+      assert(back(id) == raw, s"doc $id must reconstruct") }
+    // scale shape: the dictionary joins back via broadcast and no exchange
+    // carries the per-line token array (the corpus is assigned map-only)
+    val plan = graft.plans.LogTemplates.assign(lines)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"template dictionary must broadcast:\n$plan")
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(!_.contains("ws#")),
+      s"an exchange carries the line token arrays:\n${exchanges.mkString("\n")}")
+  }
+
+  test("interval join: [start,end) boundaries, multi-day + overlapping windows, no range join") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      ("e1", "A", t("2026-01-01 10:00:00")), // inside w1
+      ("e2", "A", t("2026-01-01 09:00:00")), // == w1 start: included
+      ("e3", "A", t("2026-01-01 12:00:00")), // == w1 end: EXCLUDED (but inside w2)
+      ("e4", "A", t("2026-01-02 03:00:00")), // day 2 of multi-day w2
+      ("e5", "B", t("2026-01-01 10:00:00")), // right time, wrong key
+      ("e6", "A", t("2026-01-01 11:30:00"))  // inside w1 AND w2 (overlap)
+    ).toDF("doc_id", "event_type", "ts")
+    val windows = Seq(
+      ("w1", "A", t("2026-01-01 09:00:00"), t("2026-01-01 12:00:00")),
+      ("w2", "A", t("2026-01-01 11:00:00"), t("2026-01-02 08:00:00")),
+      ("w3", "B", t("2026-01-05 00:00:00"), t("2026-01-05 01:00:00"))
+    ).toDF("window_id", "event_type", "start_ts", "end_ts")
+    val got = graft.plans.IntervalJoin.eventsPerWindow(events, windows)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("w1" -> 3L, "w2" -> 3L), s"got $got")
+    val plan = graft.plans.IntervalJoin.eventsPerWindow(events, windows)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      s"containment must never plan a theta join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"day-exploded windows must broadcast:\n$plan")
+  }
+
+  test("cohort retention: first-seen week anchors, within-week activity deduplicates") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // u1 first seen wk of Jan 5 (Mon), active again wk+2 twice (counts once)
+    // u2 same cohort, active only in week 0; u3 cohort wk of Jan 19
+    val events = Seq(
+      (1L, t("2026-01-07 10:00:00")), (1L, t("2026-01-21 10:00:00")),
+      (1L, t("2026-01-23 10:00:00")), (2L, t("2026-01-05 00:00:00")),
+      (3L, t("2026-01-19 12:00:00"))
+    ).toDF("user_id", "ts")
+    val got = graft.plans.EventAnalytics.cohortRetention(events).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2026-01-05", 0L) -> 2L, ("2026-01-05", 2L) -> 1L,
+      ("2026-01-19", 0L) -> 1L), s"got $got")
+  }
+
+  test("rollup: one-pass subtotals with ALL labels") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      ("click", t("2026-01-01 10:00:00"), 1L),
+      ("click", t("2026-01-01 11:00:00"), 1L), // same user, same day
+      ("click", t("2026-01-02 10:00:00"), 2L),
+      ("error", t("2026-01-01 10:00:00"), 3L)
+    ).toDF("event_type", "ts", "user_id")
+    val got = graft.plans.EventAnalytics.rollupCounts(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(("click", "2026-01-01")) == ((2L, 1L)))
+    assert(got(("click", "ALL")) == ((3L, 2L)))
+    assert(got(("error", "ALL")) == ((1L, 1L)))
+    assert(got(("ALL", "ALL")) == ((4L, 3L)))
+    assert(!got.contains(("ALL", "2026-01-01")),
+      "rollup (not cube): no day-only subtotals")
+    // one pass: a single scan of the input feeds the expand + one exchange
+    val plan = graft.plans.EventAnalytics.rollupCounts(events)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"rollup must expand grouping sets:\n$plan")
+  }
+
   test("decontam scrub broadcasts the bench gram set; corpus text never shuffles") {
     val df = SparkEntry.queries("q_decontam_scrub")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
