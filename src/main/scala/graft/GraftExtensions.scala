@@ -16,10 +16,12 @@ import graft.functions._
   *  - `GraftExtensions.register(spark)` (runtime, existing session)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinAsEquiJoin)
+  }
 }
 
 object GraftExtensions {
@@ -101,10 +103,21 @@ object GraftExtensions {
       })
   )
 
-  /** Register into an existing session's function registry. */
-  def register(spark: SparkSession): Unit =
+  /** Register into an existing session: the function registry, plus the
+    * range-join rewrite via `experimental.extraOptimizations` (the runtime
+    * analog of `injectOptimizerRule`; they run as a post-hoc optimizer
+    * batch). Idempotent.
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "scala_udf")
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RangeJoinAsEquiJoin)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.RangeJoinAsEquiJoin
+    }
+  }
 }

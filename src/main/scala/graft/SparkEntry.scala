@@ -1060,7 +1060,23 @@ object SparkEntry {
     // from a single partial-aggregated read, integer-only outputs
     "q_rollup" -> ((s, dir) =>
       graft.plans.EventAnalytics.rollupCounts(
-        s.read.parquet(s"$dir/events.parquet")))
+        s.read.parquet(s"$dir/events.parquet"))),
+    // range-ONLY containment join written DECLARATIVELY (no key at all —
+    // the shape Spark plans as a nested-loop join): the injected
+    // RangeJoinAsEquiJoin optimizer rule rewrites it to the day-bucketed
+    // equi-join, so the user keeps the naive predicate and the planner
+    // gets a hash join
+    "q_range_only" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id").cast("string").as("doc_id"), col("ts"))
+      val w = EventsAdapter.maintWindows(s)
+        .select("window_id", "start_ts", "end_ts")
+      ev.join(w, ev("ts") >= w("start_ts") && ev("ts") < w("end_ts"))
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_events"),
+          bit_xor(graft.ml.TextDedup.hash64Col(col("doc_id"))).as("sig"))
+    })
   )
 
   /** The events relation rendered as mineable log lines — shared shape for
@@ -1372,6 +1388,12 @@ object SparkEntry {
     "q_cohort_retention" ->
       graft.plans.EventAnalytics.cohortRetentionSql("events"),
     "q_rollup" ->
-      graft.plans.EventAnalytics.rollupCountsSql("events")
+      graft.plans.EventAnalytics.rollupCountsSql("events"),
+    "q_range_only" ->
+      s"""SELECT w.window_id, count(*) AS n_events,
+         |  bit_xor(${graft.ml.TextDedup.hash64Sql(DOC)}) AS sig
+         |FROM ${EventsAdapter.maintWindowsSql()} w JOIN events e
+         |  ON e.ts >= w.start_ts AND e.ts < w.end_ts
+         |GROUP BY w.window_id""".stripMargin.replace("\n", " ")
   )
 }

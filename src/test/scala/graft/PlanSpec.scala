@@ -480,6 +480,47 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), s"rollup must expand grouping sets:\n$plan")
   }
 
+  test("range-join rule: rewrites the no-key containment join to a day-keyed hash join") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    def t(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      ("e1", t("2026-01-01 10:00:00")),
+      ("e2", t("2026-01-01 09:00:00")), // == start: included
+      ("e3", t("2026-01-03 08:00:00")), // == end: excluded
+      ("e4", t("2026-01-02 03:00:00"))  // middle day of the 3-day window
+    ).toDF("doc_id", "ts")
+    val windows = Seq(
+      ("w1", t("2026-01-01 09:00:00"), t("2026-01-03 08:00:00")),
+      ("w2", t("2026-01-02 00:00:00"), t("2026-01-02 06:00:00"))
+    ).toDF("window_id", "start_ts", "end_ts")
+    val joined = events.join(windows,
+      events("ts") >= windows("start_ts") && events("ts") < windows("end_ts"))
+    val got = joined.groupBy("window_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("w1" -> 3L, "w2" -> 1L), s"got $got")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"rule must replace the nested-loop plan:\n$plan")
+    assert(plan.contains("graft_probe_day") && plan.contains("BroadcastHashJoin"),
+      s"rule must inject the day equi key:\n$plan")
+    // flipped sides (windows as the left relation): same rewrite, same rows
+    val flipped = windows.join(events,
+      events("ts") >= windows("start_ts") && events("ts") < windows("end_ts"))
+    val gotF = flipped.groupBy("window_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotF == got, s"flipped sides must agree: $gotF")
+    assert(!flipped.queryExecution.executedPlan.toString.contains("NestedLoopJoin"))
+    // negative: a cross-side equality means Spark already hash-joins on it
+    // — the rule must keep its hands off
+    val ev2 = events.withColumn("k", lit("a"))
+    val w2 = windows.withColumn("k2", lit("a"))
+    val keyed = ev2.join(w2, ev2("k") === w2("k2") &&
+      ev2("ts") >= w2("start_ts") && ev2("ts") < w2("end_ts"))
+    assert(!keyed.queryExecution.executedPlan.toString.contains("graft_probe_day"),
+      "rule fired on a join that already has an equi key")
+  }
+
   test("decontam scrub broadcasts the bench gram set; corpus text never shuffles") {
     val df = SparkEntry.queries("q_decontam_scrub")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
