@@ -1061,6 +1061,25 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) =>
       graft.plans.EventAnalytics.rollupCounts(
         s.read.parquet(s"$dir/events.parquet"))),
+    // template DRIFT: templates mined from the post-cut window that did
+    // not exist before it — the new-structure alert; the adapter simulates
+    // a deploy appending a field (retry=1) to some users' lines after the
+    // cut, so the drift set is exactly the widened per-source templates
+    "q_template_drift" -> ((s, dir) => {
+      val lns = EventsAdapter.lines(s, dir)
+      val cut = lit(DriftCut).cast("timestamp_ntz")
+      graft.plans.LogTemplates.drift(
+        lns.filter(col("ts") < cut).select("doc_id", "source", "raw"),
+        lns.filter(col("ts") >= cut).select(col("doc_id"), col("source"),
+          concat(col("raw"), when(pmod(col("user_id"), lit(5L)) === 0,
+            lit(" retry=1")).otherwise(lit(""))).as("raw")))
+    }),
+    // ordered step-conversion funnel: earliest strictly-later event per
+    // step (conditional-min recurrence), per-step reached-user counts;
+    // each step's rows cross one user-keyed exchange
+    "q_step_funnel" -> ((s, dir) =>
+      graft.plans.EventAnalytics.stepFunnel(
+        s.read.parquet(s"$dir/events.parquet"))),
     // range-ONLY containment join written DECLARATIVELY (no key at all —
     // the shape Spark plans as a nested-loop join): the injected
     // RangeJoinAsEquiJoin optimizer rule rewrites it to the day-bucketed
@@ -1084,6 +1103,17 @@ object SparkEntry {
     */
   private def eventLinesSql: String =
     s"(SELECT $DOC AS doc_id, $SRC AS source, $RAW AS raw FROM events)"
+
+  /** Template-drift window cut + the simulated post-cut format change. */
+  private[graft] val DriftCut = "2024-01-16 00:00:00"
+  private def driftOldSql: String =
+    s"""(SELECT $DOC AS doc_id, $SRC AS source, $RAW AS raw FROM events
+       | WHERE ts < TIMESTAMP '$DriftCut')""".stripMargin.replace("\n", " ")
+  private def driftNewSql: String =
+    s"""(SELECT $DOC AS doc_id, $SRC AS source, $RAW ||
+       | CASE WHEN user_id % 5 = 0 THEN ' retry=1' ELSE '' END AS raw
+       | FROM events WHERE ts >= TIMESTAMP '$DriftCut')"""
+      .stripMargin.replace("\n", " ")
 
   /** Fixed query for the BM25 oracle row: mixed-frequency corpus terms plus
     * one absent term (contributes nothing on both engines). Shared by the
@@ -1389,6 +1419,10 @@ object SparkEntry {
       graft.plans.EventAnalytics.cohortRetentionSql("events"),
     "q_rollup" ->
       graft.plans.EventAnalytics.rollupCountsSql("events"),
+    "q_template_drift" ->
+      graft.plans.LogTemplates.driftSql(driftOldSql, driftNewSql),
+    "q_step_funnel" ->
+      graft.plans.EventAnalytics.stepFunnelSql("events"),
     "q_range_only" ->
       s"""SELECT w.window_id, count(*) AS n_events,
          |  bit_xor(${graft.ml.TextDedup.hash64Sql(DOC)}) AS sig

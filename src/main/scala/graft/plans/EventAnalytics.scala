@@ -48,6 +48,57 @@ object EventAnalytics {
        |FROM wk w JOIN fs f USING (user_id)
        |GROUP BY 1, 2""".stripMargin.replace("\n", " ")
 
+  /** Ordered step-conversion funnel (view -> click -> purchase): a user
+    * completes step k+1 at the EARLIEST step-k+1 event STRICTLY AFTER
+    * their step-k completion time — the conditional-min recurrence
+    * (t1 = min view; t2 = min click > t1; ...), i.e. the greedy
+    * first-occurrence scan. Emits one row per step with the count of
+    * users who reached it.
+    *
+    * Scale shape: each step touches only ITS event type's rows (the type
+    * filter pushes to the scan), which cross one user-keyed aggregate;
+    * the reached-set joins are user-key-to-user-key (co-partitioned, never
+    * broadcast-sized assumptions). Per-user state is one timestamp — no
+    * collect-and-sort of a user's history, so a hot user costs nothing
+    * extra.
+    */
+  def stepFunnel(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val byUser = events.select(col("user_id"), col("event_type"), col("ts"))
+    val reachedPerStep = steps.tail.scanLeft(
+      byUser.filter(col("event_type") === steps.head)
+        .groupBy("user_id").agg(min(col("ts")).as("t"))) { (reached, st) =>
+      byUser.filter(col("event_type") === st)
+        .join(reached, "user_id")
+        .filter(col("ts") > col("t"))
+        .groupBy("user_id").agg(min(col("ts")).as("t"))
+    }
+    steps.zip(reachedPerStep).zipWithIndex.map { case ((st, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(st).as("event_type"),
+          col("n_users"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** DuckDB twin of [[stepFunnel]]. */
+  def stepFunnelSql(eventsRel: String,
+      steps: Seq[String] = Seq("view", "click", "purchase")): String = {
+    val ctes = steps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"s1 AS (SELECT user_id, min(ts) AS t FROM $eventsRel" +
+          s" WHERE event_type = '$st' GROUP BY user_id)"
+      else
+        s"s${i + 1} AS (SELECT e.user_id, min(e.ts) AS t FROM $eventsRel e" +
+          s" JOIN s$i USING (user_id)" +
+          s" WHERE e.event_type = '$st' AND e.ts > s$i.t GROUP BY e.user_id)"
+    }.mkString(", ")
+    val rows = steps.zipWithIndex.map { case (st, i) =>
+      s"SELECT ${i + 1} AS step, '$st' AS event_type," +
+        s" count(*) AS n_users FROM s${i + 1}"
+    }.mkString(" UNION ALL ")
+    s"WITH $ctes $rows"
+  }
+
   /** ROLLUP cube slice: (event_type, day) counts with per-type and grand
     * subtotals in ONE pass — Spark expands the grouping sets before the
     * single partial-aggregated exchange, so the corpus is read once, not

@@ -89,6 +89,17 @@ object LogTemplates {
           p => element_at(col("ws"), p + 1))).as("params"))
   }
 
+  /** Template drift — the new-structure alert: templates mined from the
+    * NEW window that did not exist in the OLD window (a deploy adding a
+    * field, a new log call site, a format change). Both sides reduce to
+    * template-cardinality sets before the anti-join, so the comparison
+    * costs nothing at corpus scale regardless of window sizes.
+    */
+  def drift(oldLines: DataFrame, newLines: DataFrame): DataFrame =
+    templatesFlat(newLines).join(
+      templatesFlat(oldLines).select("source", "len", "template"),
+      Seq("source", "len", "template"), "left_anti")
+
   /** Shared twin CTEs over a `(doc_id, source, raw)` relation: mined
     * pieces -> per-group template + wildcard-position list.
     */
@@ -119,6 +130,13 @@ object LogTemplates {
        |    list_transform(wpos, x -> CAST(x AS VARCHAR)), ','), '')
        |    AS wildcard_pos,
        |  n_lines FROM tpl""".stripMargin.replace("\n", " ")
+
+  /** DuckDB twin of [[drift]]. */
+  def driftSql(oldRel: String, newRel: String): String =
+    s"""SELECT * FROM (${templatesSql(newRel)}) n
+       |WHERE NOT EXISTS (SELECT 1 FROM (${templatesSql(oldRel)}) o
+       |  WHERE o.source = n.source AND o.len = n.len
+       |    AND o.template = n.template)""".stripMargin.replace("\n", " ")
 
   /** DuckDB twin of [[assign]]. */
   def assignSql(linesRel: String): String =

@@ -26,6 +26,16 @@ object EventsAdapter {
     SourceConfig("events-*.log", "kv", extractors, "_time",
       SourceConfig.defaultTimeLayout, "events-host", "app"))
 
+  /** The rendered kv line as a column expression (shared by [[events]] and
+    * [[lines]] so the render can't drift between surfaces).
+    */
+  private def rawCol =
+    concat(
+      date_format(col("ts"), "yyyy/MM/dd HH:mm:ss.SSSSSS"),
+      lit(" performing action eventType="), col("event_type"),
+      lit(" userId="), col("user_id"),
+      lit(" eventId="), col("event_id"))
+
   /** Canonical event frame from {sfDir}/events.parquet. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
@@ -36,12 +46,18 @@ object EventsAdapter {
       concat(lit("events-"), col("event_type"), lit(".log")).as("source_id"),
       col("ts"),
       col("event_id").cast("long").as("offset"),
-      concat(
-        date_format(col("ts"), "yyyy/MM/dd HH:mm:ss.SSSSSS"),
-        lit(" performing action eventType="), col("event_type"),
-        lit(" userId="), col("user_id"),
-        lit(" eventId="), col("event_id")).as("raw"))
+      rawCol.as("raw"))
   }
+
+  /** The events as mineable log lines WITH their structured metadata
+    * (template drift windows cut on `ts`, adapters derive per-user
+    * variants from `user_id`).
+    */
+  def lines(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet").select(
+      col("event_id").cast("string").as("doc_id"),
+      concat(lit("events-"), col("event_type"), lit(".log")).as("source"),
+      rawCol.as("raw"), col("ts"), col("user_id"))
 
   /** DuckDB twins of the derived metadata columns. */
   val SOURCE_SQL = "'events-' || event_type || '.log'"

@@ -480,6 +480,43 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), s"rollup must expand grouping sets:\n$plan")
   }
 
+  test("step funnel: strict ordering, ties excluded, out-of-order steps don't count") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // u1 completes all three in order
+      (1L, "view", t("2026-01-01 10:00:00")),
+      (1L, "click", t("2026-01-01 11:00:00")),
+      (1L, "purchase", t("2026-01-01 12:00:00")),
+      // u2's only click precedes the view -> stops at step 1
+      (2L, "click", t("2026-01-01 09:00:00")),
+      (2L, "view", t("2026-01-01 10:00:00")),
+      // u3: click at EXACTLY the view time -> strict > excludes it
+      (3L, "view", t("2026-01-01 10:00:00")),
+      (3L, "click", t("2026-01-01 10:00:00")),
+      // u4 purchases without ever viewing -> no step at all
+      (4L, "purchase", t("2026-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.plans.EventAnalytics.stepFunnel(events).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> 3L, 2 -> 1L, 3 -> 1L), s"got $got")
+  }
+
+  test("template drift: only post-cut structure alerts") {
+    import spark.implicits._
+    val oldL = Seq(("1", "a.log", "req user 1"), ("2", "a.log", "req user 2"))
+      .toDF("doc_id", "source", "raw")
+    val newL = Seq(
+      ("3", "a.log", "req user 3"),          // same template -> no alert
+      ("6", "a.log", "req user 6"),          // (two lines keep pos 2 wild)
+      ("4", "a.log", "req user 4 retry"),    // widened -> alerts
+      ("5", "a.log", "req user 5 retry")
+    ).toDF("doc_id", "source", "raw")
+    val got = graft.plans.LogTemplates.drift(oldL, newL).collect()
+      .map(r => (r.getString(2), r.getLong(4)))
+    assert(got.toSeq == Seq(("req user <*> retry", 2L)), s"got ${got.toSeq}")
+  }
+
   test("range-join rule: rewrites the no-key containment join to a day-keyed hash join") {
     import spark.implicits._
     GraftExtensions.register(spark)
