@@ -1080,6 +1080,12 @@ object SparkEntry {
     "q_step_funnel" -> ((s, dir) =>
       graft.plans.EventAnalytics.stepFunnel(
         s.read.parquet(s"$dir/events.parquet"))),
+    // rolling 7-day active users: the (user, day) explode into window-end
+    // days + a two-phase distinct — no window function, no self-join; wire
+    // cost = active-user-days x 7, independent of event volume
+    "q_rolling_actives" -> ((s, dir) =>
+      graft.plans.EventAnalytics.rollingActiveUsers(
+        s.read.parquet(s"$dir/events.parquet"))),
     // range-ONLY containment join written DECLARATIVELY (no key at all —
     // the shape Spark plans as a nested-loop join): the injected
     // RangeJoinAsEquiJoin optimizer rule rewrites it to the day-bucketed
@@ -1423,6 +1429,8 @@ object SparkEntry {
       graft.plans.LogTemplates.driftSql(driftOldSql, driftNewSql),
     "q_step_funnel" ->
       graft.plans.EventAnalytics.stepFunnelSql("events"),
+    "q_rolling_actives" ->
+      graft.plans.EventAnalytics.rollingActiveUsersSql("events"),
     "q_range_only" ->
       s"""SELECT w.window_id, count(*) AS n_events,
          |  bit_xor(${graft.ml.TextDedup.hash64Sql(DOC)}) AS sig

@@ -80,6 +80,41 @@ object EventAnalytics {
     }.reduce(_ unionAll _)
   }
 
+  /** Rolling N-day active users: for every window-end day, the distinct
+    * users active in the preceding N days. No window function and no
+    * self-join — each (user, day) contributes to the N window-end days it
+    * falls in (an integer-day explode), and the distinct collapses
+    * TWO-PHASE: a user's thousands of daily events become one
+    * (window, user) cell map-side before the exchange, so the wire cost
+    * is active-user-days × N, independent of event volume. Emits every
+    * generated window end (the trailing N−1 days past the last event are
+    * the ramp-down of a well-defined trailing window).
+    */
+  def rollingActiveUsers(events: DataFrame, days: Int = 7): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val dayNum = datediff(col("ts").cast("date"), epoch)
+    events.select(col("user_id"), dayNum.as("d"))
+      .select(col("user_id"),
+        explode(sequence(col("d"), col("d") + lit(days - 1))).as("win"))
+      .groupBy(col("win"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(
+        date_format(date_add(epoch, col("win")), "yyyy-MM-dd").as("window_end"),
+        col("n_users"))
+  }
+
+  /** DuckDB twin of [[rollingActiveUsers]]. */
+  def rollingActiveUsersSql(eventsRel: String, days: Int = 7): String =
+    s"""SELECT strftime(DATE '1970-01-01' + to_days(CAST(win AS INTEGER)), '%Y-%m-%d')
+       |    AS window_end,
+       |  count(DISTINCT user_id) AS n_users
+       |FROM (SELECT user_id,
+       |        unnest(range(d, d + $days)) AS win
+       |      FROM (SELECT user_id,
+       |              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+       |            FROM $eventsRel))
+       |GROUP BY win""".stripMargin.replace("\n", " ")
+
   /** DuckDB twin of [[stepFunnel]]. */
   def stepFunnelSql(eventsRel: String,
       steps: Seq[String] = Seq("view", "click", "purchase")): String = {

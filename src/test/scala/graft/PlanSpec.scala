@@ -517,6 +517,28 @@ class PlanSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("req user <*> retry", 2L)), s"got ${got.toSeq}")
   }
 
+  test("rolling actives: trailing-window membership, within-window dedup, no self-join") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, t("2026-01-01 10:00:00")), (1L, t("2026-01-01 23:00:00")),
+      (2L, t("2026-01-05 10:00:00")),
+      (1L, t("2026-01-09 10:00:00"))
+    ).toDF("user_id", "ts")
+    val got = graft.plans.EventAnalytics.rollingActiveUsers(events)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Jan 1 window sees only u1 (twice -> once); Jan 5-7 see u1+u2;
+    // Jan 8 drops u1's Jan-1 activity; Jan 9 picks up u1 again
+    assert(got("2026-01-01") == 1L && got("2026-01-05") == 2L &&
+      got("2026-01-07") == 2L && got("2026-01-08") == 1L &&
+      got("2026-01-09") == 2L && got("2026-01-15") == 1L, s"got $got")
+    assert(!got.contains("2026-01-16"), "window ends stop N-1 days past the last event")
+    val plan = graft.plans.EventAnalytics.rollingActiveUsers(events)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"sliding actives must not self-join or window:\n$plan")
+  }
+
   test("range-join rule: rewrites the no-key containment join to a day-keyed hash join") {
     import spark.implicits._
     GraftExtensions.register(spark)
