@@ -539,6 +539,15 @@ object SparkEntry {
     // occurrence of a 20-word chunk corpus-wide, rebuild surviving text
     "q_dedup_chunks" -> ((s, dir) =>
       graft.ml.TextDedup.chunkDedup(DocsAdapter.augmentedDocs(s, dir))),
+    // keep-best dedup ACTION: per near-dup cluster, the highest-quality
+    // survivor via one argmax agg (oracle = rank-based definition)
+    "q_cluster_rep" -> ((s, dir) =>
+      graft.ml.TextDedup.clusterRepresentatives(
+        DocsAdapter.augmentedDocs(s, dir), 0.5)),
+    // per-source duplication inflation: docs vs distinct exact-hash texts
+    // (two-phase distinct — wire carries unique texts, not documents)
+    "q_dup_inflation" -> ((s, dir) =>
+      graft.ml.TextDedup.dupInflation(DocsAdapter.augmentedDocs(s, dir))),
     // SimHash signatures (32-bit, bit-parallel vote)
     "q_simhash" -> ((s, dir) =>
       graft.ml.TextDedup.withSimhash(DocsAdapter.augmentedDocs(s, dir))
@@ -554,6 +563,10 @@ object SparkEntry {
     // token counting (whitespace + BPE-ish segmentation)
     "q_token_count" -> ((s, dir) =>
       graft.ml.TextAnalysis.tokenCounts(DocsAdapter.docs(s, dir))),
+    // overlapping token-window chunking (RAG/packing prep): zero-exchange
+    // generate, word array staged once per doc through the generator
+    "q_chunking" -> ((s, dir) =>
+      graft.ml.TextAnalysis.chunkWindows(DocsAdapter.docs(s, dir))),
     // quality scoring (alpha/stopword/length bands)
     "q_quality" -> ((s, dir) =>
       graft.ml.TextAnalysis.qualityScore(DocsAdapter.docs(s, dir))),
@@ -631,6 +644,16 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       graft.plans.Sessionize.sessions(
         s.read.parquet(s"$dir/events.parquet"), 1800)),
+    // first-order Markov transition matrix over per-user event sequences
+    // (one user-keyed window exchange; counts collapse to |types|^2 cells)
+    "q_transitions" -> ((s, dir) =>
+      graft.plans.EventAnalytics.transitions(
+        s.read.parquet(s"$dir/events.parquet"))),
+    // top within-session event paths (gaps-and-islands + stacked leads on
+    // ONE user exchange; deterministic microsecond gap rule + k-cut)
+    "q_session_paths" -> ((s, dir) =>
+      graft.plans.EventAnalytics.sessionPaths(
+        s.read.parquet(s"$dir/events.parquet"))),
     // C4 page-level heuristics (Raffel et al., JMLR'20 §2.2): line keep /
     // sentence-count / lorem / brace branches over structured pages
     "q_c4_filters" -> ((s, dir) =>
@@ -1261,6 +1284,10 @@ object SparkEntry {
       graft.ml.TextDedup.nearDupClustersSql(DocsAdapter.augmentedDocsSql(), 0.5),
     "q_dedup_chunks" ->
       graft.ml.TextDedup.chunkDedupSql(DocsAdapter.augmentedDocsSql()),
+    "q_cluster_rep" ->
+      graft.ml.TextDedup.clusterRepresentativesSql(DocsAdapter.augmentedDocsSql(), 0.5),
+    "q_dup_inflation" ->
+      graft.ml.TextDedup.dupInflationSql(DocsAdapter.augmentedDocsSql()),
     "q_simhash" ->
       s"SELECT doc_id, ${graft.ml.TextDedup.simhashSqlExpr("text")} AS simhash FROM ${DocsAdapter.augmentedDocsSql()}",
     "q_dedup_embedding" ->
@@ -1269,6 +1296,8 @@ object SparkEntry {
       graft.ml.Similarity.bruteForceTopKSql("embeddings", 5, 10),
     "q_token_count" ->
       graft.ml.TextAnalysis.tokenCountsSql("documents"),
+    "q_chunking" ->
+      graft.ml.TextAnalysis.chunkWindowsSql("documents"),
     "q_quality" ->
       graft.ml.TextAnalysis.qualityScoreSql("documents"),
     "q_lang_id" ->
@@ -1315,6 +1344,10 @@ object SparkEntry {
       graft.ml.TextCleaning.htmlExtractSql(DocsAdapter.htmlDocsSql()),
     "q_sessionize" ->
       graft.plans.Sessionize.sessionsSql("events", 1800),
+    "q_transitions" ->
+      graft.plans.EventAnalytics.transitionsSql("events"),
+    "q_session_paths" ->
+      graft.plans.EventAnalytics.sessionPathsSql("events"),
     "q_c4_filters" ->
       graft.ml.TextCleaning.c4FiltersSql(DocsAdapter.c4DocsSql()),
     "q_funnel" ->

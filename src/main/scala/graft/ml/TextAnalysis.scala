@@ -126,6 +126,59 @@ object TextAnalysis {
        |   FROM $docsRel) WHERE len(ws) >= $n)
        | GROUP BY gram ORDER BY n DESC, gram LIMIT $k""".stripMargin.replace("\n", " ")
 
+  // ------------------------------------------------------------ chunking
+
+  /** Overlapping token-window chunking — the retrieval/packing prep step
+    * that turns documents into fixed-size training or RAG units: windows of
+    * `width` normalized words advancing by `stride` (width − stride words
+    * of overlap), last window allowed short. Emits (doc_id, chunk_idx,
+    * start, n_tokens, sig) where sig is the shared 64-bit content hash —
+    * the chunk manifest downstream dedup/embedding stages key on.
+    *
+    * Scale shape: zero exchanges — pure per-row generate. The word array is
+    * STAGED through the generator's child projection so the split runs once
+    * per document; the post-generate slice reads the carried array
+    * attribute per chunk row (a `transform` lambda over a derived array
+    * would re-evaluate the split per element — the WinnowFps lesson).
+    */
+  def chunkWindows(docs: DataFrame, width: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride >= 1 && width >= stride,
+      s"need 1 <= stride <= width, got width=$width stride=$stride")
+    val staged = docs.select(col("doc_id"),
+      split(TextDedup.normalizeCol(col("text")), " ").as("_ws"))
+    val nChunks = when(size(col("_ws")) <= width, lit(1L))
+      .otherwise(floor((size(col("_ws")) - width + stride - 1)
+        .cast("double") / stride) + 1L)
+    staged
+      .select(col("doc_id"), col("_ws"),
+        explode(sequence(lit(0L), nChunks - 1)).as("_i"))
+      .select(col("doc_id"), col("_i").as("chunk_idx"),
+        (col("_i") * stride).as("start"),
+        slice(col("_ws"), (col("_i") * stride + 1).cast("int"), lit(width)).as("_c"))
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        size(col("_c")).cast("long").as("n_tokens"),
+        TextDedup.hash64Col(array_join(col("_c"), " ")).as("sig"))
+  }
+
+  /** DuckDB twin of [[chunkWindows]] (same width/stride arithmetic over the
+    * same normalized split; 1-based inclusive list slice mirrors Spark's
+    * slice(start, length) including the short tail).
+    */
+  def chunkWindowsSql(docsRel: String, width: Int = 32, stride: Int = 24): String = {
+    val norm = TextDedup.normalizeSql("text")
+    s"""SELECT doc_id, c['idx'] AS chunk_idx, c['idx'] * $stride AS start,
+       |  len(c['chunk']) AS n_tokens,
+       |  ${TextDedup.hash64Sql("array_to_string(c['chunk'], ' ')")} AS sig
+       |FROM (SELECT doc_id,
+       |    unnest(list_transform(range(
+       |        CASE WHEN len(ws) <= $width THEN 1
+       |             ELSE (len(ws) - $width + $stride - 1) // $stride + 1 END),
+       |      i -> {'idx': i,
+       |            'chunk': ws[i * $stride + 1 : i * $stride + $width]})) AS c
+       |  FROM (SELECT doc_id, string_split($norm, ' ') AS ws
+       |        FROM $docsRel))""".stripMargin.replace("\n", " ")
+  }
+
   // ------------------------------------------------------------- quality
 
   /** Deterministic quality score in [0,1]: blend of alpha ratio, stopword

@@ -617,6 +617,74 @@ object TextDedup {
        |  (node = min(label)) AS is_canonical
        |FROM reach GROUP BY node""".stripMargin.replace("\n", " ")
 
+  /** Keep-best dedup: the actual ACTION a curation pipeline takes on the
+    * near-dup clusters — per cluster, keep the highest-quality member
+    * (ties break to the smallest doc_id). Emits one row per cluster
+    * (singletons included: every kept doc is a row) with the survivor and
+    * the cluster size, i.e. the post-dedup corpus manifest.
+    *
+    * Scale shape: the cluster labels join the quality scores on doc_id
+    * (both sides doc-keyed — one co-partitioned shuffle join, never
+    * broadcast-sized assumptions about the corpus), then ONE cluster-keyed
+    * aggregate picks the argmax via max(struct(quality, -doc_id)) — a
+    * map-side-combining agg, not a per-cluster window sort, so a
+    * pathological mega-cluster costs one combiner cell, not a task-local
+    * sort of its members.
+    */
+  def clusterRepresentatives(docs: DataFrame, threshold: Double): DataFrame = {
+    val labels = nearDupClusters(docs, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val quality = graft.ml.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    labels.join(quality, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("quality").as("q"), (-col("doc_id")).as("nd"))).as("_m"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("_m.nd")).as("rep_doc"), col("_m.q").as("rep_quality"))
+  }
+
+  /** DuckDB twin of [[clusterRepresentatives]]: the definitional form — a
+    * per-cluster rank over (quality DESC, doc_id ASC) — against the same
+    * cluster + quality twins, so the green row proves the argmax-by-agg
+    * plan equals the sort-based definition.
+    */
+  def clusterRepresentativesSql(docsRel: String, threshold: Double): String =
+    s"""SELECT cluster_id, cluster_size, doc_id AS rep_doc,
+       |  quality AS rep_quality
+       |FROM (SELECT c.cluster_id, c.doc_id, q.quality,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY q.quality DESC, c.doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+       |  FROM (${nearDupClustersSql(docsRel, threshold)}) c
+       |  JOIN (${graft.ml.TextAnalysis.qualityScoreSql(docsRel)}) q
+       |    ON c.doc_id = q.doc_id)
+       |WHERE rn = 1""".stripMargin.replace("\n", " ")
+
+  /** Per-source duplication inflation — the "which crawl is mostly copies"
+    * panel that decides where exact dedup pays: docs vs distinct exact-hash
+    * texts per source, inflation = docs/unique (4-dp). Integer counts +
+    * one BIGINT/BIGINT→double divide, so both engines agree bit-for-bit.
+    *
+    * Scale shape: one cell-cardinality aggregate — the per-doc hash
+    * collapses map-side to distinct (source, hash) cells before the only
+    * exchange (two-phase distinct), so the wire carries unique texts, not
+    * documents. No joins, no windows.
+    */
+  def dupInflation(docs: DataFrame): DataFrame =
+    docs.select(col("source"), hash64Col(col("text")).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique"))
+      .withColumn("inflation", round(col("n_docs") / col("n_unique"), 4))
+
+  /** DuckDB twin of [[dupInflation]]. */
+  def dupInflationSql(docsRel: String): String =
+    s"""SELECT source, count(*) AS n_docs,
+       |  count(DISTINCT ${hash64Sql("text")}) AS n_unique,
+       |  round(count(*) / count(DISTINCT ${hash64Sql("text")}), 4) AS inflation
+       |FROM $docsRel GROUP BY source""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------- simhash
 
   /** 32-bit SimHash over the distinct word set: bit j set iff more word

@@ -134,6 +134,114 @@ object EventAnalytics {
     s"WITH $ctes $rows"
   }
 
+  /** Event-type transition matrix (first-order Markov view of user
+    * behavior): for each user's time-ordered event sequence, count every
+    * adjacent (from_type, to_type) pair and normalize per from-row —
+    * the "what happens after an error?" panel next to search. Ordering
+    * ties on ts break by event_id in both engines, so the sequence — and
+    * therefore every count — is fully deterministic.
+    *
+    * Scale shape: ONE user-keyed exchange feeds the lead() window (a
+    * user's history sorts within its partition only — no global sort),
+    * then the pair counts collapse map-side into at most |types|² cells.
+    * The per-from normalization runs over that tiny aggregated frame,
+    * never over events. A hot user costs one partition's sort, not a
+    * driver collect.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .filter(col("to_type").isNotNull)
+    seq.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("from_type")), 4))
+  }
+
+  /** DuckDB twin of [[transitions]] (same (ts, event_id) tie-break; both
+    * engines divide BIGINT/BIGINT as double before the 4-dp round).
+    */
+  def transitionsSql(eventsRel: String): String =
+    s"""WITH seq AS (SELECT event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS to_type
+       |  FROM $eventsRel)
+       |SELECT event_type AS from_type, to_type, count(*) AS n,
+       |  round(count(*) / sum(count(*)) OVER (PARTITION BY event_type), 4) AS p
+       |FROM seq WHERE to_type IS NOT NULL
+       |GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+
+  /** Top-k within-session event paths of length `n` (the "what do users do
+    * around an error?" drill-down next to [[transitions]]): sessions split
+    * on the same strict `> gap` boundary [[Sessionize]] pins (microsecond-
+    * exact integer arithmetic — no float epoch rounding for the engines to
+    * disagree on), every n-gram of consecutive events INSIDE one session
+    * counts, and the k-cut orders (n DESC, path ASC) so the boundary is
+    * deterministic.
+    *
+    * Scale shape: ONE user-keyed exchange feeds every window pass (gap
+    * flag, session id, the n−1 leads share the same partitioning+ordering,
+    * so Catalyst stacks them over a single sort); path counts collapse
+    * map-side to path-cardinality cells and the k-cut is a TakeOrdered,
+    * never a global sort.
+    */
+  def sessionPaths(events: DataFrame, gapSeconds: Long = 1800,
+      n: Int = 3, k: Int = 10): DataFrame = {
+    require(n >= 2, s"a path needs at least 2 steps, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val withSess = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .withColumn("_newi", when(col("_prev").isNull ||
+        // ts arrives TIMESTAMP_NTZ; the session tz is pinned UTC, so the
+        // cast is value-preserving and unix_micros stays integer-exact
+        unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("_prev").cast("timestamp")) >
+          gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("_sess", sum(col("_newi")).over(w))
+    val withLeads = (1 until n).foldLeft(withSess) { (df, i) =>
+      df.withColumn(s"_t$i", lead(col("event_type"), i).over(w))
+        .withColumn(s"_s$i", lead(col("_sess"), i).over(w))
+    }
+    val sameSession = (1 until n).map(i => col(s"_s$i") === col("_sess"))
+      .reduce(_ && _)
+    val path = concat_ws(">",
+      col("event_type") +: (1 until n).map(i => col(s"_t$i")): _*)
+    withLeads.filter(sameSession)
+      .groupBy(path.as("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
+
+  /** DuckDB twin of [[sessionPaths]] (same epoch_us gap rule, same
+    * (ts, event_id) ordering, same deterministic k-cut).
+    */
+  def sessionPathsSql(eventsRel: String, gapSeconds: Long = 1800,
+      n: Int = 3, k: Int = 10): String = {
+    val leads = (1 until n).map(i =>
+      s"lead(event_type, $i) OVER w AS t$i, lead(sess, $i) OVER w AS s$i")
+      .mkString(", ")
+    val same = (1 until n).map(i => s"s$i = sess").mkString(" AND ")
+    val path = ("event_type" +: (1 until n).map(i => s"t$i"))
+      .mkString(" || '>' || ")
+    s"""WITH o AS (SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > ${gapSeconds}000000
+       |      THEN 1 ELSE 0 END AS newi
+       |  FROM $eventsRel WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (SELECT user_id, ts, event_id, event_type,
+       |    sum(newi) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+       |  FROM o),
+       |g AS (SELECT event_type, sess, $leads
+       |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT $path AS path, count(*) AS n
+       |FROM g WHERE $same
+       |GROUP BY 1 ORDER BY n DESC, path LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+
   /** ROLLUP cube slice: (event_type, day) counts with per-type and grand
     * subtotals in ONE pass — Spark expands the grouping sets before the
     * single partial-aggregated exchange, so the corpus is read once, not

@@ -430,6 +430,76 @@ class MlSpec extends AnyFunSuite {
     assert(iterative == labels, "small-graph and iterative paths must agree")
   }
 
+  test("cluster representatives: argmax agg equals the rank definition, manifest is total") {
+    import graft.ml.TextDedup
+    val docs = DocsAdapter.augmentedDocs(spark, dir)
+    val reps = TextDedup.clusterRepresentatives(docs, 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val labels = TextDedup.nearDupClusters(docs, 0.5)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val quality = graft.ml.TextAnalysis.qualityScore(docs)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // one manifest row per cluster, sizes partition the corpus
+    assert(reps.keySet == labels.map(_._2).toSet, "one row per cluster id")
+    assert(reps.values.map(_._1).sum == labels.length, "sizes must partition the corpus")
+    assert(reps.values.exists(_._1 > 1), "augmented corpus must contain a real cluster")
+    // the survivor is the (quality DESC, doc_id ASC) argmax of its members
+    labels.groupBy(_._2).foreach { case (c, members) =>
+      val want = members.map(_._1).minBy(d => (-quality(d), d))
+      val (size, rep, repQ) = reps(c)
+      assert(size == members.length, s"cluster $c size")
+      assert(rep == want, s"cluster $c survivor: got $rep want $want")
+      assert(repQ == quality(want), s"cluster $c survivor quality")
+    }
+  }
+
+  test("chunk windows: stride/overlap arithmetic, short tail, content-stable sigs") {
+    import spark.implicits._
+    val words = (1 to 11).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")), // 11 words: 4 chunks at width=4, stride=3
+      (2L, "short doc"), // below width -> exactly one chunk
+      (3L, words.mkString(" ")) // duplicate content -> identical sigs
+    ).toDF("doc_id", "text")
+    val got = graft.ml.TextAnalysis.chunkWindows(docs, width = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // nc = ceil((11-4)/3)+1 = 4; starts 0,3,6,9; last chunk is the 2-word tail
+    val d1 = (0 to 3).map(i => got((1L, i.toLong)))
+    assert(d1.map(_._1) == Seq(0L, 3L, 6L, 9L), "starts advance by stride")
+    assert(d1.map(_._2) == Seq(4L, 4L, 4L, 2L), "full windows + short tail")
+    assert(got((2L, 0L))._2 == 2L && !got.contains((2L, 1L)),
+      "sub-width doc is one whole chunk")
+    // identical text => identical chunk signatures, in order
+    (0 to 3).foreach { i =>
+      assert(got((1L, i.toLong))._3 == got((3L, i.toLong))._3, s"sig of chunk $i")
+    }
+    // overlap: chunk k's first width-stride words are chunk k-1's last ones
+    // (proved via sig equality of the shared slice in a recomputed frame)
+    val c0 = words.slice(3, 7)
+    val sig = graft.ml.TextDedup.hash64Col(lit(c0.mkString(" ")))
+    val want = docs.sparkSession.range(1).select(sig.as("s")).head().getLong(0)
+    assert(got((1L, 1L))._3 == want, "chunk content is the exact word slice")
+  }
+
+  test("dup inflation: docs over distinct exact-hash texts, per source") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta", "crawlA"), (2L, "alpha beta", "crawlA"),
+      (3L, "gamma", "crawlA"),
+      (4L, "delta", "crawlB"), (5L, "epsilon", "crawlB")
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ml.TextDedup.dupInflation(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      "crawlA" -> ((3L, 2L, 1.5)), "crawlB" -> ((2L, 2L, 1.0))), s"got $got")
+  }
+
   test("NormalizeText compiled pass equals the composed regex chain") {
     import spark.implicits._
     // fixed-seed fuzz over ASCII, punctuation, whitespace runs, and

@@ -480,6 +480,70 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), s"rollup must expand grouping sets:\n$plan")
   }
 
+  test("transitions: per-user adjacency, event_id tie-break, per-from normalization") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // u1: view -> click -> view ; u2 has a ts TIE where event_id must
+    // decide the order (20 before 21: click -> error, NOT error -> click);
+    // u3 contributes a single event -> no transition at all
+    val events = Seq(
+      (10L, t("2026-01-01 10:00:00"), 1L, "view"),
+      (11L, t("2026-01-01 10:01:00"), 1L, "click"),
+      (12L, t("2026-01-01 10:02:00"), 1L, "view"),
+      (20L, t("2026-01-02 09:00:00"), 2L, "click"),
+      (21L, t("2026-01-02 09:00:00"), 2L, "error"),
+      (30L, t("2026-01-03 09:00:00"), 3L, "signup")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val frame = graft.plans.EventAnalytics.transitions(events)
+    val got = frame.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      ("view", "click") -> ((1L, 1.0)),
+      ("click", "view") -> ((1L, 0.5)),
+      ("click", "error") -> ((1L, 0.5))), s"got $got")
+    // scale shape: the events cross exactly TWO exchanges (user window +
+    // pair agg); the third is the normalization window over the tiny
+    // |types|^2 aggregated frame, never over events (assert on the
+    // unexecuted plan — AQE's final plan string double-counts)
+    val twin = graft.plans.EventAnalytics.transitions(events)
+    val nExchanges = "Exchange hashpartitioning".r
+      .findAllIn(twin.queryExecution.executedPlan.toString).length
+    assert(nExchanges <= 3, s"expected <=3 exchanges, got $nExchanges")
+  }
+
+  test("session paths: gap splits sequences, paths never cross a session boundary") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // u1: [view, click, purchase] then a 1-hour gap then [view, click]:
+    // exactly ONE trigram (inside session 1) — the gap-straddling windows
+    // (click,purchase,view) and (purchase,view,click) must not count
+    val events = Seq(
+      (1L, t("2026-01-01 10:00:00"), 1L, "view"),
+      (2L, t("2026-01-01 10:05:00"), 1L, "click"),
+      (3L, t("2026-01-01 10:10:00"), 1L, "purchase"),
+      (4L, t("2026-01-01 11:30:00"), 1L, "view"),
+      (5L, t("2026-01-01 11:31:00"), 1L, "click"),
+      // u2 repeats view>click>purchase so the top-1 is unambiguous
+      (6L, t("2026-01-02 09:00:00"), 2L, "view"),
+      (7L, t("2026-01-02 09:01:00"), 2L, "click"),
+      (8L, t("2026-01-02 09:02:00"), 2L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.plans.EventAnalytics.sessionPaths(events, gapSeconds = 1800)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("view>click>purchase" -> 2L), s"got $got")
+    // plan: one user-keyed window exchange + one path-agg exchange; the
+    // k-cut is a TakeOrdered, never a global range sort. Pin on the
+    // parquet-backed query — a tiny LocalRelation's maxRows <= k makes
+    // EliminateLimits drop the limit and the pin would see a bare Sort.
+    val twin = SparkEntry.queries("q_session_paths")(spark, dir)
+    val plan = twin.queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges <= 2, s"expected <=2 exchanges, got $nExchanges:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"k-cut must be TakeOrdered:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"no global sort:\n$plan")
+  }
+
   test("step funnel: strict ordering, ties excluded, out-of-order steps don't count") {
     import spark.implicits._
     def t(s: String) = Timestamp.valueOf(s)
