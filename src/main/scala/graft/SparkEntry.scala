@@ -150,6 +150,47 @@ object SparkEntry {
 
   private[graft] def clearBloomMemoryCache(): Unit = bloomCache.clear()
 
+  // near-dup LSH band index (build-once parquet artifact, bloom lifecycle:
+  // at 100 TB this is the corpus-side state an incremental near-dup job
+  // reads INSTEAD of re-shingling the corpus per batch)
+  private val bandIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def bandIndexPath(dir: String): String =
+    s"${artifactBaseDir}/graft-bands-v1-${corpusKey(dir)}.idx"
+
+  /** Publish-once parquet band index for the history half of the augmented
+    * corpus. Directory analog of [[artifactCached]]'s publish: write to a
+    * pid-tagged tmp dir, atomic rename; a concurrent publisher winning the
+    * rename is fine — the loser discards its tmp and reads the winner's.
+    */
+  private[graft] def bandIndexFor(s: SparkSession, dir: String): DataFrame = {
+    val path = bandIdxCache.computeIfAbsent(dir, _ => {
+      val dst = bandIndexPath(dir)
+      if (!new java.io.File(dst).isDirectory) {
+        val tmp = s"$dst.tmp-${ProcessHandle.current().pid()}"
+        graft.ml.TextDedup.bandSigs(
+          DocsAdapter.augmentedDocs(s, dir)
+            .filter(col("doc_id") < DocsAdapter.NEAR_SHIFT))
+          .write.mode("overwrite").parquet(tmp)
+        try
+          java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+            java.nio.file.Paths.get(dst),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.FileSystemException
+            if new java.io.File(dst).isDirectory =>
+            graft.util.Dirs.deleteRecursively(new java.io.File(tmp))
+        }
+      }
+      dst
+    })
+    s.read.parquet(path)
+  }
+
+  private[graft] def clearBandIndexMemoryCache(): Unit = bandIdxCache.clear()
+
   // PQ codebooks (build-once artifact, IVF-quantizer lifecycle)
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
     String, Array[Array[Array[Float]]]]()
@@ -567,6 +608,10 @@ object SparkEntry {
     // generate, word array staged once per doc through the generator
     "q_chunking" -> ((s, dir) =>
       graft.ml.TextAnalysis.chunkWindows(DocsAdapter.docs(s, dir))),
+    // token-budget epoch allocator: sqrt-damped INTEGER weights (BIGINT
+    // normalizer — no float fold), one corpus agg, epochs per source
+    "q_mix_epochs" -> ((s, dir) =>
+      graft.ml.Sampling.mixEpochs(DocsAdapter.docs(s, dir), 10000000L)),
     // quality scoring (alpha/stopword/length bands)
     "q_quality" -> ((s, dir) =>
       graft.ml.TextAnalysis.qualityScore(DocsAdapter.docs(s, dir))),
@@ -952,6 +997,16 @@ object SparkEntry {
         aug.filter(col("doc_id") < DocsAdapter.EXACT_SHIFT),
         prebuilt = Some(historyBloomFor(s, dir)))
     }),
+    // incremental NEAR-dup vs the corpus: batch bands probe the persisted
+    // band-index artifact (corpus never re-shingles per batch); history
+    // text re-read for the candidate sliver only via a semi-join prune
+    "q_incr_minhash" -> ((s, dir) => {
+      val aug = DocsAdapter.augmentedDocs(s, dir)
+      graft.ml.TextDedup.incrementalNearDups(
+        aug.filter(col("doc_id") >= DocsAdapter.NEAR_SHIFT),
+        aug.filter(col("doc_id") < DocsAdapter.NEAR_SHIFT),
+        0.5, prebuiltIndex = Some(bandIndexFor(s, dir)))
+    }),
     // BM25 ranked retrieval (the ranked upgrade of the boolean search
     // steps): fixed-point per-term contributions -> exact integer per-doc
     // scores, deterministic top-k cut at any parallelism
@@ -1298,6 +1353,8 @@ object SparkEntry {
       graft.ml.TextAnalysis.tokenCountsSql("documents"),
     "q_chunking" ->
       graft.ml.TextAnalysis.chunkWindowsSql("documents"),
+    "q_mix_epochs" ->
+      graft.ml.Sampling.mixEpochsSql("documents", 10000000L),
     "q_quality" ->
       graft.ml.TextAnalysis.qualityScoreSql("documents"),
     "q_lang_id" ->
@@ -1405,6 +1462,11 @@ object SparkEntry {
       graft.ml.TextDedup.incrementalDedupSql(
         s"(SELECT * FROM ${DocsAdapter.augmentedDocsSql()} WHERE doc_id >= ${DocsAdapter.EXACT_SHIFT})",
         s"(SELECT * FROM ${DocsAdapter.augmentedDocsSql()} WHERE doc_id < ${DocsAdapter.EXACT_SHIFT})"),
+    "q_incr_minhash" ->
+      graft.ml.TextDedup.incrementalNearDupsSql(
+        s"(SELECT * FROM ${DocsAdapter.augmentedDocsSql()} WHERE doc_id >= ${DocsAdapter.NEAR_SHIFT})",
+        s"(SELECT * FROM ${DocsAdapter.augmentedDocsSql()} WHERE doc_id < ${DocsAdapter.NEAR_SHIFT})",
+        0.5),
     "q_bm25" ->
       graft.ml.Retrieval.bm25TopKSql("documents", Bm25Terms, k = 25),
     "q_decontam_scrub" ->

@@ -91,6 +91,57 @@ object Sampling {
        |JOIN probs p ON d.$sourceCol = p.src
        |WHERE ${bucketSql("d.doc_id", salt)} < p.keep_prob * $BUCKETS""".stripMargin.replace("\n", " ")
 
+  /** Token-budget epoch allocator — the per-source "epochs" table every
+    * training-mix writeup publishes: given a total token budget, split it
+    * across sources by sqrt-damped token shares (the T=2 temperature rule
+    * on TOKENS) and report how many passes (epochs) over each source that
+    * allocation implies (> 1 = the source repeats; Muennighoff et al.'s
+    * data-constrained regime).
+    *
+    * Determinism: weights are INTEGER floor(sqrt(tokens)) — the
+    * cross-source normalizer is a BIGINT sum, not a float fold, so no
+    * engine-specific summation order can move a boundary; the only doubles
+    * are two final per-row divides (IEEE-exact given identical operands)
+    * rounded to 4 dp.
+    *
+    * Scale shape: ONE per-source aggregate over the corpus (map-side
+    * combined to source cardinality); the normalizer and budget ride a
+    * window over the tiny aggregated frame. The corpus is read once.
+    */
+  def mixEpochs(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = docs
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+      .withColumn("w", floor(sqrt(col("tokens").cast("double"))))
+    perSource
+      .withColumn("alloc_tokens",
+        (lit(budgetTokens) * col("w")).cast("long") /
+          sum(col("w")).over(Window.partitionBy()))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        floor(col("alloc_tokens")).cast("long").as("alloc_tokens"),
+        round(floor(col("alloc_tokens")) / col("tokens"), 4).as("epochs"))
+  }
+
+  /** DuckDB twin of [[mixEpochs]] (identical integer-sqrt weights and
+    * BIGINT normalizer; both divides double with the same operands).
+    */
+  def mixEpochsSql(docsRel: String, budgetTokens: Long): String =
+    s"""WITH per_source AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS tokens
+       |  FROM $docsRel GROUP BY source),
+       |w AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w
+       |  FROM per_source)
+       |SELECT source, n_docs, tokens,
+       |  CAST(floor(($budgetTokens * w) / (SELECT sum(w) FROM w)) AS BIGINT)
+       |    AS alloc_tokens,
+       |  round(floor(($budgetTokens * w) / (SELECT sum(w) FROM w)) / tokens, 4)
+       |    AS epochs
+       |FROM w""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------- importance resampling
 
   /** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS

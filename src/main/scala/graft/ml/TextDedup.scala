@@ -460,15 +460,21 @@ object TextDedup {
     * This is the 10^12-scale dedup path: cost is (rows x bands) shuffle +
     * per-bucket joins, never a global cross join.
     */
-  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sigs = withMinhash(docs.select(col("doc_id"), col("text")))
-    val bands = sigs.select(col("doc_id"), col("mh"),
-      explode(array((0 until BANDS).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("-", (0 until ROWS).map(r =>
-            element_at(col("mh"), b * ROWS + r + 1)): _*).as("sig"))
-      }: _*)).as("bs"))
+  /** LSH band rows (doc_id, band, sig) — the index shape a persisted
+    * near-dup index stores one row of per (doc, band).
+    */
+  def bandSigs(docs: DataFrame): DataFrame =
+    withMinhash(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("mh"),
+        explode(array((0 until BANDS).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("-", (0 until ROWS).map(r =>
+              element_at(col("mh"), b * ROWS + r + 1)): _*).as("sig"))
+        }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+
+  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val bands = bandSigs(docs)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -660,6 +666,71 @@ object TextDedup {
        |  JOIN (${graft.ml.TextAnalysis.qualityScoreSql(docsRel)}) q
        |    ON c.doc_id = q.doc_id)
        |WHERE rn = 1""".stripMargin.replace("\n", " ")
+
+  /** Incremental NEAR-dup check of a new batch against the existing corpus
+    * — the daily-crawl question "which of today's pages near-duplicate
+    * something we already hold", answered WITHOUT recomparing the corpus
+    * to itself (the near-dup analog of [[incrementalDedup]]'s exact path).
+    * Emits (new_doc, dup_of, jac) for every batch doc sharing an LSH band
+    * with a history doc, verified by true Jaccard >= threshold.
+    *
+    * Scale shape: the history side is its persisted BAND INDEX
+    * (`prebuiltIndex` — built once per corpus like the bloom/IVF/BPE
+    * artifacts; recomputed from text only as the small-scale fallback), so
+    * a batch costs batch-bands × one bucket join against the index, never
+    * a corpus re-shingle. Verification re-reads history text for the
+    * CANDIDATE SLIVER ONLY: a left-semi join on the candidate ids prunes
+    * the history scan before shingling (at 10^12 rows that semi-join is a
+    * broadcast of the tiny candidate id set pushed into the scan).
+    */
+  def incrementalNearDups(batch: DataFrame, history: DataFrame,
+      threshold: Double, prebuiltIndex: Option[DataFrame] = None): DataFrame = {
+    val histBands = prebuiltIndex.getOrElse(bandSigs(history))
+    val cand = bandSigs(batch).as("x")
+      .join(histBands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("dup_of"))
+      .distinct()
+    val shB = batch.select(col("doc_id").as("new_doc"),
+      shinglesCol(col("text")).as("sh_a"))
+    val candIds = cand.select(col("dup_of").as("doc_id")).distinct()
+    val shH = history.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("dup_of"), shinglesCol(col("text")).as("sh_b"))
+    cand.join(shB, Seq("new_doc")).join(shH, Seq("dup_of"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jac") >= threshold)
+      .select(col("new_doc"), col("dup_of"), col("jac"))
+  }
+
+  /** DuckDB twin of [[incrementalNearDups]] (same bands, same verify; the
+    * index-vs-recompute distinction is plan-side only — the index holds
+    * exactly `bandSigs(history)`).
+    */
+  def incrementalNearDupsSql(batchRel: String, historyRel: String,
+      threshold: Double): String = {
+    def bandRows(sigsRel: String) = (0 until BANDS).map { b =>
+      val sig = (0 until ROWS).map(r => s"CAST(mh[${b * ROWS + r + 1}] AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM $sigsRel"
+    }.mkString(" UNION ALL ")
+    s"""WITH sigs_b AS (SELECT doc_id, ${minhashSqlExpr("text")} AS mh FROM $batchRel),
+       |sigs_h AS (SELECT doc_id, ${minhashSqlExpr("text")} AS mh FROM $historyRel),
+       |bands_b AS (${bandRows("sigs_b")}),
+       |bands_h AS (${bandRows("sigs_h")}),
+       |cand AS (SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS dup_of
+       |  FROM bands_b x JOIN bands_h y ON x.band = y.band AND x.sig = y.sig),
+       |sh_b AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM $batchRel),
+       |sh_h AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM $historyRel)
+       |SELECT c.new_doc, c.dup_of,
+       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac
+       |FROM cand c JOIN sh_b a ON a.doc_id = c.new_doc
+       |  JOIN sh_h b ON b.doc_id = c.dup_of
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $threshold""".stripMargin.replace("\n", " ")
+  }
 
   /** Per-source duplication inflation — the "which crawl is mostly copies"
     * panel that decides where exact dedup pays: docs vs distinct exact-hash

@@ -500,6 +500,54 @@ class MlSpec extends AnyFunSuite {
       "crawlA" -> ((3L, 2L, 1.5)), "crawlB" -> ((2L, 2L, 1.0))), s"got $got")
   }
 
+  test("incremental near-dups equal the batch pair graph's cross slice; index path agrees") {
+    import graft.ml.TextDedup
+    val aug = DocsAdapter.augmentedDocs(spark, dir)
+    val batch = aug.filter(col("doc_id") >= DocsAdapter.NEAR_SHIFT)
+    val history = aug.filter(col("doc_id") < DocsAdapter.NEAR_SHIFT)
+    val incr = TextDedup.incrementalNearDups(batch, history, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr.nonEmpty, "augmented corpus must contain cross near-dups")
+    // definition check: exactly the full pair graph's (history, batch)
+    // slice — incremental must add nothing and lose nothing
+    val full = TextDedup.minhashLshPairs(aug, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) =>
+        a < DocsAdapter.NEAR_SHIFT && b >= DocsAdapter.NEAR_SHIFT }
+      .map { case (a, b, j) => (b, a, j) }.toSet
+    assert(incr == full, s"incremental != pair-graph slice\n$incr\n$full")
+    // the persisted band-index path returns the identical result, and a
+    // cold re-read (memo cleared, artifact on disk) still serves it
+    val viaIdx = TextDedup.incrementalNearDups(batch, history, 0.5,
+      prebuiltIndex = Some(SparkEntry.bandIndexFor(spark, dir)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIdx == incr, "prebuilt index path must equal recompute path")
+    SparkEntry.clearBandIndexMemoryCache()
+    assert(new java.io.File(SparkEntry.bandIndexPath(dir)).isDirectory,
+      "band index artifact must persist on disk")
+    val cold = TextDedup.incrementalNearDups(batch, history, 0.5,
+      prebuiltIndex = Some(SparkEntry.bandIndexFor(spark, dir)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cold == incr, "cold artifact read must equal recompute path")
+  }
+
+  test("mix epochs: integer-sqrt weights split the budget, epochs reconcile") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "big"), (2L, "e f g h", "big"),
+      (3L, "i j", "small")
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ml.Sampling.mixEpochs(docs, budgetTokens = 100L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // tokens: big=8, small=2 -> w = floor(sqrt) = 2 and 1, total 3
+    // alloc: floor(100*2/3)=66, floor(100*1/3)=33
+    assert(got == Map(
+      "big" -> ((2L, 8L, 66L, 8.25)),
+      "small" -> ((1L, 2L, 33L, 16.5))), s"got $got")
+  }
+
   test("NormalizeText compiled pass equals the composed regex chain") {
     import spark.implicits._
     // fixed-seed fuzz over ASCII, punctuation, whitespace runs, and
