@@ -29,14 +29,20 @@ object ScaleProbeCluster {
     f.delete(): Unit
   }
 
-  def corpus(spark: SparkSession, nDocs: Long, famSize: Int): DataFrame = {
-    val fam = (col("id") / famSize).cast("long")
+  /** Text of corpus doc `id` as a column expression — factored so the
+    * incremental phase can mint EXACT copies of history docs under new ids.
+    */
+  def textOf(id: org.apache.spark.sql.Column, famSize: Int): org.apache.spark.sql.Column = {
+    val fam = (id / famSize).cast("long")
     val family = (0 until 40).map(k =>
       concat(lit("w"), pmod(xxhash64(fam, lit(k)), lit(50000L))))
-    val variant = (0 until 3).map(j => concat(lit("v"), col("id"), lit("x"), lit(j)))
-    spark.range(nDocs).select(col("id").as("doc_id"),
-      concat_ws(" ", family ++ variant: _*).as("text"))
+    val variant = (0 until 3).map(j => concat(lit("v"), id, lit("x"), lit(j)))
+    concat_ws(" ", family ++ variant: _*)
   }
+
+  def corpus(spark: SparkSession, nDocs: Long, famSize: Int): DataFrame =
+    spark.range(nDocs).select(col("id").as("doc_id"),
+      textOf(col("id"), famSize).as("text"))
 
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("PROBE_DOCS", "1000000").toLong
@@ -89,6 +95,70 @@ object ScaleProbeCluster {
         f""""pair_secs":$pairSecs%.2f,"cluster_secs":$clusterSecs%.2f,""" +
         f""""rows":$nRows,"clusters":$nClusters,""" +
         f""""docs_per_sec":${nDocs / clusterSecs}%.0f""" + chunkJson + "}")
+
+      // ---- incremental near-dup: a small batch probes the PERSISTED band
+      // index; the 1M-doc history must neither re-shingle nor cross an
+      // exchange (PROBE_INCR=0 skips). Batch = exact copies of every
+      // stride-th history doc (sig-identical -> detection GUARANTEED, the
+      // closed form) + fresh disjoint docs (any match would be a false
+      // positive — band hash collisions are jac-filtered to zero).
+      if (sys.env.getOrElse("PROBE_INCR", "1") == "1") {
+        import graft.util.ProbeSupport.withStageSum
+        val idxDir = s"$root/bandidx"
+        val (idxRows, idxSecs) = time {
+          graft.ml.TextDedup.bandSigs(docs).write.mode("overwrite").parquet(idxDir)
+          spark.read.parquet(idxDir).count()
+        }
+        val nBatch = 10000L
+        val half = nBatch / 2
+        val stride = nDocs / half
+        val batchDir = s"$root/batch"
+        spark.range(half).select((lit(nDocs) + col("id")).as("doc_id"),
+            textOf(col("id") * stride, famSize).as("text"))
+          .unionByName(spark.range(half).select(
+            (lit(nDocs) + lit(half) + col("id")).as("doc_id"),
+            concat_ws(" ", (0 until 10).map(k =>
+              concat(lit("fresh"), col("id"), lit("q"), lit(k))): _*).as("text")))
+          .write.mode("overwrite").parquet(batchDir)
+        val batch = spark.read.parquet(batchDir)
+        val idx = spark.read.parquet(idxDir)
+        graft.ml.TextDedup.incrementalNearDups(
+          batch.filter(col("doc_id") < nDocs + 100), docs, 0.5,
+          Some(idx)).count() // JIT warmup
+        val ((chk, incrSecs), incrShuffle) =
+          withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
+            time {
+              graft.ml.TextDedup.incrementalNearDups(batch, docs, 0.5, Some(idx))
+                .agg(count(lit(1)).as("rows"),
+                  sum(when(col("dup_of") === (col("new_doc") - nDocs) * stride &&
+                    col("jac") === 1.0, 1L).otherwise(0L)).as("exact"),
+                  sum(when(col("new_doc") >= nDocs + half, 1L).otherwise(0L))
+                    .as("fresh_fp"),
+                  sum(when(expr(s"dup_of div $famSize") =!=
+                    expr(s"((new_doc - $nDocs) * $stride) div $famSize"), 1L)
+                    .otherwise(0L)).as("off_family")).head()
+            }
+          }
+        require(idxRows == nDocs * graft.ml.TextDedup.BANDS,
+          s"index rows $idxRows != ${nDocs * graft.ml.TextDedup.BANDS}")
+        require(chk.getLong(1) == half,
+          s"exact self-matches ${chk.getLong(1)} != $half (guaranteed by sig identity)")
+        require(chk.getLong(2) == 0L,
+          s"${chk.getLong(2)} fresh-doc false positives")
+        require(chk.getLong(3) == 0L,
+          s"${chk.getLong(3)} matches outside the copied doc's family")
+        // what crosses is BATCH-scale: batch bands + the candidate sliver
+        // (self + family matches × bands) — a bound in nBatch, independent
+        // of history size. The 8M-row index / 1M-doc history crossing an
+        // exchange would add millions and trip this immediately.
+        require(incrShuffle <= nBatch * 40,
+          s"incremental probe shuffled $incrShuffle records — the index/history crossed")
+        println(f"""{"probe":"incr_minhash","history":$nDocs,"batch":$nBatch,""" +
+          f""""index_rows":$idxRows,"index_secs":$idxSecs%.2f,""" +
+          f""""matches":${chk.getLong(0)},"exact":${chk.getLong(1)},""" +
+          f""""shuffle_records":$incrShuffle,"secs":$incrSecs%.2f,""" +
+          f""""batch_docs_per_sec":${nBatch / incrSecs}%.0f}""")
+      }
     } finally {
       spark.stop()
       deleteRecursively(new File(root))

@@ -693,7 +693,10 @@ object TextDedup {
       .distinct()
     val shB = batch.select(col("doc_id").as("new_doc"),
       shinglesCol(col("text")).as("sh_a"))
-    val candIds = cand.select(col("dup_of").as("doc_id")).distinct()
+    // explicit broadcast: the candidate id set is batch-scale by contract
+    // (batch ≪ corpus); without the hint the static planner SMJs the semi
+    // join and the WHOLE history shuffles before AQE can demote it
+    val candIds = broadcast(cand.select(col("dup_of").as("doc_id")).distinct())
     val shH = history.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("dup_of"), shinglesCol(col("text")).as("sh_b"))
     cand.join(shB, Seq("new_doc")).join(shH, Seq("dup_of"))
