@@ -561,6 +561,13 @@ object SparkEntry {
         try_element_at(col("fields"), lit("eventid")).as("eventid"))
     }),
 
+    // schema-on-read FIELD PROFILE over the mixed three-parser corpus: per
+    // (source, key) events carried / distinct values / numeric-shaped —
+    // the field-discovery admin panel; wire crosses distinct value CELLS
+    "q_field_profile" -> ((s, dir) =>
+      graft.plans.LogPipeline.fieldProfile(graft.plans.LogPipeline.run(
+        s, EventsAdapter.mixedSequences(s, dir), EventsAdapter.mixedConfigs))),
+
     // ===== training-data pipeline operators (documents / embeddings) =====
     // exact dedup: md5-fingerprint keep-first
     "q_dedup_exact" -> ((s, dir) =>
@@ -1309,6 +1316,8 @@ object SparkEntry {
       s"SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start, regexp_replace($SRC, '[^A-Za-z0-9_-]', '_', 'g') AS sink, count(*) AS n FROM events GROUP BY 1, 2",
     "q_pipeline_fields" ->
       s"SELECT $DOC AS doc_id, CAST(user_id AS VARCHAR) AS userid, event_type AS eventtype FROM events",
+    "q_field_profile" ->
+      EventsAdapter.FIELD_PROFILE_SQL,
     "q_ingest_split" ->
       s"""SELECT $SRC || '-' || (row_number() OVER (PARTITION BY $SRC ORDER BY event_id) - 1) AS doc_id,
          | $RAW AS raw, $SRC AS source,

@@ -237,6 +237,33 @@ object LogPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("bucket_start"), col("sink"), col("n"))
 
+  /** Numeric-literal shape (integers + %f-style decimals); anchored, in the
+    * Java ∩ RE2 subset so both engines agree.
+    */
+  val NUMERIC_RX = "^-?[0-9]+(\\.[0-9]+)?$"
+
+  /** Schema-on-read field profile — the admin panel for a log store whose
+    * fields exist only because extraction discovered them (the reference's
+    * entire data model): per (source, key) how many events carry the field,
+    * how many distinct values it takes, and how many values look numeric —
+    * the "is this field a dimension or a measure, and did a deploy change
+    * its shape" view.
+    *
+    * Scale shape: the fields-map explode collapses MAP-SIDE to distinct
+    * (source, key, value) cells before the one exchange (a field carried by
+    * a billion events with 200 values crosses as 200 cells), then the
+    * profile aggregates cell counts at (source, key) cardinality. The
+    * numeric classification runs on cells, not events.
+    */
+  def fieldProfile(enriched: DataFrame): DataFrame =
+    enriched.select(col("source"), explode(col("fields")).as(Seq("key", "value")))
+      .groupBy("source", "key", "value").agg(count(lit(1)).as("c"))
+      .groupBy("source", "key")
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("ndv"),
+        sum(when(col("value").rlike(NUMERIC_RX), col("c")).otherwise(0L))
+          .as("n_numeric"))
+
   /** Full batch pipeline: returns the enriched frame (lazily) with sink col
     * (already provided by the enrich dimension — no per-row recompute).
     */

@@ -114,6 +114,55 @@ object EventsAdapter {
       source.as("source"))
   }
 
+  /** DuckDB twin of `LogPipeline.fieldProfile` over [[mixedSequences]]:
+    * every (source, key, value) triple the three parser paths extract,
+    * recomputed from the structured columns (extraction lowercases raw, so
+    * the access month abbreviation lowers; JSON numbers stringify %f-style;
+    * the JSON time field keeps its raw decimal string under both `ts` and
+    * the `_time` alias), then the same cells → profile aggregation.
+    */
+  val FIELD_PROFILE_SQL: String = {
+    val kvSrc = "'events-' || event_type || '.log'"
+    val kv = Seq(
+      "_time" -> "strftime(ts, '%Y/%m/%d %H:%M:%S.%f')",
+      "eventid" -> "CAST(event_id AS VARCHAR)",
+      "eventtype" -> "event_type",
+      "userid" -> "CAST(user_id AS VARCHAR)",
+      "host" -> "'events-host'",
+      "source" -> kvSrc
+    ).map { case (k, v) =>
+      s"SELECT $kvSrc AS source, '$k' AS key, $v AS value FROM events WHERE event_id % 3 = 0" }
+    val acc = Seq(
+      "_time" -> "lower(strftime(ts, '%d/%b/%Y:%H:%M:%S')) || ' +0000'",
+      "ip" -> "'203.0.113.' || (user_id % 255)",
+      "method" -> "'get'",
+      "path" -> "'/e/' || event_id || '.txt'",
+      "status" -> "CAST(200 + (user_id % 4) * 100 AS VARCHAR)",
+      "size" -> "CAST(event_id % 10000 AS VARCHAR)",
+      "host" -> "'web-host'",
+      "source" -> "'access-0.log'"
+    ).map { case (k, v) =>
+      s"SELECT 'access-0.log' AS source, '$k' AS key, $v AS value FROM events WHERE event_id % 3 = 1" }
+    val tsDecimal = "CAST(epoch_us(ts) // 1000000 AS VARCHAR) || '.' || strftime(ts, '%f')"
+    val js = Seq(
+      "_time" -> tsDecimal,
+      "ts" -> tsDecimal,
+      "eventid" -> "printf('%.6f', CAST(event_id AS DOUBLE))",
+      "level" -> "CASE WHEN user_id % 5 = 0 THEN 'warn' ELSE 'info' END",
+      "msg" -> "'event recorded'",
+      "host" -> "'svc-host'",
+      "source" -> "'json-0.log'"
+    ).map { case (k, v) =>
+      s"SELECT 'json-0.log' AS source, '$k' AS key, $v AS value FROM events WHERE event_id % 3 = 2" }
+    val arms = (kv ++ acc ++ js).mkString(" UNION ALL ")
+    s"""WITH kvv AS ($arms),
+       |cells AS (SELECT source, key, value, count(*) AS c FROM kvv GROUP BY 1, 2, 3)
+       |SELECT source, key, CAST(sum(c) AS BIGINT) AS n, count(*) AS ndv,
+       |  CAST(sum(CASE WHEN regexp_matches(value, '${graft.plans.LogPipeline.NUMERIC_RX}')
+       |    THEN c ELSE 0 END) AS BIGINT) AS n_numeric
+       |FROM cells GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB twins for the mixed corpus (all keyed on `event_id % 3`). */
   val MIXED_SINK_SQL: String =
     """CASE WHEN event_id % 3 = 0 THEN regexp_replace('events-' || event_type || '.log', '[^A-Za-z0-9_-]', '_', 'g')

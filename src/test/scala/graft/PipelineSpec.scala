@@ -463,4 +463,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed == batchClosed && streamed.nonEmpty,
       s"streamed $streamed != closed batch sessions $batchClosed")
   }
+
+  test("field profile: discovery, coverage, numeric shapes, cell-collapsed plan") {
+    val sfDir = "/root/testdata/sf0.001"
+    val enriched = graft.plans.LogPipeline.run(
+      spark, graft.sources.EventsAdapter.mixedSequences(spark, sfDir),
+      graft.sources.EventsAdapter.mixedConfigs)
+    val frame = graft.plans.LogPipeline.fieldProfile(enriched)
+    val got = frame.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val nAccess = got(("access-0.log", "ip"))._1
+    // every access event carries every access field (coverage is total)
+    Seq("_time", "ip", "method", "path", "status", "size").foreach { k =>
+      assert(got(("access-0.log", k))._1 == nAccess, s"coverage of $k")
+    }
+    // discovery: JSON-only fields never bleed into the kv/access sources
+    assert(!got.contains(("access-0.log", "level")))
+    assert(got.contains(("json-0.log", "level")))
+    // shape classification: status/size all-numeric; dotted-quad ip, level
+    // and method are not; the Go %f stringify still reads numeric
+    assert(got(("access-0.log", "status"))._3 == nAccess)
+    assert(got(("access-0.log", "ip"))._3 == 0L)
+    assert(got(("access-0.log", "method")) == ((nAccess, 1L, 0L)))
+    val js = got(("json-0.log", "eventid"))
+    assert(js._3 == js._1, "%f-stringified numbers classify numeric")
+    // ndv: status takes exactly the 4 synthetic codes
+    assert(got(("access-0.log", "status"))._2 == 4L)
+    // plan: the explode collapses to value cells before the exchange — the
+    // first wire crossing is a partial-aggregated (source,key,value) cell
+    val plan = frame.queryExecution.executedPlan.toString
+    assert("partial_count".r.findAllIn(plan).nonEmpty &&
+      plan.contains("Generate explode"), s"cells must partial-agg map-side:\n$plan")
+  }
 }
