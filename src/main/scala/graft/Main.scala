@@ -17,6 +17,7 @@ import graft.sources.TextIngest
   *     [--out <dir>]                          \  routed fan-out output
   *     [--stream --checkpoint <dir>]          \  streaming ingest (file source)
   *     [--query "<search string>"]            \  run a search, print results
+  *     [--profile]                            \  field-discovery profile
   *     [--serve <port>]                       \  REST API over the corpus
   *     [--artifact-dir <dir>]                 \  train-once artifact store
   *
@@ -31,7 +32,7 @@ object Main {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case flag @ ("--text" | "--stream" | "--curate") =>
+        case flag @ ("--text" | "--stream" | "--curate" | "--profile") =>
           m += flag.drop(2) -> "true"; i += 1
         case flag if flag.startsWith("--") && i + 1 < args.length =>
           m += flag.drop(2) -> args(i + 1); i += 2
@@ -137,6 +138,16 @@ object Main {
         LogPipeline.run(spark, sequences, configs)
           .withColumn("raw", graft.functions.F.tokens_to_text(
             org.apache.spark.sql.functions.col("tokens")))
+    }
+
+    // --profile: schema-on-read field discovery over the (routed or direct)
+    // corpus — per (source, field) carry count, distinct values, and
+    // numeric-shaped values (the admin view of what extraction found)
+    if (opts.contains("profile")) {
+      LogPipeline.fieldProfile(queried)
+        .orderBy("source", "key").collect().foreach(r =>
+          println(s"  source=${r.getString(0)} field=${r.getString(1)} " +
+            s"n=${r.getLong(2)} ndv=${r.getLong(3)} numeric=${r.getLong(4)}"))
     }
 
     opts.get("query").foreach { q =>

@@ -567,6 +567,37 @@ object SparkEntry {
     "q_field_profile" -> ((s, dir) =>
       graft.plans.LogPipeline.fieldProfile(graft.plans.LogPipeline.run(
         s, EventsAdapter.mixedSequences(s, dir), EventsAdapter.mixedConfigs))),
+    // the LIVE face of the field profile: the stream maintains
+    // (day, source, key, value) cells through the update-delta sink, and
+    // the profile aggregates the SERVED cells — whole
+    // stream->delta->serve->aggregate lifecycle under the same batch twin
+    // (day-splitting changes no total: counts sum, values stay distinct)
+    "q_stream_fieldprofile" -> ((s, dir) => {
+      val shm = new java.io.File("/dev/shm")
+      val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val tmp = stagedCache.computeIfAbsent(s"$dir#mixed", _ => {
+        val d = java.nio.file.Files.createTempDirectory(ckptBase,
+          s"graft-stream-q-${ProcessHandle.current().pid()}-").toString
+        EventsAdapter.mixedSequences(s, dir).write.mode("overwrite").parquet(d)
+        d
+      })
+      def scratch(prefix: String) = java.nio.file.Files.createTempDirectory(ckptBase,
+        s"$prefix-${ProcessHandle.current().pid()}-").toString
+      val ckpt = scratch("graft-ckpt")
+      val sink = scratch("graft-ckpt")
+      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        graft.streaming.StreamingPipeline.fieldCellsToSink(
+          s, tmp, sink, ckpt, EventsAdapter.mixedConfigs).awaitTermination()
+        graft.plans.LogPipeline.profileFromCells(
+          graft.streaming.StreamingPipeline.servedFieldCells(s, sink))
+          .localCheckpoint(eager = true)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      }
+    }),
 
     // ===== training-data pipeline operators (documents / embeddings) =====
     // exact dedup: md5-fingerprint keep-first
@@ -1317,6 +1348,10 @@ object SparkEntry {
     "q_pipeline_fields" ->
       s"SELECT $DOC AS doc_id, CAST(user_id AS VARCHAR) AS userid, event_type AS eventtype FROM events",
     "q_field_profile" ->
+      EventsAdapter.FIELD_PROFILE_SQL,
+    // the streaming lifecycle lands under the SAME batch twin: day-window
+    // cell splitting changes no (source, key) total
+    "q_stream_fieldprofile" ->
       EventsAdapter.FIELD_PROFILE_SQL,
     "q_ingest_split" ->
       s"""SELECT $SRC || '-' || (row_number() OVER (PARTITION BY $SRC ORDER BY event_id) - 1) AS doc_id,

@@ -256,12 +256,21 @@ object LogPipeline {
     * numeric classification runs on cells, not events.
     */
   def fieldProfile(enriched: DataFrame): DataFrame =
-    enriched.select(col("source"), explode(col("fields")).as(Seq("key", "value")))
-      .groupBy("source", "key", "value").agg(count(lit(1)).as("c"))
-      .groupBy("source", "key")
-      .agg(sum(col("c")).as("n"),
-        count(lit(1)).as("ndv"),
-        sum(when(col("value").rlike(NUMERIC_RX), col("c")).otherwise(0L))
+    profileFromCells(
+      enriched.select(col("source"), explode(col("fields")).as(Seq("key", "value")))
+        .groupBy("source", "key", "value").agg(count(lit(1)).as("n")))
+
+  /** The profile aggregation over (source, key, value, n) cells — shared by
+    * the batch face above and the streaming face (the served update-delta
+    * cells from `StreamingPipeline.fieldCellsToSink`; cells may be further
+    * split by a window column, which changes no total — counts sum and
+    * values stay distinct).
+    */
+  def profileFromCells(cells: DataFrame): DataFrame =
+    cells.groupBy("source", "key")
+      .agg(sum(col("n")).as("n"),
+        countDistinct(col("value")).as("ndv"),
+        sum(when(col("value").rlike(NUMERIC_RX), col("n")).otherwise(0L))
           .as("n_numeric"))
 
   /** Full batch pipeline: returns the enriched frame (lazily) with sink col

@@ -264,15 +264,7 @@ object StreamingPipeline {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // pin the update-mode output: the emptiness probe and the write
-        // would otherwise each re-run the stateful aggregation
-        batch.persist()
-        try {
-          if (!batch.isEmpty)
-            batch.write.mode("overwrite").parquet(s"$outDir/delta=$batchId")
-        } finally batch.unpersist(): Unit
-      }
+      .foreachBatch(deltaSinkBatch(outDir) _)
       .start()
 
   /** List a histogram store's components: (newest base snapshot id + path
@@ -335,7 +327,19 @@ object StreamingPipeline {
     * once and build both frames from it.
     */
   private[graft] def servedFrom(spark: SparkSession, outDir: String,
-      base: Option[(Long, String)], deltas: Seq[(Long, String)]): DataFrame = {
+      base: Option[(Long, String)], deltas: Seq[(Long, String)]): DataFrame =
+    servedNewestWins(spark, outDir, base, deltas,
+      keyCols = Seq("bucket_start", "sink"),
+      outCols = Seq("bucket_start", "sink", "n"))
+
+  /** The merge-on-read core shared by every update-delta store: newest base
+    * + newer deltas, latest batch that touched a key carries its cumulative
+    * row, newest-wins per `keyCols`. The window shuffles only aggregate
+    * rows (key cardinality), never events.
+    */
+  private[graft] def servedNewestWins(spark: SparkSession, outDir: String,
+      base: Option[(Long, String)], deltas: Seq[(Long, String)],
+      keyCols: Seq[String], outCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val frames =
       base.map { case (id, path) =>
@@ -344,12 +348,69 @@ object StreamingPipeline {
         Seq(spark.read.option("basePath", outDir).parquet(deltas.map(_._2): _*)
           .withColumn("delta", col("delta").cast("long")))
       else Seq.empty)
-    require(frames.nonEmpty, s"no histogram store at $outDir")
+    require(frames.nonEmpty, s"no update-delta store at $outDir")
     val all = frames.reduce(_ unionByName _)
-    val w = Window.partitionBy(col("bucket_start"), col("sink"))
-      .orderBy(col("delta").desc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("delta").desc)
     all.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("bucket_start"), col("sink"), col("n"))
+      .select(outCols.map(col): _*)
+  }
+
+  /** The per-batch-id delta writer shared by every update-mode file sink:
+    * each micro-batch overwrites only its own `delta=<batchId>/` directory
+    * (idempotent under replay; [[servedNewestWins]] reads newest-wins).
+    */
+  private def deltaSinkBatch(outDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    // pin the update-mode output: the emptiness probe and the write would
+    // otherwise each re-run the stateful aggregation
+    batch.persist()
+    try {
+      if (!batch.isEmpty)
+        batch.write.mode("overwrite").parquet(s"$outDir/delta=$batchId")
+    } finally batch.unpersist(): Unit
+  }
+
+  /** Streaming schema-on-read field cells: the stream maintains
+    * (day window, source, key, value) occurrence counts — the state behind
+    * a LIVE field-discovery panel (`LogPipeline.fieldProfile` is its batch
+    * face; the profile aggregates the served cells). Update-mode deltas
+    * into the same per-batch-id file sink as the histogram.
+    *
+    * Scale shape: state is CELL-cardinality per open day window — the same
+    * "a field's wire cost is its information content" argument as the batch
+    * profile, and the watermark evicts closed windows, so a perpetual
+    * stream holds only the recent days' distinct (source, key, value)
+    * triples, never event-scale state.
+    */
+  def fieldCellsToSink(spark: SparkSession, inputDir: String, outDir: String,
+      checkpointDir: String, configs: Seq[SourceConfig],
+      window: String = "1 day", watermark: String = "2 hours",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(Schemas.sequences)
+      .parquet(inputDir)
+    LogPipeline.enrichStatic(LogPipeline.parse(stream), configs)
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("source"),
+        explode(col("fields")).as(Seq("key", "value")))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("source"), col("key"), col("value"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("key"), col("value"), col("n"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(deltaSinkBatch(outDir) _)
+      .start()
+  }
+
+  /** Merge-on-read over [[fieldCellsToSink]]'s store. */
+  def servedFieldCells(spark: SparkSession, outDir: String): DataFrame = {
+    val (base, deltas) = storeParts(spark, outDir)
+    servedNewestWins(spark, outDir, base, deltas,
+      keyCols = Seq("window_start", "source", "key", "value"),
+      outCols = Seq("window_start", "source", "key", "value", "n"))
   }
 }

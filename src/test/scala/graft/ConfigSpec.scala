@@ -160,4 +160,23 @@ class ConfigSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stages("4_lm_cutoff") == got.size)
   }
+
+  test("--profile CLI prints the field-discovery table for raw log input") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-profile-in").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "log-0.txt"),
+      ("2024/01/01 00:00:00.000000 hello a=1 b=foo\n" +
+        "2024/01/01 00:00:01.000000 hello a=2 b=foo\n").getBytes("UTF-8"))
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.run(spark, Map("text" -> "true", "profile" -> "true"),
+        s"$dir/log-*.txt")
+    }
+    val lines = buf.toString("UTF-8").linesIterator.map(_.trim).toSeq
+    assert(lines.contains("source=log-0.txt field=a n=2 ndv=2 numeric=2"),
+      s"missing numeric field row in:\n${lines.mkString("\n")}")
+    assert(lines.contains("source=log-0.txt field=b n=2 ndv=1 numeric=0"),
+      s"missing text field row in:\n${lines.mkString("\n")}")
+    assert(lines.exists(_.startsWith("source=log-0.txt field=_time n=2")),
+      "extraction's _time alias must appear in the profile")
+  }
 }
