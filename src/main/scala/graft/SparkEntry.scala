@@ -737,6 +737,16 @@ object SparkEntry {
     "q_session_paths" -> ((s, dir) =>
       graft.plans.EventAnalytics.sessionPaths(
         s.read.parquet(s"$dir/events.parquet"))),
+    // SLO trend panel: exact p50/p95/p99 of `value` per (event_type, day)
+    // — the histogram-walk percentiles over a derived composite group
+    // (window over value CELLS, never rows; no API change needed)
+    "q_latency_trend" -> ((s, dir) =>
+      graft.plans.Percentiles.byGroup(
+        s.read.parquet(s"$dir/events.parquet").select(
+          concat(col("event_type"), lit("|"),
+            date_format(col("ts"), "yyyy-MM-dd")).as("grp"),
+          col("value")),
+        "grp", "value", Seq(0.5, 0.95, 0.99))),
     // C4 page-level heuristics (Raffel et al., JMLR'20 §2.2): line keep /
     // sentence-count / lorem / brace branches over structured pages
     "q_c4_filters" -> ((s, dir) =>
@@ -1449,6 +1459,10 @@ object SparkEntry {
       graft.plans.EventAnalytics.transitionsSql("events"),
     "q_session_paths" ->
       graft.plans.EventAnalytics.sessionPathsSql("events"),
+    "q_latency_trend" ->
+      graft.plans.Percentiles.byGroupSql(
+        "(SELECT event_type || '|' || strftime(ts, '%Y-%m-%d') AS grp, value FROM events)",
+        "grp", "value", Seq(0.5, 0.95, 0.99)),
     "q_c4_filters" ->
       graft.ml.TextCleaning.c4FiltersSql(DocsAdapter.c4DocsSql()),
     "q_funnel" ->
