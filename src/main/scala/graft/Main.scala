@@ -18,6 +18,7 @@ import graft.sources.TextIngest
   *     [--stream --checkpoint <dir>]          \  streaming ingest (file source)
   *     [--query "<search string>"]            \  run a search, print results
   *     [--profile]                            \  field-discovery profile
+  *     [--prepare --out <dir>]                \  BPE+pack a training set
   *     [--serve <port>]                       \  REST API over the corpus
   *     [--artifact-dir <dir>]                 \  train-once artifact store
   *
@@ -32,7 +33,7 @@ object Main {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case flag @ ("--text" | "--stream" | "--curate" | "--profile") =>
+        case flag @ ("--text" | "--stream" | "--curate" | "--profile" | "--prepare") =>
           m += flag.drop(2) -> "true"; i += 1
         case flag if flag.startsWith("--") && i + 1 < args.length =>
           m += flag.drop(2) -> args(i + 1); i += 2
@@ -90,6 +91,31 @@ object Main {
           .write.mode("overwrite").parquet(out)
         println(s"survivor doc_ids -> $out")
       }
+      return
+    }
+
+    // --prepare: the "make me a training set" tail of the pipeline over a
+    // (doc_id, text) parquet at --input: train a BPE tokenizer on the
+    // corpus, encode every doc (map-only), pack the token ids into
+    // fixed-cap windows (two-phase prefix sum — no global sort), write the
+    // packed windows to --out, and print the fill summary.
+    if (opts.contains("prepare")) {
+      import org.apache.spark.sql.functions.{count => cnt, lit, sum}
+      val docs = spark.read.parquet(input)
+      val nMerges = opts.get("bpe-merges").map(_.toInt).getOrElse(200)
+      val cap = opts.get("pack-cap").map(_.toInt).getOrElse(512)
+      val out = opts.getOrElse("out",
+        throw new IllegalArgumentException("--prepare requires --out"))
+      val merges = graft.ml.Bpe.trainOn(docs, nMerges)
+      val encoded = graft.ml.Bpe.encode(spark, docs, merges)
+      graft.ml.Packing.pack(encoded, cap, tokensCol = "ids")
+        .write.mode("overwrite").parquet(out)
+      val st = spark.read.parquet(out)
+        .agg(cnt(lit(1)), sum("n_tok"), sum("n_docs")).head()
+      val windows = st.getLong(0)
+      val tokens = st.getLong(1)
+      println(s"prepared windows=$windows cap=$cap tokens=$tokens " +
+        f"fill=${tokens.toDouble / (windows * cap)}%.3f merges=${merges.size} -> $out")
       return
     }
 

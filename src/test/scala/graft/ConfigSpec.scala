@@ -161,6 +161,29 @@ class ConfigSpec extends AnyFunSuite {
     assert(stages("4_lm_cutoff") == got.size)
   }
 
+  test("--prepare CLI: BPE-encode + pack conserve tokens under the cap") {
+    import org.apache.spark.sql.functions.col
+    val in = java.nio.file.Files.createTempDirectory("graft-prep-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-prep-out").toString + "/packed"
+    graft.sources.DocsAdapter.docs(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").write.mode("overwrite").parquet(in)
+    Main.run(spark, Map("prepare" -> "true", "out" -> out,
+      "bpe-merges" -> "50", "pack-cap" -> "64"), in)
+    val packed = spark.read.parquet(out)
+    assert(packed.columns.toSet == Set("window_id", "tokens", "n_tok", "n_docs"))
+    // token conservation: every encoded token lands in exactly one window
+    val merges = graft.ml.Bpe.trainOn(spark.read.parquet(in), 50)
+    val want = graft.ml.Bpe.encode(spark, spark.read.parquet(in), merges)
+      .agg(org.apache.spark.sql.functions.sum("n_tok")).head().getLong(0)
+    val got = packed.agg(org.apache.spark.sql.functions.sum("n_tok")).head().getLong(0)
+    assert(got == want, s"packed tokens $got != encoded tokens $want")
+    // cap respected, and every window except possibly the last is full
+    val sizes = packed.orderBy("window_id").collect()
+      .map(r => r.getAs[Number]("n_tok").longValue())
+    assert(sizes.forall(_ <= 64))
+    assert(sizes.dropRight(1).forall(_ == 64L), "stream packing leaves no gaps")
+  }
+
   test("--profile CLI prints the field-discovery table for raw log input") {
     val dir = java.nio.file.Files.createTempDirectory("graft-profile-in").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "log-0.txt"),
