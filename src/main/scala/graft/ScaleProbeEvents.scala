@@ -22,6 +22,9 @@ import graft.util.ProbeSupport.{time, withStageSum}
   *   - chunking: map-only generate — ZERO shuffle records at any corpus
   *     size; total chunk count is the exact per-word-count formula summed
   *     over the deterministic length distribution.
+  *   - field profile: n×K field occurrences must cross the wire as the
+  *     S×K×V distinct value CELLS (map-side collapse), never as
+  *     occurrences; carry/ndv/numeric closed-form per (source, key).
   *
   * Session geometry: each user's events come in 5-event bursts 60 s apart,
   * bursts 3600 s apart — the strict >1800 s gap rule must split exactly at
@@ -160,6 +163,49 @@ object ScaleProbeEvents {
       println(f"""{"probe":"chunking","docs":$nChunkDocs,"chunks":$gotChunks,""" +
         f""""shuffle_records":$chShuffle,"secs":$chSecs%.2f,""" +
         f""""docs_per_sec":${nChunkDocs / chSecs}%.0f}""")
+
+      // ---- field profile: cells cross, occurrences don't --------------------
+      // S sources × K fields × V values each, every event carrying all K
+      // fields: the explode is n×K occurrences, but the wire must carry only
+      // the S×K×V distinct cells (+ final profile rows). Closed form: each
+      // (source, key) row has n/S carries, exactly V distinct values, and
+      // the one numeric key classifies fully numeric.
+      val (srcs, keys, vals) = (20L, 5, 100L)
+      require(n % (srcs * vals) == 0, "event count must cycle sources × values evenly")
+      val fieldCols = (0 until keys).flatMap { k =>
+        val v = pmod(expr(s"(id div $srcs) + $k"), lit(vals))
+        Seq(lit(s"f$k"),
+          if (k == 0) v.cast("string") else concat(lit("v"), v))
+      }
+      val pin = s"$root/pdocs"
+      spark.range(n).select(
+          concat(lit("src"), pmod(col("id"), lit(srcs))).as("source"),
+          map(fieldCols: _*).as("fields"))
+        .write.mode("overwrite").parquet(pin)
+      val pdocs = spark.read.parquet(pin)
+      graft.plans.LogPipeline.fieldProfile(
+        pdocs.limit(1000)).count() // JIT warmup
+      val ((prof, fpSecs), fpShuffle) =
+        withStageSum(spark)(_.shuffleWriteMetrics.recordsWritten) {
+          time { graft.plans.LogPipeline.fieldProfile(pdocs).collect() }
+        }
+      require(prof.length == (srcs * keys).toInt, s"${prof.length} profile rows")
+      prof.foreach { r =>
+        require(r.getLong(2) == n / srcs && r.getLong(3) == vals,
+          s"carry/ndv off: $r")
+        val wantNum = if (r.getString(1) == "f0") n / srcs else 0L
+        require(r.getLong(4) == wantNum, s"numeric off: $r")
+      }
+      // the map-side-combine guarantee: each task emits at most the cells
+      // IT saw (≤ the global cell count), so the wire is bounded by
+      // tasks × cells no matter how many occurrences exploded — at the
+      // 10M default that is 320k vs 50M occurrences
+      val cellBound = cpus.toLong * srcs * keys * vals + 4L * srcs * keys
+      require(fpShuffle <= cellBound,
+        s"profile shuffled $fpShuffle records (tasks×cells bound $cellBound) — occurrences crossed")
+      println(f"""{"probe":"field_profile","events":$n,"occurrences":${n * keys},""" +
+        f""""cells":${srcs * keys * vals},"shuffle_records":$fpShuffle,""" +
+        f""""secs":$fpSecs%.2f,"events_per_sec":${n / fpSecs}%.0f}""")
     } finally {
       spark.stop()
       graft.util.Dirs.deleteRecursively(new File(root))
