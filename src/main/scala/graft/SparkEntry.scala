@@ -737,6 +737,35 @@ object SparkEntry {
     "q_session_paths" -> ((s, dir) =>
       graft.plans.EventAnalytics.sessionPaths(
         s.read.parquet(s"$dir/events.parquet"))),
+    // LIVE transitions via flatMapGroupsWithState: per-user last-event
+    // state (ONE row/user) links pairs across batch/restart boundaries;
+    // the served pair store aggregates to the same matrix as the batch op
+    "q_stream_transitions" -> ((s, dir) => {
+      val shm = new java.io.File("/dev/shm")
+      val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val tmp = stagedCache.computeIfAbsent(s"$dir#events", _ => {
+        val d = java.nio.file.Files.createTempDirectory(ckptBase,
+          s"graft-stream-q-${ProcessHandle.current().pid()}-").toString
+        s.read.parquet(s"$dir/events.parquet").write.mode("overwrite").parquet(d)
+        d
+      })
+      def scratch(prefix: String) = java.nio.file.Files.createTempDirectory(ckptBase,
+        s"$prefix-${ProcessHandle.current().pid()}-").toString
+      val ckpt = scratch("graft-ckpt")
+      val sink = scratch("graft-ckpt")
+      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        graft.streaming.StreamingPipeline.transitionsToSink(
+          s, tmp, sink, ckpt).awaitTermination()
+        graft.plans.EventAnalytics.transitionStats(
+          graft.streaming.StreamingPipeline.servedTransitionPairs(s, sink))
+          .localCheckpoint(eager = true)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      }
+    }),
     // SLO trend panel: exact p50/p95/p99 of `value` per (event_type, day)
     // — the histogram-walk percentiles over a derived composite group
     // (window over value CELLS, never rows; no API change needed)
@@ -1459,6 +1488,10 @@ object SparkEntry {
       graft.plans.EventAnalytics.transitionsSql("events"),
     "q_session_paths" ->
       graft.plans.EventAnalytics.sessionPathsSql("events"),
+    // the lifecycle lands under the batch twin: single-delivery ordering
+    // makes the state-linked pair stream equal the re-sorted batch pairs
+    "q_stream_transitions" ->
+      graft.plans.EventAnalytics.transitionsSql("events"),
     "q_latency_trend" ->
       graft.plans.Percentiles.byGroupSql(
         "(SELECT event_type || '|' || strftime(ts, '%Y-%m-%d') AS grp, value FROM events)",

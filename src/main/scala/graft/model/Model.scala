@@ -21,6 +21,18 @@ object Schemas {
     StructField("source", StringType, nullable = false)
   ))
 
+  /** The driver testdata `events` parquet, as written (ts is
+    * TIMESTAMP_NTZ) — the readStream schema for event-level streams.
+    */
+  val eventsRaw: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampNTZType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = true),
+    StructField("props", StringType, nullable = true)
+  ))
+
   /** Canonical event frame the query layer operates on. `fields` is the
     * dynamic search-time map (reference: events/Event.go:46-54).
     */

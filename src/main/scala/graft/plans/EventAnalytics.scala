@@ -155,11 +155,19 @@ object EventAnalytics {
       .withColumn("to_type", lead("event_type", 1).over(
         Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
       .filter(col("to_type").isNotNull)
-    seq.groupBy(col("event_type").as("from_type"), col("to_type"))
+    transitionStats(
+      seq.select(col("event_type").as("from_type"), col("to_type")))
+  }
+
+  /** Count + per-from normalization over a bare (from_type, to_type) pair
+    * stream — shared by the batch face above and the streaming face
+    * (`StreamingPipeline.transitionsToSink`'s served pairs).
+    */
+  def transitionStats(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
       .withColumn("p", round(col("n") / sum(col("n")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("from_type")), 4))
-  }
 
   /** DuckDB twin of [[transitions]] (same (ts, event_id) tie-break; both
     * engines divide BIGINT/BIGINT as double before the 4-dp round).

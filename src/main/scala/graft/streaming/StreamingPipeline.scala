@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -412,5 +412,80 @@ object StreamingPipeline {
     servedNewestWins(spark, outDir, base, deltas,
       keyCols = Seq("window_start", "source", "key", "value"),
       outCols = Seq("window_start", "source", "key", "value", "n"))
+  }
+
+  // ------------------------------------------- arbitrary-state transitions
+
+  private[graft] case class UserEvent(user_id: Long,
+      ts: java.time.LocalDateTime, event_id: Long, event_type: String)
+  private[graft] case class LastEvent(micros: Long, event_id: Long,
+      event_type: String)
+  private[graft] case class TransitionPair(from_type: String, to_type: String)
+
+  private def microsOf(ts: java.time.LocalDateTime): Long =
+    ts.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ts.getNano / 1000L
+
+  /** LIVE event-type transitions via ARBITRARY streaming state
+    * (`flatMapGroupsWithState` — the custom-state API the windowed aggs
+    * can't express): per user the state is exactly ONE row — the last seen
+    * (time, event_id, type) — and each micro-batch emits the transition
+    * pairs linking the carried state through the batch's time-ordered new
+    * events, including the pair that SPANS the batch/restart boundary.
+    * Pairs append into the per-batch-id delta sink (exactly-once under
+    * replay); `EventAnalytics.transitionStats` over the served pairs is the
+    * live matrix, and equals the batch [[graft.plans.EventAnalytics.transitions]]
+    * whenever each user's events arrive time-ordered across batches (the
+    * file-tail delivery order; out-of-order arrivals are the documented
+    * difference — the batch face re-sorts history, a live matrix cannot).
+    *
+    * Scale shape: state is user-cardinality (one small row each, the
+    * natural bound for "last thing this user did"); each batch shuffles
+    * only its own events once on user_id.
+    */
+  def transitionsToSink(spark: SparkSession, inputDir: String, outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val events = spark.readStream
+      .schema(Schemas.eventsRaw)
+      .parquet(inputDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[UserEvent]
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransitionPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[LastEvent]) =>
+          val sorted = rows.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val types = state.getOption.map(_.event_type).toSeq ++
+              sorted.map(_.event_type)
+            val last = sorted.last
+            state.update(LastEvent(microsOf(last.ts), last.event_id,
+              last.event_type))
+            types.sliding(2).collect {
+              case Seq(a, b) => TransitionPair(a, b)
+            }
+          }
+      }
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[TransitionPair], batchId: Long) =>
+        deltaSinkBatch(outDir)(batch.toDF(), batchId)
+      }
+      .start()
+  }
+
+  /** All transition pairs the stream has emitted (append store — every
+    * delta counts; replayed batches overwrote their own dir).
+    */
+  def servedTransitionPairs(spark: SparkSession, outDir: String): DataFrame = {
+    val (_, deltas) = storeParts(spark, outDir)
+    require(deltas.nonEmpty, s"no transition store at $outDir")
+    spark.read.option("basePath", outDir).parquet(deltas.map(_._2): _*)
+      .select(col("from_type"), col("to_type"))
   }
 }

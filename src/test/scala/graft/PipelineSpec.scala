@@ -464,6 +464,45 @@ class PipelineSpec extends AnyFunSuite {
       s"streamed $streamed != closed batch sessions $batchClosed")
   }
 
+  test("streaming transitions: flatMapGroupsWithState links pairs across restarts") {
+    import spark.implicits._
+    import java.time.LocalDateTime
+    def t(s: String) = LocalDateTime.parse(s)
+    // run 1 ends each user mid-journey; run 2 (same checkpoint) delivers
+    // the continuation — the boundary pair exists ONLY in the carried state
+    val a = Seq(
+      (1L, t("2026-01-01T10:00:00"), 1L, "view"),
+      (2L, t("2026-01-01T10:01:00"), 1L, "click"),
+      (10L, t("2026-01-01T10:00:00"), 2L, "signup"))
+    val b = Seq(
+      (3L, t("2026-01-01T10:02:00"), 1L, "purchase"),
+      (11L, t("2026-01-01T10:03:00"), 2L, "view"))
+    def df(rows: Seq[(Long, LocalDateTime, Long, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+    val in = java.nio.file.Files.createTempDirectory("graft-trans-in").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft-trans-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-trans-ckpt").toString
+    df(a).write.mode("append").parquet(in)
+    graft.streaming.StreamingPipeline.transitionsToSink(spark, in, sink, ckpt)
+      .awaitTermination()
+    df(b).write.mode("append").parquet(in)
+    graft.streaming.StreamingPipeline.transitionsToSink(spark, in, sink, ckpt)
+      .awaitTermination() // restart: the checkpoint admits only the new file
+    val got = graft.plans.EventAnalytics.transitionStats(
+      graft.streaming.StreamingPipeline.servedTransitionPairs(spark, sink))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val want = graft.plans.EventAnalytics.transitions(df(a ++ b)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == want, s"streamed $got != batch $want")
+    assert(got.contains(("click", "purchase")) && got.contains(("signup", "view")),
+      "boundary pairs must span the restart (carried by GroupState)")
+  }
+
   test("field profile: discovery, coverage, numeric shapes, cell-collapsed plan") {
     val sfDir = "/root/testdata/sf0.001"
     val enriched = graft.plans.LogPipeline.run(
