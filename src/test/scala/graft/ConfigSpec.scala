@@ -161,6 +161,44 @@ class ConfigSpec extends AnyFunSuite {
     assert(stages("4_lm_cutoff") == got.size)
   }
 
+  test("multi-line stack traces reassemble into one event via a lookahead delimiter") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-trace-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-trace-out").toString + "/routed"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "app-0.log"),
+      ("2024/01/01 00:00:01.000000 request ok userId=1\n" +
+        "2024/01/01 00:00:02.000000 ERROR boom userId=2\n" +
+        "java.lang.RuntimeException: boom\n" +
+        "    at app.Main.run(Main.java:42)\n" +
+        "2024/01/01 00:00:03.000000 request ok userId=3\n").getBytes("UTF-8"))
+    // a new event starts only where a newline is FOLLOWED BY a timestamp —
+    // continuation lines (the trace) stay inside the ERROR event
+    val cfgPath = java.nio.file.Files.createTempDirectory("graft-trace-cfg")
+      .resolve("logsuck.json")
+    java.nio.file.Files.write(cfgPath,
+      """{ "files": [ { "fileName": "app-*.log", "fileTypes": ["app"] } ],
+        |  "fileTypes": [ { "name": "app",
+        |    "parser": { "type": "Regex", "regexConfig": {
+        |      "eventDelimiter": "\\n(?=\\d{4}/)" } } } ] }"""
+        .stripMargin.getBytes("UTF-8"))
+    Main.run(spark, Map(
+      "config" -> cfgPath.toString, "text" -> "true", "out" -> out),
+      s"$dir/app-*.log")
+    val routed = graft.plans.LogPipeline.openSinks(spark, out)
+    val raws = routed.select(col("raw")).collect().map(_.getString(0))
+    assert(raws.length == 3, s"expected 3 reassembled events, got ${raws.toSeq}")
+    val err = raws.filter(_.contains("ERROR boom"))
+    assert(err.length == 1 && err.head.contains("RuntimeException") &&
+      err.head.contains("at app.Main.run"),
+      s"trace lines must ride the ERROR event: ${err.toSeq}")
+    // and the reassembled event is searchable as one unit
+    val eng = new graft.compile.QueryEngine(
+      routed.withColumn("raw", graft.functions.F.tokens_to_text(col("tokens"))),
+      graft.config.ConfigJson.parseFile(cfgPath.toString).configs)
+    val hits = eng.run("runtimeexception userId=2").df.count()
+    assert(hits == 1L, "fragment + field predicate must hit the merged event")
+  }
+
   test("--prepare CLI: BPE-encode + pack conserve tokens under the cap") {
     import org.apache.spark.sql.functions.col
     val in = java.nio.file.Files.createTempDirectory("graft-prep-in").toString
