@@ -737,6 +737,36 @@ object SparkEntry {
     "q_session_paths" -> ((s, dir) =>
       graft.plans.EventAnalytics.sessionPaths(
         s.read.parquet(s"$dir/events.parquet"))),
+    // LIVE template mining: the stream maintains the tokCells frame as
+    // update-delta state; assembly over the SERVED cells is the current
+    // template set — whole lifecycle under the batch mining twin
+    "q_stream_templates" -> ((s, dir) => {
+      val shm = new java.io.File("/dev/shm")
+      val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val tmp = stagedCache.computeIfAbsent(s"$dir#lines", _ => {
+        val d = java.nio.file.Files.createTempDirectory(ckptBase,
+          s"graft-stream-q-${ProcessHandle.current().pid()}-").toString
+        EventsAdapter.events(s, dir).select("source", "raw")
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+      def scratch(prefix: String) = java.nio.file.Files.createTempDirectory(ckptBase,
+        s"$prefix-${ProcessHandle.current().pid()}-").toString
+      val ckpt = scratch("graft-ckpt")
+      val sink = scratch("graft-ckpt")
+      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        graft.streaming.StreamingPipeline.templateCellsToSink(
+          s, tmp, sink, ckpt).awaitTermination()
+        graft.plans.LogTemplates.templatesFlatFromCells(
+          graft.streaming.StreamingPipeline.servedTemplateCells(s, sink))
+          .localCheckpoint(eager = true)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      }
+    }),
     // LIVE transitions via flatMapGroupsWithState: per-user last-event
     // state (ONE row/user) links pairs across batch/restart boundaries;
     // the served pair store aggregates to the same matrix as the batch op
@@ -1492,6 +1522,10 @@ object SparkEntry {
     // makes the state-linked pair stream equal the re-sorted batch pairs
     "q_stream_transitions" ->
       graft.plans.EventAnalytics.transitionsSql("events"),
+    // streaming mining serves the SAME template set the batch twin mines
+    // (cumulative cells, newest-wins) — one oracle for both lifecycles
+    "q_stream_templates" ->
+      graft.plans.LogTemplates.templatesSql(eventLinesSql),
     "q_latency_trend" ->
       graft.plans.Percentiles.byGroupSql(
         "(SELECT event_type || '|' || strftime(ts, '%Y-%m-%d') AS grp, value FROM events)",

@@ -34,14 +34,28 @@ object LogTemplates {
     * `(source, raw)`. Output: (source, len, template, wildcard_pos ARRAY,
     * n_lines).
     */
-  def templates(lines: DataFrame): DataFrame = {
-    val occ = lines
+  def templates(lines: DataFrame): DataFrame =
+    templatesFromCells(tokCells(lines))
+
+  /** The mining state: distinct (source, len, pos, token) occurrence
+    * counts. Map-side combine collapses repeated tokens before the one
+    * exchange — what crosses is the corpus's distinct-token content. The
+    * streaming face (`StreamingPipeline.templateCellsToSink`) maintains
+    * exactly this frame as update-mode state.
+    */
+  def tokCells(lines: DataFrame): DataFrame =
+    lines
       .select(col("source"), split(col("raw"), " ").as("ws"))
       .select(col("source"), size(col("ws")).as("len"),
         posexplode(col("ws")).as(Seq("pos", "tok")))
-    // map-side combine collapses repeated tokens before the exchange
-    val tokCells = occ.groupBy("source", "len", "pos", "tok")
+      .groupBy("source", "len", "pos", "tok")
       .agg(count(lit(1)).as("cnt"))
+
+  /** Template assembly over a (source, len, pos, tok, cnt) cell frame —
+    * runs at cell cardinality whether the cells came from the batch
+    * aggregate or a streaming cell store.
+    */
+  def templatesFromCells(tokCells: DataFrame): DataFrame = {
     val posCells = tokCells.groupBy("source", "len", "pos")
       .agg(count(lit(1)).as("n_distinct"), min(col("tok")).as("only"),
         sum(col("cnt")).as("n_occ"))
@@ -65,7 +79,14 @@ object LogTemplates {
     * columns).
     */
   def templatesFlat(lines: DataFrame): DataFrame =
-    templates(lines).select(col("source"), col("len"), col("template"),
+    flatten(templates(lines))
+
+  /** [[templatesFlat]] over a prebuilt cell frame (the streaming store). */
+  def templatesFlatFromCells(tokCells: DataFrame): DataFrame =
+    flatten(templatesFromCells(tokCells))
+
+  private def flatten(tpl: DataFrame): DataFrame =
+    tpl.select(col("source"), col("len"), col("template"),
       concat_ws(",", transform(col("wildcard_pos"), p => p.cast("string")))
         .as("wildcard_pos"),
       col("n_lines"))

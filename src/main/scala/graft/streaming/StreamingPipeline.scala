@@ -414,6 +414,41 @@ object StreamingPipeline {
       outCols = Seq("window_start", "source", "key", "value", "n"))
   }
 
+  /** LIVE template mining: the stream maintains exactly
+    * `LogTemplates.tokCells` — distinct (source, len, pos, token)
+    * occurrence counts — as update-mode state into the per-batch-id delta
+    * sink; `LogTemplates.templatesFromCells` over the served cells IS the
+    * current template set (and template DRIFT alerts fall out of diffing
+    * two serve points). State equals the corpus's distinct-token content —
+    * the same irreducible-information bound the batch probe measures (the
+    * mining index being built, not an overhead), cumulative by design:
+    * template discovery is corpus-lifetime, so no watermark applies.
+    */
+  def templateCellsToSink(spark: SparkSession, inputDir: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("source", StringType, nullable = false),
+      StructField("raw", StringType, nullable = false)))
+    graft.plans.LogTemplates.tokCells(
+        spark.readStream.schema(schema).parquet(inputDir))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(deltaSinkBatch(outDir) _)
+      .start()
+  }
+
+  /** Merge-on-read over [[templateCellsToSink]]'s store. */
+  def servedTemplateCells(spark: SparkSession, outDir: String): DataFrame = {
+    val (base, deltas) = storeParts(spark, outDir)
+    servedNewestWins(spark, outDir, base, deltas,
+      keyCols = Seq("source", "len", "pos", "tok"),
+      outCols = Seq("source", "len", "pos", "tok", "cnt"))
+  }
+
   // ------------------------------------------- arbitrary-state transitions
 
   private[graft] case class UserEvent(user_id: Long,
