@@ -503,6 +503,41 @@ class PipelineSpec extends AnyFunSuite {
       "boundary pairs must span the restart (carried by GroupState)")
   }
 
+  test("streaming template mining: drift alerts fall out of diffing serve points") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-tpl-in").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft-tpl-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tpl-ckpt").toString
+    def lines(rows: Seq[(String, String)]) = rows.toDF("source", "raw")
+    // epoch A: one stable template (user varies -> wildcard at pos 2)
+    lines(Seq(("app", "request user 1 done"), ("app", "request user 2 done")))
+      .write.mode("append").parquet(in)
+    graft.streaming.StreamingPipeline.templateCellsToSink(spark, in, sink, ckpt)
+      .awaitTermination()
+    val atA = graft.plans.LogTemplates.templatesFlatFromCells(
+      graft.streaming.StreamingPipeline.servedTemplateCells(spark, sink))
+      .select("source", "len", "template").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    // epoch B (a deploy): same shape keeps flowing AND a new 5-token line
+    // appears — new STRUCTURE, not just new params
+    lines(Seq(("app", "request user 3 done"),
+        ("app", "request user 4 failed retry=1 queued")))
+      .write.mode("append").parquet(in)
+    graft.streaming.StreamingPipeline.templateCellsToSink(spark, in, sink, ckpt)
+      .awaitTermination() // restart: cumulative cells carry epoch A's counts
+    val served = graft.plans.LogTemplates.templatesFlatFromCells(
+      graft.streaming.StreamingPipeline.servedTemplateCells(spark, sink))
+    val atB = served.select("source", "len", "template").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val drift = atB -- atA
+    assert(drift == Set(("app", 6, "request user 4 failed retry=1 queued")),
+      s"only the new structure may alert: $drift")
+    // the stable template's line count is CUMULATIVE across both epochs
+    val nStable = served.filter(col("template") === "request user <*> done")
+      .select("n_lines").head().getLong(0)
+    assert(nStable == 3L, s"cumulative count across epochs, got $nStable")
+  }
+
   test("field profile: discovery, coverage, numeric shapes, cell-collapsed plan") {
     val sfDir = "/root/testdata/sf0.001"
     val enriched = graft.plans.LogPipeline.run(
