@@ -110,12 +110,14 @@ object Main {
       val encoded = graft.ml.Bpe.encode(spark, docs, merges)
       graft.ml.Packing.pack(encoded, cap, tokensCol = "ids")
         .write.mode("overwrite").parquet(out)
-      val st = spark.read.parquet(out)
-        .agg(cnt(lit(1)), sum("n_tok"), sum("n_docs")).head()
+      val st = spark.read.parquet(out).agg(cnt(lit(1)), sum("n_tok")).head()
       val windows = st.getLong(0)
-      val tokens = st.getLong(1)
+      // sum over zero windows is NULL — an empty corpus still prints a sane
+      // summary instead of dying after the (empty) output was written
+      val tokens = if (st.isNullAt(1)) 0L else st.getLong(1)
+      val fill = if (windows == 0) 0.0 else tokens.toDouble / (windows * cap)
       println(s"prepared windows=$windows cap=$cap tokens=$tokens " +
-        f"fill=${tokens.toDouble / (windows * cap)}%.3f merges=${merges.size} -> $out")
+        f"fill=$fill%.3f merges=${merges.size} -> $out")
       return
     }
 

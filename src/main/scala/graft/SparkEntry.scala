@@ -23,6 +23,45 @@ object SparkEntry {
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // staged streaming-input copy, once per scale dir
   private val stagedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Shared harness for the `q_stream_*` entries: stage the input once per
+    * `stageKey` into the swept scratch base (/dev/shm when writable —
+    * pid-tagged so Bench's liveness sweep reclaims a dead process's
+    * leftovers), hand the body fresh pid-tagged checkpoint + sink dirs at
+    * shuffle-partitions=8, and ALWAYS tear down: stop the state-store
+    * maintenance pool (its checkpoint is about to vanish) and delete both
+    * scratch dirs immediately — the body must pin its result with an eager
+    * localCheckpoint before returning, so nothing outlives the dirs.
+    */
+  private def withStreamScratch(s: SparkSession, stageKey: String)(
+      stage: String => Unit)(
+      run: (String, String, String) => DataFrame): DataFrame = {
+    val shm = new java.io.File("/dev/shm")
+    val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val tmp = stagedCache.computeIfAbsent(stageKey, _ => {
+      val d = java.nio.file.Files.createTempDirectory(ckptBase,
+        s"graft-stream-q-${ProcessHandle.current().pid()}-").toString
+      stage(d)
+      d
+    })
+    def scratch() = java.nio.file.Files.createTempDirectory(ckptBase,
+      s"graft-ckpt-${ProcessHandle.current().pid()}-").toString
+    val ckpt = scratch()
+    val sink = scratch()
+    val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try run(tmp, ckpt, sink)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      // the terminated query's state-store providers would otherwise fire
+      // maintenance-unload failures minutes later (their checkpoint is
+      // about to vanish below); the pool restarts lazily on the next query
+      org.apache.spark.sql.graftbridge.Bridge.stopStateStoreMaintenance()
+      graft.util.Dirs.deleteRecursively(new java.io.File(ckpt))
+      graft.util.Dirs.deleteRecursively(new java.io.File(sink))
+    }
+  }
   // staged double-shipped corpus (streaming dedup input), once per scale dir
   private val dedupStagedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -572,32 +611,16 @@ object SparkEntry {
     // the profile aggregates the SERVED cells — whole
     // stream->delta->serve->aggregate lifecycle under the same batch twin
     // (day-splitting changes no total: counts sum, values stay distinct)
-    "q_stream_fieldprofile" -> ((s, dir) => {
-      val shm = new java.io.File("/dev/shm")
-      val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val tmp = stagedCache.computeIfAbsent(s"$dir#mixed", _ => {
-        val d = java.nio.file.Files.createTempDirectory(ckptBase,
-          s"graft-stream-q-${ProcessHandle.current().pid()}-").toString
-        EventsAdapter.mixedSequences(s, dir).write.mode("overwrite").parquet(d)
-        d
-      })
-      def scratch(prefix: String) = java.nio.file.Files.createTempDirectory(ckptBase,
-        s"$prefix-${ProcessHandle.current().pid()}-").toString
-      val ckpt = scratch("graft-ckpt")
-      val sink = scratch("graft-ckpt")
-      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        graft.streaming.StreamingPipeline.fieldCellsToSink(
-          s, tmp, sink, ckpt, EventsAdapter.mixedConfigs).awaitTermination()
-        graft.plans.LogPipeline.profileFromCells(
-          graft.streaming.StreamingPipeline.servedFieldCells(s, sink))
-          .localCheckpoint(eager = true)
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
-      }
-    }),
+    "q_stream_fieldprofile" -> ((s, dir) =>
+      withStreamScratch(s, s"$dir#mixed")(d =>
+        EventsAdapter.mixedSequences(s, dir).write.mode("overwrite").parquet(d)) {
+        (tmp, ckpt, sink) =>
+          graft.streaming.StreamingPipeline.fieldCellsToSink(
+            s, tmp, sink, ckpt, EventsAdapter.mixedConfigs).awaitTermination()
+          graft.plans.LogPipeline.profileFromCells(
+            graft.streaming.StreamingPipeline.servedFieldCells(s, sink))
+            .localCheckpoint(eager = true)
+      }),
 
     // ===== training-data pipeline operators (documents / embeddings) =====
     // exact dedup: md5-fingerprint keep-first
@@ -740,62 +763,29 @@ object SparkEntry {
     // LIVE template mining: the stream maintains the tokCells frame as
     // update-delta state; assembly over the SERVED cells is the current
     // template set — whole lifecycle under the batch mining twin
-    "q_stream_templates" -> ((s, dir) => {
-      val shm = new java.io.File("/dev/shm")
-      val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val tmp = stagedCache.computeIfAbsent(s"$dir#lines", _ => {
-        val d = java.nio.file.Files.createTempDirectory(ckptBase,
-          s"graft-stream-q-${ProcessHandle.current().pid()}-").toString
+    "q_stream_templates" -> ((s, dir) =>
+      withStreamScratch(s, s"$dir#lines")(d =>
         EventsAdapter.events(s, dir).select("source", "raw")
-          .write.mode("overwrite").parquet(d)
-        d
-      })
-      def scratch(prefix: String) = java.nio.file.Files.createTempDirectory(ckptBase,
-        s"$prefix-${ProcessHandle.current().pid()}-").toString
-      val ckpt = scratch("graft-ckpt")
-      val sink = scratch("graft-ckpt")
-      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        graft.streaming.StreamingPipeline.templateCellsToSink(
-          s, tmp, sink, ckpt).awaitTermination()
-        graft.plans.LogTemplates.templatesFlatFromCells(
-          graft.streaming.StreamingPipeline.servedTemplateCells(s, sink))
-          .localCheckpoint(eager = true)
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
-      }
-    }),
+          .write.mode("overwrite").parquet(d)) { (tmp, ckpt, sink) =>
+          graft.streaming.StreamingPipeline.templateCellsToSink(
+            s, tmp, sink, ckpt).awaitTermination()
+          graft.plans.LogTemplates.templatesFlatFromCells(
+            graft.streaming.StreamingPipeline.servedTemplateCells(s, sink))
+            .localCheckpoint(eager = true)
+      }),
     // LIVE transitions via flatMapGroupsWithState: per-user last-event
     // state (ONE row/user) links pairs across batch/restart boundaries;
     // the served pair store aggregates to the same matrix as the batch op
-    "q_stream_transitions" -> ((s, dir) => {
-      val shm = new java.io.File("/dev/shm")
-      val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val tmp = stagedCache.computeIfAbsent(s"$dir#events", _ => {
-        val d = java.nio.file.Files.createTempDirectory(ckptBase,
-          s"graft-stream-q-${ProcessHandle.current().pid()}-").toString
-        s.read.parquet(s"$dir/events.parquet").write.mode("overwrite").parquet(d)
-        d
-      })
-      def scratch(prefix: String) = java.nio.file.Files.createTempDirectory(ckptBase,
-        s"$prefix-${ProcessHandle.current().pid()}-").toString
-      val ckpt = scratch("graft-ckpt")
-      val sink = scratch("graft-ckpt")
-      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        graft.streaming.StreamingPipeline.transitionsToSink(
-          s, tmp, sink, ckpt).awaitTermination()
-        graft.plans.EventAnalytics.transitionStats(
-          graft.streaming.StreamingPipeline.servedTransitionPairs(s, sink))
-          .localCheckpoint(eager = true)
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
-      }
-    }),
+    "q_stream_transitions" -> ((s, dir) =>
+      withStreamScratch(s, s"$dir#events")(d =>
+        s.read.parquet(s"$dir/events.parquet")
+          .write.mode("overwrite").parquet(d)) { (tmp, ckpt, sink) =>
+          graft.streaming.StreamingPipeline.transitionsToSink(
+            s, tmp, sink, ckpt).awaitTermination()
+          graft.plans.EventAnalytics.transitionStats(
+            graft.streaming.StreamingPipeline.servedTransitionPairs(s, sink))
+            .localCheckpoint(eager = true)
+      }),
     // SLO trend panel: exact p50/p95/p99 of `value` per (event_type, day)
     // — the histogram-walk percentiles over a derived composite group
     // (window over value CELLS, never rows; no API change needed)
@@ -863,57 +853,26 @@ object SparkEntry {
     // operator); checkpoint + state store + sink land on tmpfs when
     // available and the stateful shuffle is narrowed — the windowed-agg
     // state is tiny, so 32 state-store partitions were pure fixed overhead.
-    "q_stream_histogram" -> ((s, dir) => {
-      val shm = new java.io.File("/dev/shm")
-      val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      // staged copy goes under the SAME base as the checkpoints so the
-      // pid-liveness sweep (Bench) covers it — a bare createTempDirectory
-      // would land it in /tmp where a tmpfs-rooted sweep never looks
-      val tmp = stagedCache.computeIfAbsent(dir, _ => {
-        val d = java.nio.file.Files.createTempDirectory(ckptBase,
-          s"graft-stream-q-${ProcessHandle.current().pid()}-").toString
-        EventsAdapter.sequences(s, dir).write.mode("overwrite").parquet(d)
-        d
-      })
-      // owner-pid tag BEFORE the random suffix: Bench's tmpfs sweep frees a
-      // dead process's leftovers by pid liveness instead of mtime age (an
-      // age rule would sweep a live-but-idle sibling's checkpoint state)
-      def scratch(prefix: String) = java.nio.file.Files.createTempDirectory(ckptBase,
-        s"$prefix-${ProcessHandle.current().pid()}-").toString
-      val ckpt = scratch("graft-ckpt")
-      val sink = scratch("graft-ckpt") // delta sink: same lifecycle as ckpt
-      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = graft.streaming.StreamingPipeline.histogramToSink(
-          s, tmp, sink, ckpt, EventsAdapter.configs)
-        q.awaitTermination()
-        // fold the deltas into a base snapshot before serving — the whole
-        // stream -> delta sink -> compact -> serve chain sits under the
-        // batch-parity oracle (compactHistogram's own signature gate also
-        // runs inside)
-        graft.plans.CompactionJob.compactHistogram(s, sink)
-        graft.streaming.StreamingPipeline.servedHistogram(s, sink)
-          .select(
-            date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
-            col("sink"), col("n"))
-          // the serving view must outlive the scratch delta dirs (Verify
-          // writes the frame after this function returns): pin the tiny
-          // aggregate rows
-          .localCheckpoint(eager = true)
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
-        // the terminated query's state-store providers would otherwise fire
-        // maintenance-unload failures minutes later (their checkpoint is
-        // about to vanish below); the pool restarts lazily on the next query
-        org.apache.spark.sql.graftbridge.Bridge.stopStateStoreMaintenance()
-        // the eager localCheckpoint above pinned the served rows, so both
-        // scratch dirs can go immediately
-        graft.util.Dirs.deleteRecursively(new java.io.File(ckpt))
-        graft.util.Dirs.deleteRecursively(new java.io.File(sink))
-      }
-    }),
+    "q_stream_histogram" -> ((s, dir) =>
+      withStreamScratch(s, dir)(d =>
+        EventsAdapter.sequences(s, dir).write.mode("overwrite").parquet(d)) {
+        (tmp, ckpt, sink) =>
+          graft.streaming.StreamingPipeline.histogramToSink(
+            s, tmp, sink, ckpt, EventsAdapter.configs).awaitTermination()
+          // fold the deltas into a base snapshot before serving — the whole
+          // stream -> delta sink -> compact -> serve chain sits under the
+          // batch-parity oracle (compactHistogram's own signature gate also
+          // runs inside)
+          graft.plans.CompactionJob.compactHistogram(s, sink)
+          graft.streaming.StreamingPipeline.servedHistogram(s, sink)
+            .select(
+              date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+              col("sink"), col("n"))
+            // the serving view must outlive the scratch delta dirs (Verify
+            // writes the frame after this function returns): pin the tiny
+            // aggregate rows
+            .localCheckpoint(eager = true)
+      }),
     // live monitoring ON the serving path: the median/MAD anomaly rule
     // composes over the streaming histogram's merge-on-read view (same
     // stream -> delta sink -> compact -> serve chain, then flagCells);

@@ -380,9 +380,10 @@ object TextDedup {
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .withColumn("jac", round(col("inter").cast("double") / col("uni"), 4))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+      // unrounded filter, rounded display — see minhashLshPairs
+      .withColumn("_jac", col("inter").cast("double") / col("uni"))
+      .filter(col("_jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("_jac"), 4).as("jac"))
   }
 
   /** Oracle twin of [[ngramJaccardPairs]]: the algorithm is exact, so the
@@ -455,11 +456,6 @@ object TextDedup {
     s"(SELECT [${hs.mkString(", ")}] FROM (SELECT $xs AS xs))"
   }
 
-  /** LSH candidate pairs verified by true Jaccard:
-    * shingle -> minhash -> band signature -> bucket join -> verify.
-    * This is the 10^12-scale dedup path: cost is (rows x bands) shuffle +
-    * per-bucket joins, never a global cross join.
-    */
   /** LSH band rows (doc_id, band, sig) — the index shape a persisted
     * near-dup index stores one row of per (doc, band).
     */
@@ -473,6 +469,11 @@ object TextDedup {
         }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.sig"))
 
+  /** LSH candidate pairs verified by true Jaccard:
+    * shingle -> minhash -> band signature -> bucket join -> verify.
+    * This is the 10^12-scale dedup path: cost is (rows x bands) shuffle +
+    * per-bucket joins, never a global cross join.
+    */
   def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val bands = bandSigs(docs)
     val cand = bands.as("x").join(bands.as("y"),
@@ -486,10 +487,13 @@ object TextDedup {
       .join(withSh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
       .join(withSh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jac", round(col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+      // filter on the UNROUNDED ratio (as the SQL twin does), round only
+      // for display — a 4-dp round could pull a just-below-threshold pair
+      // over the line on one engine only
+      .withColumn("_jac", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("_jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("_jac"), 4).as("jac"))
   }
 
   def minhashLshPairsSql(docsRel: String, threshold: Double): String = {
@@ -701,10 +705,11 @@ object TextDedup {
       .select(col("doc_id").as("dup_of"), shinglesCol(col("text")).as("sh_b"))
     cand.join(shB, Seq("new_doc")).join(shH, Seq("dup_of"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jac", round(col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
-      .filter(col("jac") >= threshold)
-      .select(col("new_doc"), col("dup_of"), col("jac"))
+      // unrounded filter, rounded display — see minhashLshPairs
+      .withColumn("_jac", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("_jac") >= threshold)
+      .select(col("new_doc"), col("dup_of"), round(col("_jac"), 4).as("jac"))
   }
 
   /** DuckDB twin of [[incrementalNearDups]] (same bands, same verify; the

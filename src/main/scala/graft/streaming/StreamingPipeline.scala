@@ -479,11 +479,32 @@ object StreamingPipeline {
     */
   def transitionsToSink(spark: SparkSession, inputDir: String, outDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val events = spark.readStream
-      .schema(Schemas.eventsRaw)
+    // the pair store is APPEND (every delta counts — no newest-wins row to
+    // supersede stale ones), so a RESET checkpoint against a kept sink
+    // would silently double-count: batch ids restart at 0, overwrite
+    // delta=0 with all pairs, and the stale delta=1.. survive. Refuse
+    // loudly up front — the same contract storeParts enforces for the
+    // update-mode stores once a base exists.
+    {
+      val ckptOffsets = new java.io.File(checkpointDir, "offsets")
+      val (_, deltas) = storeParts(spark, outDir)
+      require(deltas.isEmpty || ckptOffsets.isDirectory,
+        s"transition store $outDir already holds deltas but checkpoint " +
+          s"$checkpointDir is fresh — a reset checkpoint against a kept " +
+          "append sink double-counts; start a fresh sink dir")
+    }
+    // NB per-batch memory: a group's NEW events materialize on one executor
+    // for the in-batch sort (state itself stays one row/user). Under
+    // AvailableNow over a deep backlog, cap the batch with
+    // maxFilesPerTrigger so a hot user's per-batch slice stays bounded —
+    // the carried state links pairs across the split batches losslessly.
+    val reader = spark.readStream.schema(Schemas.eventsRaw)
+    maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m): Unit)
+    val events = reader
       .parquet(inputDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .as[UserEvent]
