@@ -800,6 +800,14 @@ object SparkEntry {
     // sentence-count / lorem / brace branches over structured pages
     "q_c4_filters" -> ((s, dir) =>
       graft.ml.TextCleaning.c4Filters(DocsAdapter.c4Docs(s, dir))),
+    // `| stats` aggregation step (grouped count): the log-language
+    // aggregator, Table-typed so `where`/job table serving compose
+    "q_stats_step" -> ((s, dir) =>
+      eng(s, dir).run("error | stats fn=count by=userid").df),
+    // `| stats` with a summed field: try_cast to LONG — integer-exact,
+    // no float accumulation order
+    "q_stats_sum" -> ((s, dir) =>
+      eng(s, dir).run("error | stats fn=sum field=userid").df),
     // the COMPOSED curation funnel: urlDedup -> htmlExtract -> c4+gopher
     // quality -> chunk dedup -> LM cutoff, emitting per-stage survivor
     // counts + survivor-set signatures; served in the ONE-PASS observed
@@ -1565,6 +1573,14 @@ object SparkEntry {
       s"""SELECT doc_id, bm25 FROM (${graft.ml.Retrieval.bm25TopKSql(
         s"(SELECT $DOC AS doc_id, $RAW AS text FROM events WHERE event_type = 'error')",
         Seq("error", "13"), k = 20)})""".stripMargin.replace("\n", " "),
+    "q_stats_step" ->
+      """SELECT CAST(user_id AS VARCHAR) AS userid,
+        | CAST(count(*) AS VARCHAR) AS "count"
+        | FROM events WHERE event_type = 'error'
+        | GROUP BY 1""".stripMargin.replace("\n", " "),
+    "q_stats_sum" ->
+      """SELECT CAST(sum(user_id) AS VARCHAR) AS sum_userid
+        | FROM events WHERE event_type = 'error'""".stripMargin.replace("\n", " "),
     "q_token_contam" ->
       graft.ml.Contamination.flagTokensSql(
         DocsAdapter.tokenSeqsSql(), DocsAdapter.tokenBenchSql()),

@@ -266,6 +266,52 @@ class QueryEngine(val events: DataFrame, val configs: Seq[SourceConfig]) {
     }
   }
 
+  /** `stats` (extension — the aggregation step every log query language
+    * grows; the reference serves aggregates only through the jobStats API):
+    * one aggregate over the incoming events, optionally grouped
+    * (`| stats count by=eventtype`, `| stats sum(userid) by=host`).
+    * Deterministic by construction: count/countd are integer-exact, sum
+    * casts values to LONG (try_cast — non-numeric values skip, and no
+    * float accumulation order can differ), min/max compare strings
+    * lexicographically. Emits a Table frame (string cells, like `table`),
+    * so `where` and the resultType=2 job serving compose downstream.
+    *
+    * Scale shape: a straight partial-aggregated groupBy on the extracted
+    * key — map-side combine collapses to group cells before the one
+    * exchange; no window, no collect.
+    */
+  final case class StatsStep(fn: String, field: Option[String],
+      by: Option[String]) extends Step {
+    val name = "stats"
+    val inputType = PipeType.Events
+    val outputType = PipeType.Table
+    def apply(in: Frame): Frame = in match {
+      case EventsFrame(df) =>
+        def f(n: String): Column = n match {
+          case "_raw" => col("raw")
+          case "source" => col("source")
+          case "host" => col("host")
+          case other => try_element_at(col("fields"), lit(other))
+        }
+        val out = fn + field.map("_" + _).getOrElse("")
+        val aggCol = (fn match {
+          case "count" => count(lit(1))
+          case "countd" => countDistinct(f(field.get))
+          case "sum" => sum(f(field.get).try_cast("long"))
+          case "min" => min(f(field.get))
+          case "max" => max(f(field.get))
+        }).cast("string")
+        by match {
+          case Some(g) =>
+            val grouped = df.groupBy(coalesce(f(g), lit("")).as(g))
+            TableFrame(grouped.agg(coalesce(aggCol, lit("")).as(out)), Seq(g, out))
+          case None =>
+            TableFrame(df.agg(coalesce(aggCol, lit("")).as(out)), Seq(out))
+        }
+      case _: TableFrame => throw QueryError("stats requires an events input")
+    }
+  }
+
   // ---------------------------------------------------------------- compile
 
   /** Compile one parsed step (registry analog of
@@ -304,6 +350,20 @@ class QueryEngine(val events: DataFrame, val configs: Seq[SourceConfig]) {
       val terms = p.value.split("\\s+").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
       if (terms.isEmpty) throw QueryError("failed to compile bm25: no terms given")
       Bm25Step(terms, p.args.get("k").map(_.toInt).getOrElse(100))
+    case "stats" =>
+      // option-list form (the step grammar takes k=v args):
+      //   | stats fn=count [by=<field>]
+      //   | stats fn=sum|countd|min|max field=<f> [by=<field>]
+      val fn = p.args.getOrElse("fn",
+        throw QueryError("failed to compile stats: fn must be provided"))
+      if (!Set("count", "countd", "sum", "min", "max").contains(fn))
+        throw QueryError(s"failed to compile stats: unknown aggregate '$fn'")
+      val fieldOpt = p.args.get("field").map(_.toLowerCase)
+      if (fn != "count" && fieldOpt.isEmpty)
+        throw QueryError(s"failed to compile stats: $fn needs field=")
+      if (fn == "count" && fieldOpt.nonEmpty)
+        throw QueryError("failed to compile stats: count takes no field (use countd)")
+      StatsStep(fn, fieldOpt, p.args.get("by").map(_.toLowerCase))
     case other => throw QueryError(s"unknown step type: $other")
   }
 

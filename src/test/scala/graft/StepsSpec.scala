@@ -260,4 +260,35 @@ class StepsSpec extends AnyFunSuite {
     // unknown-terms step still compiles; empty terms must not
     intercept[QueryError] { e.run("alpha | bm25 k=3 \"\"") }
   }
+
+  test("stats step: grouped + global aggregates, sum skips non-numeric, where composes") {
+    val df = frame(
+      ("1", "log-a.txt", "my-host", "log-a.txt", T0, 1L, "x a=10 team=red"),
+      ("2", "log-a.txt", "my-host", "log-a.txt", T0, 2L, "x a=20 team=red"),
+      ("3", "log-a.txt", "my-host", "log-a.txt", T0, 3L, "x a=ten team=blue"),
+      ("4", "log-a.txt", "my-host", "log-a.txt", T0, 4L, "x team=blue"))
+    val e = engine(df)
+    // grouped count -> Table frame with (team, count) string cells
+    val counts = e.run("x | stats fn=count by=team") match {
+      case TableFrame(t, order) =>
+        assert(order == Seq("team", "count"))
+        t.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      case _ => fail("stats must emit a Table frame")
+    }
+    assert(counts == Map("red" -> "2", "blue" -> "2"))
+    // sum try_casts values: "ten" and the missing field skip, never error
+    val sums = e.run("x | stats fn=sum field=a by=team").df.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sums == Map("red" -> "30", "blue" -> ""))
+    // global (no by) countd and min
+    assert(e.run("x | stats fn=countd field=team").df.head().getString(0) == "2")
+    assert(e.run("x | stats fn=min field=a").df.head().getString(0) == "10")
+    // Table output composes with where (the table branch)
+    val one = e.run("x | stats fn=count by=team | where team=red").df.collect()
+    assert(one.length == 1 && one.head.getString(1) == "2")
+    // compile errors: unknown fn, sum without field, count with field
+    intercept[QueryError] { e.run("x | stats fn=median field=a") }
+    intercept[QueryError] { e.run("x | stats fn=sum") }
+    intercept[QueryError] { e.run("x | stats fn=count field=a") }
+  }
 }
