@@ -114,6 +114,26 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("a | stats job serves its aggregate as a table over HTTP") {
+    withServer() { (port, _) =>
+      val q = enc("error | stats fn=count by=userid")
+      val id = post(port, s"/api/v1/startJob?searchString=$q").body().trim.toLong
+      val res = mapper.readTree(
+        get(port, s"/api/v1/jobResults?jobId=$id&skip=0&take=200").body())
+      assert(res.get("resultType").asInt() == 2)
+      assert(res.get("columnOrder").elements().asScala.map(_.asText()).toSeq
+        == Seq("userid", "count"))
+      val rows = res.get("tableRows").elements().asScala.toSeq
+      assert(rows.nonEmpty)
+      // the served counts reconcile with the total error-event count
+      val total = rows.map(_.get("count").asText().toLong).sum
+      val all = post(port, s"/api/v1/startJob?searchString=${enc("error")}")
+        .body().trim.toLong
+      val stats = mapper.readTree(get(port, s"/api/v1/jobStats?jobId=$all").body())
+      assert(total == stats.get("NumMatchedEvents").asLong())
+    }
+  }
+
   test("relativeTime narrows the job's window (parseTimeParametersGin)") {
     withServer() { (port, _) =>
       // corpus timestamps are in 2024 — a now-anchored window matches none
