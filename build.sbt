@@ -37,8 +37,40 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // 20g default (was 8g): the bench JVM is driver + 32 in-process executor
+  // threads + per-job persisted result caches across a 126-query sweep; at
+  // 8g the old gen ran 85-99% full mid-sweep with repeated full GCs —
+  // single-sample bench runs then carry multi-second GC-pause outliers
+  // (guide §5 memory pressure; BENCH_r05's driver re-bench showed 10-50x
+  // per-query outliers of exactly this shape). The box is 128 GiB; worst
+  // concurrent case (scaling phase: driver 20g + 4 executor JVMs x 8g)
+  // stays under half of it.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  // Xms=Xmx + pre-touch: without it the heap grows lazily and the run pays
+  // first-touch page faults spread across the TIMED queries (measured:
+  // an Xmx-20g lazy heap added +0.1-0.5 s to sub-second queries vs 8g;
+  // pre-touching moves that cost into JVM startup, which nothing times).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  "-XX:+AlwaysPreTouch",
+) ++ {
+  // Executor-JVM sizing for the local-cluster scaling runs (read from the
+  // driver's system properties by every SparkSession this JVM creates).
+  // A containerized cluster executor sees ITS OWN cpu/memory limits;
+  // local-cluster executor JVMs instead size GC/JIT thread pools by the
+  // whole host (32 cpus -> ~23 GC + ~16 C2 threads per 4-core executor)
+  // and grow their heaps lazily, paying first-touch page faults inside the
+  // first timed reps. ActiveProcessorCount pins pool sizing to the
+  // executor's core entitlement exactly as a cgroup-limited container
+  // does, and Xms=Xmx + AlwaysPreTouch moves the page-fault cost into
+  // executor startup (untimed) — measured on the 16M-row protocol:
+  // n=1 90.5->72.5 s, n=4 best 28.9->16.5 s, efficiency 0.57->1.10, and
+  // the 4x cold-rep outliers (119 s first reps) disappear. Parameterized
+  // by the same env vars Bench reads, so a different scale configuration
+  // stays consistent.
+  val execMemMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEM_MB", "8192")
+  val execCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "4")
+  Seq(s"-Dspark.executor.extraJavaOptions=-Xms${execMemMb}m -XX:+AlwaysPreTouch -XX:ActiveProcessorCount=$execCores")
+}
 // local-cluster[...] masters (the N-vs-4N scaling bench) spawn executor JVMs
 // through the Spark launcher, which needs these to locate the distribution.
 run / envVars ++= Map(

@@ -50,10 +50,18 @@ object SparkEntry {
     val ckpt = scratch()
     val sink = scratch()
     val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val oldNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // the trailing no-data micro-batch only advances the watermark (state
+    // eviction); these AvailableNow runs discard their checkpoints right
+    // after serving, and the update-mode delta sinks emit nothing from
+    // eviction — the extra batch was a full state reload+commit across all
+    // partitions for zero output rows
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try run(tmp, ckpt, sink)
     finally {
       s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", oldNoData)
       // the terminated query's state-store providers would otherwise fire
       // maintenance-unload failures minutes later (their checkpoint is
       // about to vanish below); the pool restarts lazily on the next query
@@ -904,31 +912,50 @@ object SparkEntry {
       val in = dedupStagedCache.computeIfAbsent(dir, _ => {
         val d = java.nio.file.Files.createTempDirectory(ckptBase,
           s"graft-stream-q-${ProcessHandle.current().pid()}-").toString
-        val seq = EventsAdapter.sequences(s, dir).coalesce(1)
+        // 4 files per shipment (was 1): a single-file shipment made each
+        // micro-batch's parse a one-task scan — 4 files parallelize it
+        // while maxFilesPerTrigger=4 below keeps exactly one shipment per
+        // batch. Explicit mtimes 60 s apart make the file-source pickup
+        // order deterministic (it orders by modification time), so the
+        // second delivery still lands entirely in the second batch — the
+        // cross-batch state-dedup story is unchanged.
+        val seq = EventsAdapter.sequences(s, dir).repartition(4)
         seq.write.mode("overwrite").parquet(s"$d/copy1")
         seq.write.mode("overwrite").parquet(s"$d/copy2")
-        // one input dir holding the SAME corpus twice (distinct file names)
         val inDir = java.nio.file.Paths.get(d, "in")
         java.nio.file.Files.createDirectory(inDir): Unit
         Seq("copy1", "copy2").zipWithIndex.foreach { case (c, i) =>
-          val part = new java.io.File(s"$d/$c").listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          java.nio.file.Files.copy(part.toPath, inDir.resolve(s"ship-$i.parquet")): Unit
+          val parts = new java.io.File(s"$d/$c").listFiles()
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          parts.zipWithIndex.foreach { case (part, j) =>
+            val dst = inDir.resolve(s"ship-$i-$j.parquet")
+            java.nio.file.Files.copy(part.toPath, dst): Unit
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L)): Unit
+          }
         }
         inDir.toString
       })
       val out = scratch("graft-ckpt")
       val ckpt = scratch("graft-ckpt")
       val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val oldNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       try {
         s.conf.set("spark.sql.shuffle.partitions", "8")
+        // see withStreamScratch: the trailing no-data batch is pure
+        // watermark bookkeeping for a checkpoint this harness deletes
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        // saltBuckets matches the harness's 8 stream shuffle partitions
+        // (set just above): 32 writer tasks per 100k-row micro-batch were
+        // pure scheduling overhead + 4x the part files at this batch size
         graft.streaming.StreamingPipeline.ingestDedup(s, in, out, ckpt,
-          EventsAdapter.configs, horizon = "10 days",
-          maxFilesPerTrigger = Some(1)).awaitTermination()
+          EventsAdapter.configs, horizon = "10 days", saltBuckets = 8,
+          maxFilesPerTrigger = Some(4)).awaitTermination()
         s.read.parquet(out).select(col("doc_id"))
           .localCheckpoint(eager = true) // outlives the scratch dirs below
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", oldNoData)
         org.apache.spark.sql.graftbridge.Bridge.stopStateStoreMaintenance()
         graft.util.Dirs.deleteRecursively(new java.io.File(ckpt))
         graft.util.Dirs.deleteRecursively(new java.io.File(out))
@@ -968,14 +995,19 @@ object SparkEntry {
       val out = scratch("graft-ckpt")
       val ckpt = scratch("graft-ckpt")
       val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val oldNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       try {
         s.conf.set("spark.sql.shuffle.partitions", "8")
+        // see withStreamScratch: the trailing no-data batch is pure
+        // watermark bookkeeping for a checkpoint this harness deletes
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         graft.streaming.StreamingPipeline.urlDedupStream(s, in, out, ckpt,
           horizon = "10 days", maxFilesPerTrigger = Some(1)).awaitTermination()
         s.read.parquet(out).groupBy(col("canon")).agg(count(lit(1)).as("n"))
           .localCheckpoint(eager = true) // outlives the scratch dirs below
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", oldNoData)
         org.apache.spark.sql.graftbridge.Bridge.stopStateStoreMaintenance()
         graft.util.Dirs.deleteRecursively(new java.io.File(ckpt))
         graft.util.Dirs.deleteRecursively(new java.io.File(out))

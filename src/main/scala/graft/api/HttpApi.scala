@@ -212,7 +212,6 @@ final class HttpApi(api: JobsApi,
     val skip = int(q, "skip")
     val take = int(q, "take")
     val job = api.job(id).getOrElse(throw JobsApi.NoSuchJobException(id))
-    val page = api.jobResults(id, skip, take)
     val o = mapper.createObjectNode()
     val events = o.putArray("events")
     val tableRows = o.putArray("tableRows")
@@ -220,12 +219,16 @@ final class HttpApi(api: JobsApi,
     job.frame match {
       case _: EventsFrame =>
         o.put("resultType", 1) // PipeTypeEvents
-        // rendered on the executors: reference wire keys, fields map last
-        pageJson(eventsWire(page)).foreach(s => events.add(mapper.readTree(s)))
+        // rendered on the executors ONCE per job (JobsApi.wireJsonRdd) —
+        // a page request is a partition-pruned slice of cached JSON
+        // strings, not a fresh per-page plan
+        api.jobResultsWireJson(id, skip, take)
+          .foreach(s => events.add(mapper.readTree(s)))
       case TableFrame(_, order) =>
         o.put("resultType", 2) // PipeTypeTable
         order.foreach(columnOrder.add)
-        pageJson(page).foreach(s => tableRows.add(mapper.readTree(s)))
+        pageJson(api.jobResults(id, skip, take))
+          .foreach(s => tableRows.add(mapper.readTree(s)))
     }
     sendJson(ex, 200, mapper.writeValueAsString(o))
   }

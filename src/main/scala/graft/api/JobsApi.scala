@@ -122,6 +122,28 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None,
         .collect().sortBy(_._1).map(_._2)
     }
 
+    /** The events wire JSON (reference EventWithExtractedFields keys,
+      * pkg/logsuck/events/Event.go:46-54) rendered ONCE per job and pinned:
+      * one narrow map pass over the persisted results (same partitioning,
+      * so [[partStarts]] slices apply verbatim). Serving a page is then a
+      * partition-pruned RDD job over cached strings — the previous
+      * per-page path built a fresh DataFrame + analysis + codegen for
+      * EVERY page (40+ pages per exhaustive client), which dominated the
+      * HTTP serving wall (guide §1.2: don't re-plan per request).
+      * Events frames only (tables keep the per-page DataFrame path).
+      */
+    private[JobsApi] lazy val wireJsonRdd: org.apache.spark.rdd.RDD[String] = {
+      val r = results.select(
+          col("doc_id").as("Id"), col("raw").as("Raw"),
+          col("ts").as("Timestamp"), col("host").as("Host"),
+          col("source").as("Source"), col("source_id").as("SourceId"),
+          col("fields").as("Fields"))
+        .toJSON.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persistedRdds.add(r)
+      r
+    }
+
     // memoized jobStats — the second stats call launches zero Spark jobs
     @volatile private[JobsApi] var statsCache: JobStats = null
 
@@ -132,12 +154,16 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None,
     // imported job that only ever materialized fieldStatsCached)
     private val persistedFrames =
       new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    private val persistedRdds =
+      new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
     private def track(df: DataFrame): DataFrame = { persistedFrames.add(df); df }
 
     /** Drop every cached artifact of this job. */
     private[JobsApi] def unpersistAll(): Unit = {
       var df = persistedFrames.poll()
       while (df != null) { df.unpersist(blocking = false); df = persistedFrames.poll() }
+      var r = persistedRdds.poll()
+      while (r != null) { r.unpersist(blocking = false); r = persistedRdds.poll() }
     }
   }
 
@@ -400,6 +426,37 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None,
           (math.min(starts(orig + 1), hi) - base).toInt)
       }
       spark.createDataFrame(rows, schema)
+    }
+  }
+
+  /** [[jobResults]] for the HTTP events wire: the page's rows as their
+    * final JSON strings, sliced positionally from the job's pinned
+    * [[Job#wireJsonRdd]] — a one-stage partition-pruned job over cached
+    * strings, with no per-page DataFrame/plan/codegen. Same ordering and
+    * page boundaries as [[jobResults]] (the JSON cache is a narrow map of
+    * the persisted results, partition counts unchanged).
+    */
+  def jobResultsWireJson(id: Long, skip: Int, take: Int): Array[String] = {
+    val job = jobOrThrow(id)
+    require(skip >= 0 && take >= 0, s"skip/take must be non-negative ($skip, $take)")
+    withJobGroup(job) {
+      val starts = job.partStarts // may materialize the store
+      val lo = skip.toLong
+      val hi = lo + take
+      if (take == 0 || lo >= starts.last) Array.empty[String]
+      else {
+        val touched = (0 until starts.length - 1)
+          .filter(i => starts(i) < hi && starts(i + 1) > lo).toArray
+        val touchedSet = touched.toSet
+        val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
+          job.wireJsonRdd, touchedSet.contains)
+        pruned.mapPartitionsWithIndex { (pi, it) =>
+          val orig = touched(pi)
+          val base = starts(orig)
+          it.slice((math.max(base, lo) - base).toInt,
+            (math.min(starts(orig + 1), hi) - base).toInt)
+        }.collect()
+      }
     }
   }
 

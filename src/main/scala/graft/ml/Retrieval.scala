@@ -72,8 +72,16 @@ object Retrieval {
     */
   def bm25JoinBack(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int): DataFrame = {
-    val scores = bm25TopK(
-        df.select(col(idCol).as("doc_id"), col(textCol).as("text")), terms, k)
+    // pin the narrow (id, text) scoring projection: bm25TopK reads its
+    // input twice (the filtered explode + the totals scan), and `df` here
+    // is a computed search result whose subtree would otherwise re-run the
+    // whole upstream scan per read (3x total with the join-back; guide
+    // §1.2). The pinned sliver is the matched set's two columns — the
+    // selective-search contract of a `| bm25` step — while the wide event
+    // rows still never shuffle (the k winners ride the broadcast back).
+    val proj = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .localCheckpoint(true)
+    val scores = bm25TopK(proj, terms, k)
       .select(col("doc_id").as(idCol), col("bm25"))
     df.join(broadcast(scores), Seq(idCol))
       .orderBy(col("bm25").desc, col(idCol))

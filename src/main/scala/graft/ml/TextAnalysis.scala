@@ -89,32 +89,52 @@ object TextAnalysis {
     def gramArr = transform(sequence(lit(0), size(ws) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
     val grams = docs.filter(size(ws) >= n).select(explode(gramArr).as("gram"))
+    // Counters riding the MG pass (guide §2.3 "aggregate before you
+    // shuffle", §1.2 "don't compute things twice"): `totalAcc` replaces the
+    // separate whole-corpus gram-count aggregate (one fewer full pass), and
+    // `decrAcc` records whether ANY partition ever hit capacity. Accumulator
+    // overcount under task retry/speculation only makes both checks MORE
+    // conservative (larger total -> higher proof threshold; nonzero decr ->
+    // no completeness shortcut) — never an incorrect "exact" claim.
+    val totalAcc = spark.sparkContext.longAccumulator("mg_grams_total")
+    val decrAcc = spark.sparkContext.longAccumulator("mg_decrements")
     val candidates = grams.as[String].mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var seen = 0L
       it.foreach { g =>
+        seen += 1
         m.get(g) match {
           case Some(c) => m.update(g, c + 1)
           case None if m.size < capacity => m.update(g, 1L)
           case None =>
             // decrement-all: O(capacity) amortized over >= capacity arrivals
+            decrAcc.add(1L)
             val dead = List.newBuilder[String]
             m.mapValuesInPlace((_, c) => c - 1)
             m.foreach { case (g0, c) => if (c <= 0) dead += g0 }
             dead.result().foreach(m.remove)
         }
       }
+      totalAcc.add(seen)
       m.keysIterator
-    }.distinct().collect()
-    val total = docs
-      .select(sum(greatest(size(ws) - (n - 1), lit(0))).as("t"))
-      .head().getLong(0)
-    val top = grams.filter(col("gram").isInCollection(candidates.toSeq))
+    }.toDF("gram").distinct()
+    // recount via a broadcast hash semi-join on the candidate frame — the
+    // previous collect + isInCollection(...) baked up to capacity×partitions
+    // strings into ONE literal expression (driver collect + a multi-MB plan
+    // to serialize/codegen, guide §5 "the driver should do almost no data
+    // work"); a broadcast relation ships the same strings once, hashed.
+    val top = grams.join(broadcast(candidates), Seq("gram"), "left_semi")
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram")).limit(k)
       .localCheckpoint(eager = true) // k rows; pinned so the check is free
     val rows = top.collect()
-    val exactProven = rows.length == k &&
-      rows.map(_.getLong(1)).min > total.toDouble / (capacity + 1)
+    // the eager checkpoint ran the MG pass, so the accumulators are final
+    val total = totalAcc.value
+    // no partition ever decremented => every partition kept ALL its
+    // distinct grams => the candidate union is the complete distinct-gram
+    // set => the recount IS the exact aggregate, threshold or not
+    val exactProven = decrAcc.value == 0L || (rows.length == k &&
+      rows.map(_.getLong(1)).min > total.toDouble / (capacity + 1))
     if (exactProven) (top, true) else (ngramTopK(docs, n, k), false)
   }
 
@@ -315,7 +335,14 @@ object TextAnalysis {
     */
   def perplexityBuckets(docs: DataFrame,
       cuts: Option[(Double, Double)] = None): DataFrame = {
-    val scored = lmScore(docs)
+    // derive-cuts path: pin the scored frame once (doc-cardinality rows) —
+    // without it the whole lmScore DAG (normalize+explode+model join) runs
+    // TWICE, once for the cuts histogram and once for the returned frame
+    // (guide §1.2: don't compute things twice). Explicit-cuts callers keep
+    // the pure lazy plan.
+    val scored =
+      if (cuts.isEmpty) lmScore(docs).localCheckpoint(eager = true)
+      else lmScore(docs)
     val (cut1, cut2) = cuts.getOrElse(perplexityCuts(scored))
     scored.select(col("doc_id"), col("lm_score"),
       when(col("lm_score") >= cut1, "head")

@@ -690,11 +690,16 @@ object TextDedup {
   def incrementalNearDups(batch: DataFrame, history: DataFrame,
       threshold: Double, prebuiltIndex: Option[DataFrame] = None): DataFrame = {
     val histBands = prebuiltIndex.getOrElse(bandSigs(history))
+    // pinned: `cand` feeds BOTH the candIds broadcast and the verify joins
+    // below — unpinned, the batch-bands x index bucket join (the most
+    // expensive stage of the incremental path) evaluated twice. The pair
+    // set is batch-scale by contract, so materializing it is cheap.
     val cand = bandSigs(batch).as("x")
       .join(histBands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
       .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("dup_of"))
       .distinct()
+      .localCheckpoint(true)
     val shB = batch.select(col("doc_id").as("new_doc"),
       shinglesCol(col("text")).as("sh_a"))
     // explicit broadcast: the candidate id set is batch-scale by contract

@@ -35,10 +35,18 @@ object Anomaly {
     */
   def flagCells(cells: DataFrame, groupCol: String, nCol: String,
       k: Int = 3): DataFrame = {
-    val med = Percentiles.byGroup(cells, groupCol, nCol, Seq(0.5))
+    // pin the cell frame once: the rule consumes it FOUR times (median
+    // walk, dev join, MAD walk via dev, final join) and each consumption
+    // re-executed the upstream aggregation/serving subtree (guide §1.2).
+    // Cells are (groups × buckets)-bounded by this object's scale contract,
+    // so materializing them is constant-sized at any event volume.
+    val c = cells.localCheckpoint(true)
+    val med = Percentiles.byGroup(c, groupCol, nCol, Seq(0.5))
       .select(col(groupCol), col("p50").as("med"))
-    val dev = cells.join(broadcast(med), groupCol)
+    // dev is itself read twice (MAD walk + final join) — same argument
+    val dev = c.join(broadcast(med), groupCol)
       .withColumn("dev", abs(col(nCol) - col("med")))
+      .localCheckpoint(true)
     val mad = Percentiles.byGroup(dev, groupCol, "dev", Seq(0.5))
       .select(col(groupCol), col("p50").as("mad"))
     dev.join(broadcast(mad), groupCol)

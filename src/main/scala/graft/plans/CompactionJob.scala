@@ -23,11 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object CompactionJob {
 
-  private def summarize(df: DataFrame): Map[String, (Long, Long)] =
-    df.groupBy("sink")
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(col("doc_id"), col("tokens"))).as("sig"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  /** Order-independent row-set signature over sink-tagged rows: (count,
+    * bit_xor of xxhash64(sink, doc_id, tokens)). Including `sink` in the
+    * hash makes a row silently CHANGING sinks flip the global xor, so one
+    * (count, xor) pair carries the same per-sink-row-set guarantee the old
+    * per-sink map did — while being computable as a plain global aggregate
+    * (and hence as an [[org.apache.spark.sql.Observation]] riding the
+    * rewrite itself, guide §1.2: one pass, not two).
+    */
+  private def rowSetSig(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      bit_xor(xxhash64(col("sink"), col("doc_id"), col("tokens")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
 
   final case class Result(sinks: Int, rows: Long, filesBefore: Long, filesAfter: Long)
 
@@ -42,8 +50,8 @@ object CompactionJob {
     */
   private def verifiedSwap[S](fs: org.apache.hadoop.fs.FileSystem,
       staging: Path, outPath: Path)(write: String => Unit)(sig: String => S,
-      before: S): Unit = {
-    var verified = false
+      before: => S): Unit = { // by-name: the input signature may ride the
+    var verified = false      // write itself as an Observation
     try {
       write(staging.toString)
       val after = sig(staging.toString)
@@ -97,17 +105,34 @@ object CompactionJob {
       s".${outPath.getName}.compact-staging-${System.nanoTime()}")
 
     val in = spark.read.parquet(inDir)
-      .select("doc_id", "tokens", "n_tok", "source", "host", "source_id",
+      .select("doc_id", "tokens", "n_tok", "source", "host",
         "ts", "offset", "sink")
-    val before = summarize(in)
-    val rows = before.values.map(_._1).sum
+    // writer sizing from a column-less count (parquet footer row counts, no
+    // data pass); the input row-set signature rides the rewrite itself as
+    // an Observation — the previous shape read the full input TWICE (one
+    // summarize pass + the rewrite). The output side is still recomputed
+    // independently from the written files. A retried/replayed task would
+    // double-fold the observed signature: the gate then REFUSES (staging
+    // kept, no commit) — fail-safe, never a silent wrong commit.
+    val rows = spark.read.parquet(inDir).count()
     val parts = math.max(1, math.min(Int.MaxValue.toLong, (rows + targetRows - 1) / targetRows)).toInt
+    val obs = org.apache.spark.sql.Observation()
     verifiedSwap(fs, staging, outPath) { dst =>
-      in.repartition(parts, col("sink"), pmod(hash(col("doc_id")), lit(parts * 8)))
+      in.observe(obs, count(lit(1)).as("n"),
+          bit_xor(xxhash64(col("sink"), col("doc_id"), col("tokens"))).as("sig"))
+        .repartition(parts, col("sink"), pmod(hash(col("doc_id")), lit(parts * 8)))
         .sortWithinPartitions(col("sink"), col("ts"))
         .write.mode("overwrite").partitionBy("sink").parquet(dst)
-    }(dst => summarize(spark.read.parquet(dst)), before)
-    Result(before.size, rows, fileCount(spark, inDir), fileCount(spark, outDir))
+    }(dst => rowSetSig(spark.read.parquet(dst)), {
+      val m = obs.get
+      (m("n").asInstanceOf[Long],
+        m.get("sig").collect { case l: Long => l }.getOrElse(0L))
+    })
+    val sinks = {
+      val it = fs.listStatus(outPath)
+      it.count(s => s.isDirectory && s.getPath.getName.startsWith("sink="))
+    }
+    Result(sinks, rows, fileCount(spark, inDir), fileCount(spark, outDir))
   }
 
   /** Compact a [[graft.streaming.StreamingPipeline.histogramToSink]] delta
@@ -185,12 +210,23 @@ object CompactionJob {
         bit_xor(xxhash64(col("bucket_start"), col("sink"), col("n")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    val before = sig(served)
 
     val staging = new Path(outPath, s".histbase-staging-${System.nanoTime()}")
     var committed = false
+    var rowsBefore = 0L
     try {
-      served.write.mode("overwrite").parquet(staging.toString)
+      // the "before" signature rides the staging write as an Observation
+      // (CollectMetrics) instead of a separate full evaluation of the
+      // merge-on-read view — one pass, same gate: `after` is still
+      // recomputed independently from the written files
+      val obs = org.apache.spark.sql.Observation()
+      served.observe(obs, count(lit(1)).as("n"),
+          bit_xor(xxhash64(col("bucket_start"), col("sink"), col("n"))).as("sig"))
+        .write.mode("overwrite").parquet(staging.toString)
+      val m = obs.get
+      val before = (m("n").asInstanceOf[Long],
+        m.get("sig").collect { case l: Long => l }.getOrElse(0L))
+      rowsBefore = before._1
       val after = sig(spark.read.parquet(staging.toString))
       require(before == after,
         s"histogram compaction changed the served rows: before=$before after=$after")
@@ -211,7 +247,7 @@ object CompactionJob {
         if (!fs.exists(m)) fs.create(m, true).close()
       }
     } catch { case _: java.io.IOException => () }
-    Result(1, before._1, filesBefore, fileCount(spark, outDir))
+    Result(1, rowsBefore, filesBefore, fileCount(spark, outDir))
   }
 
   /** Compact the per-batch inverted-index dirs that streaming ingest

@@ -188,10 +188,14 @@ object LogPipeline {
     // Schema-on-read, like the reference ("fields are not stored",
     // SURVEY.md §1.2): persist only the payload + metadata. `raw` and
     // `fields` are pure functions of `tokens` and re-derived at search time —
-    // at 10^12 rows this halves the write volume of the fan-out.
+    // at 10^12 rows this halves the write volume of the fan-out. `source_id`
+    // is `source` by construction on every write path ([[parse]] defines it
+    // so), so it is NOT stored either — [[openSinks]] re-derives it; that's
+    // one string column off every shuffled and written row (guide §2.3
+    // narrower rows / §6 write volume).
     val persisted = enriched.select(
       col("doc_id"), col("tokens"), col("n_tok"), col("source"),
-      col("host"), col("source_id"), col("ts"), col("offset"), col("sink"))
+      col("host"), col("ts"), col("offset"), col("sink"))
     val parts = routeParts(persisted, numPartitions)
     val salted = persisted
       .withColumn("_salt", pmod(hash(col("doc_id")), lit(parts * 8)))
@@ -205,11 +209,13 @@ object LogPipeline {
   }
 
   /** Re-open a routed sink directory as the query layer's canonical event
-    * frame (raw re-rendered from tokens; fields re-extracted per query).
+    * frame (raw re-rendered from tokens; fields re-extracted per query;
+    * source_id re-derived — [[routeWrite]] stores neither).
     */
   def openSinks(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir)
       .withColumn("raw", F.tokens_to_text(col("tokens")))
+      .withColumn("source_id", col("source"))
 
   /** aggregate: per-sink counts + order-independent routed-row-set checksum
     * (count + bit_xor of xxhash64(doc_id, tokens) — verifies row-set AND

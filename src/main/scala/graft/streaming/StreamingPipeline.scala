@@ -110,8 +110,8 @@ object StreamingPipeline {
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n): Unit)
     val deduped = LogPipeline.enrichStatic(
         LogPipeline.parse(reader.parquet(inputDir)), configs)
-      .select("doc_id", "tokens", "n_tok", "source", "host", "source_id",
-        "ts", "offset")
+      .select("doc_id", "tokens", "n_tok", "source", "host",
+        "ts", "offset") // source_id never stored (see routeWrite)
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("host", "source", "ts", "offset")
     deduped.writeStream
@@ -183,8 +183,8 @@ object StreamingPipeline {
       saltBuckets: Int = 32): Long = {
     val parsed = LogPipeline.enrichStatic(
         LogPipeline.parse(spark.read.parquet(inputDir)), configs)
-      .select("doc_id", "tokens", "n_tok", "source", "host", "source_id",
-        "ts", "offset")
+      .select("doc_id", "tokens", "n_tok", "source", "host",
+        "ts", "offset") // source_id never stored (see routeWrite)
       // in-slice duplicates collapse first, mirroring the stream's
       // in-batch + stateful dedup on the same unique key
       .dropDuplicates("host", "source", "ts", "offset")
@@ -341,6 +341,19 @@ object StreamingPipeline {
       base: Option[(Long, String)], deltas: Seq[(Long, String)],
       keyCols: Seq[String], outCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // single-part store: exactly one base (a compacted snapshot) or exactly
+    // one delta — each is an aggregation output, so its keys are unique by
+    // construction and newest-wins is the identity. Skipping the window
+    // removes a full shuffle + sort of the cell table from the serving
+    // plan (guide §2.4 "remove shuffles outright"); the multi-part path
+    // below is unchanged.
+    (base, deltas) match {
+      case (Some((_, path)), Seq()) =>
+        return spark.read.parquet(path).select(outCols.map(col): _*)
+      case (None, Seq((_, path))) =>
+        return spark.read.parquet(path).select(outCols.map(col): _*)
+      case _ => ()
+    }
     val frames =
       base.map { case (id, path) =>
         spark.read.parquet(path).withColumn("delta", lit(id)) }.toSeq ++

@@ -223,7 +223,7 @@ class PlanSpec extends AnyFunSuite {
     SequenceGen.sequences(spark, 100, 2).write.mode("overwrite").parquet(in)
     val enriched = LogPipeline.run(spark, spark.read.parquet(in), SequenceGen.configs)
     val persisted = enriched.select(col("doc_id"), col("tokens"), col("n_tok"),
-      col("source"), col("host"), col("source_id"), col("ts"), col("offset"), col("sink"))
+      col("source"), col("host"), col("ts"), col("offset"), col("sink"))
     val plan = persisted.queryExecution.executedPlan.toString
     // ExtractEvent builds the full per-row fields map; the write path must
     // derive ts via ExtractTimeValue only, letting Catalyst prune the map
