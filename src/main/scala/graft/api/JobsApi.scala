@@ -144,6 +144,20 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None,
       r
     }
 
+    /** Driver-held page cache for SMALL results: when the whole result is
+      * at most [[JobsApi.LocalPageCacheMaxRows]] rows, the rendered wire
+      * JSON collects once and every page is an in-memory array slice —
+      * zero Spark jobs per page (the reference serves pages straight from
+      * its job-results table the same way). Bounded by the row threshold
+      * so a huge result keeps the executor-side partition-pruned path; the
+      * strings are the same [[wireJsonRdd]] output, so the wire bytes are
+      * identical either way.
+      */
+    private[JobsApi] lazy val wireJsonLocal: Option[Array[String]] =
+      if (partStarts.last <= JobsApi.LocalPageCacheMaxRows)
+        Some(wireJsonRdd.collect())
+      else None
+
     // memoized jobStats — the second stats call launches zero Spark jobs
     @volatile private[JobsApi] var statsCache: JobStats = null
 
@@ -444,18 +458,22 @@ class JobsApi(engine: QueryEngine, indexDir: Option[String] = None,
       val lo = skip.toLong
       val hi = lo + take
       if (take == 0 || lo >= starts.last) Array.empty[String]
-      else {
-        val touched = (0 until starts.length - 1)
-          .filter(i => starts(i) < hi && starts(i + 1) > lo).toArray
-        val touchedSet = touched.toSet
-        val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
-          job.wireJsonRdd, touchedSet.contains)
-        pruned.mapPartitionsWithIndex { (pi, it) =>
-          val orig = touched(pi)
-          val base = starts(orig)
-          it.slice((math.max(base, lo) - base).toInt,
-            (math.min(starts(orig + 1), hi) - base).toInt)
-        }.collect()
+      else job.wireJsonLocal match {
+        case Some(all) => // small result: in-memory slice, no Spark job
+          java.util.Arrays.copyOfRange(all, lo.toInt,
+            math.min(starts.last, hi).toInt)
+        case None =>
+          val touched = (0 until starts.length - 1)
+            .filter(i => starts(i) < hi && starts(i + 1) > lo).toArray
+          val touchedSet = touched.toSet
+          val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(
+            job.wireJsonRdd, touchedSet.contains)
+          pruned.mapPartitionsWithIndex { (pi, it) =>
+            val orig = touched(pi)
+            val base = starts(orig)
+            it.slice((math.max(base, lo) - base).toInt,
+              (math.min(starts(orig + 1), hi) - base).toInt)
+          }.collect()
       }
     }
   }
@@ -607,6 +625,14 @@ object JobsApi {
     * still splits across writers.
     */
   private[api] val StoreRowsPerFile = 1000000L
+
+  /** Row cap for the driver-held wire-JSON page cache (Job.wireJsonLocal):
+    * results at or under it serve every page as an array slice with zero
+    * Spark jobs; bigger results keep the executor-side partition-pruned
+    * path. ~200 B/row of JSON -> at most ~20 MB on the driver, the same
+    * order as one collected page burst under the old per-page path.
+    */
+  private[api] val LocalPageCacheMaxRows = 100000L
 
   /** Row timestamp normalization: Spark's java8 datetime API yields
     * LocalDateTime (TIMESTAMP_NTZ rows) but legacy configs yield
