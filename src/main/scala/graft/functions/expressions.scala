@@ -971,6 +971,16 @@ case class EventTime(
       hh < 0 || hh > 23 || mm < 0 || mm > 59 || ss < 0 || ss > 59 ||
       oh < 0 || om < 0 || om > 59) return null
     val year = yh * 100 + yl
+    // out-of-month days (e.g. 31/apr, 30/feb) fall back to the formatter:
+    // its SMART resolver CLAMPS them, and the fast path must not diverge
+    // from the pre-existing behavior on any input
+    val leap = year % 4 == 0 && (year % 100 != 0 || year % 400 == 0)
+    val dim = month match {
+      case 2 => if (leap) 29 else 28
+      case 4 | 6 | 9 | 11 => 30
+      case _ => 31
+    }
+    if (day > dim) return null
     // days-from-civil (Howard Hinnant's algorithm, public domain)
     val y = if (month <= 2) year - 1 else year
     val era = (if (y >= 0) y else y - 399) / 400

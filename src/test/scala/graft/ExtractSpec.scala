@@ -92,6 +92,33 @@ class ExtractSpec extends AnyFunSuite {
     assert(r.getString(0) == "2021-01-20 19:37:00.123456")
   }
 
+  test("event_time access-layout fast path matches the formatter semantics") {
+    // exercises EventTime.fastAccess (the fixed-width common-log parser):
+    // lowercase month (extraction lowercases raw), uppercase month
+    // (case-insensitive like the formatter), non-UTC offsets both signs,
+    // leap day, and an out-of-month day that must FALL BACK to the
+    // formatter (whose SMART resolver clamps 31/apr to 30/apr)
+    val cfgs = Seq(graft.model.SourceConfig("access-*.log", "access",
+      Seq(), "_time", "02/Jan/2006:15:04:05 -0700", "web-host", "web"))
+    val rows = Seq(
+      "20/jan/2021:19:37:00 +0000" -> "2021-01-20 19:37:00",
+      "20/JAN/2021:19:37:00 +0000" -> "2021-01-20 19:37:00",
+      "01/mar/2021:01:30:00 +0530" -> "2021-02-28 20:00:00",
+      "31/dec/2020:23:00:00 -0200" -> "2021-01-01 01:00:00",
+      "29/feb/2020:12:00:00 +0000" -> "2020-02-29 12:00:00",
+      "31/apr/2021:08:00:00 +0000" -> "2021-04-30 08:00:00")
+    rows.foreach { case (in, want) =>
+      val got = Seq((in, "access-0.log")).toDF("t", "source")
+        .select(F.event_time(col("t"), col("source"), cfgs).cast("string"))
+        .head().getString(0)
+      assert(got == want, s"$in -> $got, want $want")
+    }
+    // unparseable shapes stay null
+    val bad = Seq(("99/xxx/2021:00:00:00 +0000", "access-0.log")).toDF("t", "source")
+      .select(F.event_time(col("t"), col("source"), cfgs)).head()
+    assert(bad.isNullAt(0))
+  }
+
   test("compileFrag rules (Fragments.go:74-89)") {
     assert(F.compileFrag("abc") == "(?i)(^|\\W)abc($|\\W)")
     assert(F.compileFrag("ab*") == "(?i)(^|\\W)ab.*")
