@@ -346,7 +346,15 @@ object SparkEntry {
     "q_indexed_search" -> ((s, dir) => {
       val e = eng(s, dir)
       val idx = indexCache.computeIfAbsent(dir, _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft-ftidx-q").toString
+        // pid-tagged under the swept scratch base (same prefix family as
+        // the stream staging dirs): the old bare createTempDirectory in
+        // /tmp leaked an index copy per verify/bench process, invisible
+        // to Bench's liveness sweep (VERDICT r5 "what's wrong" #3)
+        val shm = new java.io.File("/dev/shm")
+        val base = if (shm.isDirectory && shm.canWrite) shm.toPath
+          else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+        val d = java.nio.file.Files.createTempDirectory(base,
+          s"graft-stream-q-${ProcessHandle.current().pid()}-").toString
         graft.plans.FullTextIndex.build(e.events, d)
         d
       })
@@ -474,7 +482,13 @@ object SparkEntry {
     // TextIngest.readLogFiles (glob -> wholetext -> delimiter split).
     "q_ingest_split" -> ((s, dir) => {
       val staged = ingestCache.computeIfAbsent(dir, _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft-ingest-q")
+        // swept scratch base, pid-tagged — same rationale as the ftidx dir
+        // above (this one leaked a staged text copy of the corpus)
+        val shmI = new java.io.File("/dev/shm")
+        val baseI = if (shmI.isDirectory && shmI.canWrite) shmI.toPath
+          else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+        val d = java.nio.file.Files.createTempDirectory(baseI,
+          s"graft-stream-q-${ProcessHandle.current().pid()}-")
         // Spark writes the staged files (no driver-side row collect): one
         // partition per source, rows in event order, then one file per
         // source=… partition dir. The driver only RENAMES the handful of
