@@ -634,8 +634,15 @@ object SparkEntry {
     // stream->delta->serve->aggregate lifecycle under the same batch twin
     // (day-splitting changes no total: counts sum, values stay distinct)
     "q_stream_fieldprofile" -> ((s, dir) =>
+      // staged 8-way (matching the harness's 8 stream shuffle partitions):
+      // the source parquet is one row group, so a 1-file staging made every
+      // micro-batch's parse+enrich+explode a ONE-task stage (guide §2 —
+      // the map side of the stateful agg was serialized; same fix as the
+      // q_stream_dedup shipments). Round-robin layout; every consumer
+      // aggregates, so row placement changes nothing.
       withStreamScratch(s, s"$dir#mixed")(d =>
-        EventsAdapter.mixedSequences(s, dir).write.mode("overwrite").parquet(d)) {
+        EventsAdapter.mixedSequences(s, dir).repartition(8)
+          .write.mode("overwrite").parquet(d)) {
         (tmp, ckpt, sink) =>
           graft.streaming.StreamingPipeline.fieldCellsToSink(
             s, tmp, sink, ckpt, EventsAdapter.mixedConfigs).awaitTermination()
@@ -786,8 +793,10 @@ object SparkEntry {
     // update-delta state; assembly over the SERVED cells is the current
     // template set — whole lifecycle under the batch mining twin
     "q_stream_templates" -> ((s, dir) =>
+      // 8-way staging: see q_stream_fieldprofile — cells/templates are
+      // layout-independent aggregates
       withStreamScratch(s, s"$dir#lines")(d =>
-        EventsAdapter.events(s, dir).select("source", "raw")
+        EventsAdapter.events(s, dir).select("source", "raw").repartition(8)
           .write.mode("overwrite").parquet(d)) { (tmp, ckpt, sink) =>
           graft.streaming.StreamingPipeline.templateCellsToSink(
             s, tmp, sink, ckpt).awaitTermination()
@@ -799,8 +808,12 @@ object SparkEntry {
     // state (ONE row/user) links pairs across batch/restart boundaries;
     // the served pair store aggregates to the same matrix as the batch op
     "q_stream_transitions" -> ((s, dir) =>
+      // 8-way staging: safe for the stateful op too — all files land in
+      // the single AvailableNow batch and flatMapGroupsWithState sorts
+      // each group by (ts, event_id) before pairing, so file layout
+      // cannot reorder transitions
       withStreamScratch(s, s"$dir#events")(d =>
-        s.read.parquet(s"$dir/events.parquet")
+        s.read.parquet(s"$dir/events.parquet").repartition(8)
           .write.mode("overwrite").parquet(d)) { (tmp, ckpt, sink) =>
           graft.streaming.StreamingPipeline.transitionsToSink(
             s, tmp, sink, ckpt).awaitTermination()
@@ -884,8 +897,11 @@ object SparkEntry {
     // available and the stateful shuffle is narrowed — the windowed-agg
     // state is tiny, so 32 state-store partitions were pure fixed overhead.
     "q_stream_histogram" -> ((s, dir) =>
+      // 8-way staging: see q_stream_fieldprofile (histogram + anomaly
+      // share this corpus; both aggregate, so layout changes nothing)
       withStreamScratch(s, dir)(d =>
-        EventsAdapter.sequences(s, dir).write.mode("overwrite").parquet(d)) {
+        EventsAdapter.sequences(s, dir).repartition(8)
+          .write.mode("overwrite").parquet(d)) {
         (tmp, ckpt, sink) =>
           graft.streaming.StreamingPipeline.histogramToSink(
             s, tmp, sink, ckpt, EventsAdapter.configs).awaitTermination()
