@@ -626,8 +626,18 @@ object SparkEntry {
     // (source, key) events carried / distinct values / numeric-shaped —
     // the field-discovery admin panel; wire crosses distinct value CELLS
     "q_field_profile" -> ((s, dir) =>
+      // the source parquet is ONE row group, so the scan is a single task
+      // and the heavy map side (three-way parse + fields explode) ran
+      // near-single-threaded; a doc_id hash redistribution right after the
+      // cheap derivation restores the pre-split shape a real corpus has
+      // (guide §2.5 input skew — measured 1.44 -> 0.92 s; the lighter
+      // kv-only engine queries do NOT win from this, measured, so the
+      // spread stays local to this query). On a pre-split corpus the
+      // exchange is ~free relative to the parse it balances.
       graft.plans.LogPipeline.fieldProfile(graft.plans.LogPipeline.run(
-        s, EventsAdapter.mixedSequences(s, dir), EventsAdapter.mixedConfigs))),
+        s, EventsAdapter.mixedSequences(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        EventsAdapter.mixedConfigs))),
     // the LIVE face of the field profile: the stream maintains
     // (day, source, key, value) cells through the update-delta sink, and
     // the profile aggregates the SERVED cells — whole
@@ -1254,7 +1264,13 @@ object SparkEntry {
     // wildcard params, reconstructing the line exactly; MAP-ONLY after the
     // template-dictionary broadcast (params slice the line's own array)
     "q_template_assign" -> ((s, dir) =>
-      graft.plans.LogTemplates.assign(EventsAdapter.events(s, dir))),
+      // single-row-group input -> one-task map side; the assign probe
+      // (tokenize + template join per event) is heavy enough that a
+      // doc_id redistribution wins (measured 1.05 -> 0.76 s; the
+      // lighter template/pipeline maps do NOT win, measured, and stay
+      // unspread). See q_field_profile for the full rationale.
+      graft.plans.LogTemplates.assign(EventsAdapter.events(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")))),
     // interval containment join: windows explode into covered days, events
     // equi-join on (type, day) + exact [start,end) filter — never a
     // nested-loop range join; the twin IS the native range predicate
