@@ -105,6 +105,38 @@ object StreamProfile {
       Seq("stream" -> t1, "serve" -> t2)
     }
 
+    // staged double-shipment corpus for the dedup cycle (same shape as the
+    // bench harness: 2 shipments x 4 files, 60 s apart in mtime so the
+    // file source delivers them as two distinct micro-batches)
+    val stagedDedup = {
+      val d = java.nio.file.Files.createTempDirectory(base,
+        s"graft-ckpt-${ProcessHandle.current().pid()}-")
+      val seq = EventsAdapter.sequences(spark, sfDir).repartition(4)
+      seq.write.mode("overwrite").parquet(s"$d/copy1")
+      seq.write.mode("overwrite").parquet(s"$d/copy2")
+      val inDir = java.nio.file.Files.createDirectory(d.resolve("in"))
+      Seq("copy1", "copy2").zipWithIndex.foreach { case (c, i) =>
+        new java.io.File(s"$d/$c").listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (part, j) =>
+            val dst = inDir.resolve(s"ship-$i-$j.parquet")
+            java.nio.file.Files.copy(part.toPath, dst): Unit
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L)): Unit
+          }
+      }
+      inDir.toString
+    }
+
+    cycle("stream_dedup") { (ckpt, sink) =>
+      val (t1, _) = time(drainProgress(graft.streaming.StreamingPipeline.ingestDedup(
+        spark, stagedDedup, sink, ckpt, EventsAdapter.configs,
+        horizon = "10 days", saltBuckets = 8, maxFilesPerTrigger = Some(4))))
+      val (t2, _) = time(spark.read.parquet(sink).select(col("doc_id"))
+        .localCheckpoint(eager = true).count())
+      Seq("stream" -> t1, "serve" -> t2)
+    }
+
     cycle("stream_templates") { (ckpt, sink) =>
       val (t1, _) = time(drainProgress(graft.streaming.StreamingPipeline.templateCellsToSink(
         spark, stagedLines, sink, ckpt)))
