@@ -49,15 +49,17 @@ class ApiSpec extends AnyFunSuite {
 
   test("JobsApi routes fragment searches through an attached index (FTS parity)") {
     val e = EventsAdapter.engine(spark, dir)
-    val idx = Files.createTempDirectory("graft-api-idx").toString
-    graft.plans.FullTextIndex.build(e.events, idx)
-    val indexed = new JobsApi(e, Some(idx))
-    val scan = new JobsApi(e)
-    assert(indexed.jobStats(indexed.startJob("error").id).numMatchedEvents ==
-      scan.jobStats(scan.startJob("error").id).numMatchedEvents)
-    // non-indexable shape (wildcard fragment) falls back to the scan path
-    assert(indexed.jobStats(indexed.startJob("eventtype=p*").id).numMatchedEvents ==
-      scan.jobStats(scan.startJob("eventtype=p*").id).numMatchedEvents)
+    val idx = TestDirs.tmp("graft-api-idx").toString
+    try {
+      graft.plans.FullTextIndex.build(e.events, idx)
+      val indexed = new JobsApi(e, Some(idx))
+      val scan = new JobsApi(e)
+      assert(indexed.jobStats(indexed.startJob("error").id).numMatchedEvents ==
+        scan.jobStats(scan.startJob("error").id).numMatchedEvents)
+      // non-indexable shape (wildcard fragment) falls back to the scan path
+      assert(indexed.jobStats(indexed.startJob("eventtype=p*").id).numMatchedEvents ==
+        scan.jobStats(scan.startJob("eventtype=p*").id).numMatchedEvents)
+    } finally graft.util.Dirs.deleteRecursively(new java.io.File(idx))
   }
 
   test("unknown job ids get a typed not-found, never an NPE (Web.go:192-257 404s)") {
@@ -227,7 +229,7 @@ class ApiSpec extends AnyFunSuite {
     val origStats = api.jobStats(job.id)
     val origFs = api.jobFieldStats(job.id, "userid").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val store = Files.createTempDirectory("graft-jobstore").toString
+    val store = TestDirs.tmp("graft-jobstore").toString
     api.exportJob(job.id, store)
     // a small result must land as ONE part file per store, not one per
     // cached partition (tiny-file debt at every export otherwise)
@@ -340,7 +342,7 @@ class ApiSpec extends AnyFunSuite {
   }
 
   test("text-file ingestion end-to-end: file -> events -> search") {
-    val tmp = Files.createTempDirectory("graft-logs")
+    val tmp = TestDirs.tmp("graft-logs")
     Files.writeString(tmp.resolve("my-log.txt"),
       "2021/01/20 19:37:00.000000 Starting Web GUI\n" +
         "2021/01/20 19:37:01.000000 Reticulated numSplines=423 for userId=7120\n")
@@ -356,9 +358,9 @@ class ApiSpec extends AnyFunSuite {
   }
 
   test("retention over routed sinks: old dropped, straddling rewritten, new kept") {
-    val in = Files.createTempDirectory("graft-ret-in").toString
+    val in = TestDirs.tmp("graft-ret-in").toString
     SequenceGen.sequences(spark, 2000, 4).write.mode("overwrite").parquet(in)
-    val out = Files.createTempDirectory("graft-ret-out").toString
+    val out = TestDirs.tmp("graft-ret-out").toString
     val job = new RouteJob(spark, out, batches = 4)
     job.run(in, SequenceGen.configs)
     val all = job.routed()
@@ -378,9 +380,9 @@ class ApiSpec extends AnyFunSuite {
   }
 
   test("query layer over routed sinks (the user's end-to-end path)") {
-    val in = Files.createTempDirectory("graft-qsink-in").toString
+    val in = TestDirs.tmp("graft-qsink-in").toString
     SequenceGen.sequences(spark, 1500, 4).write.mode("overwrite").parquet(in)
-    val out = Files.createTempDirectory("graft-qsink-out").toString
+    val out = TestDirs.tmp("graft-qsink-out").toString
     new RouteJob(spark, out, batches = 2).run(in, SequenceGen.configs)
     val sinks = LogPipeline.openSinks(spark, out)
     val engine = new QueryEngine(sinks, SequenceGen.configs)

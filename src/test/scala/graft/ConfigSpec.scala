@@ -63,13 +63,13 @@ class ConfigSpec extends AnyFunSuite {
   }
 
   test("per-fileType eventDelimiter drives the text split end-to-end (JsonConverter.go:50-55)") {
-    val dir = Files.createTempDirectory("graft-delim-in").toString
-    val out = Files.createTempDirectory("graft-delim-out").toString
+    val dir = TestDirs.tmp("graft-delim-in").toString
+    val out = TestDirs.tmp("graft-delim-out").toString
     // three events, semicolon-delimited, no trailing delimiter (the
     // remainder becomes the final event at batch EOF)
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "semi-0.log"),
       "first event a=1;second event a=2;third event a=3".getBytes("UTF-8"))
-    val cfgPath = Files.createTempDirectory("graft-delim-cfg").resolve("logsuck.json")
+    val cfgPath = TestDirs.tmp("graft-delim-cfg").resolve("logsuck.json")
     java.nio.file.Files.write(cfgPath,
       """{ "files": [ { "fileName": "semi-*.log", "fileTypes": ["semi"] } ],
         |  "fileTypes": [ { "name": "semi",
@@ -90,10 +90,10 @@ class ConfigSpec extends AnyFunSuite {
 
   test("streaming config hot-reload: an edited config file takes effect at the next micro-batch") {
     import org.apache.spark.sql.functions.col
-    val streamIn = Files.createTempDirectory("graft-hotcfg-in").toString
-    val out = Files.createTempDirectory("graft-hotcfg-out").toString
-    val ckpt = Files.createTempDirectory("graft-hotcfg-ckpt").toString
-    val cfgPath = Files.createTempDirectory("graft-hotcfg-cfg").resolve("logsuck.json")
+    val streamIn = TestDirs.tmp("graft-hotcfg-in").toString
+    val out = TestDirs.tmp("graft-hotcfg-out").toString
+    val ckpt = TestDirs.tmp("graft-hotcfg-ckpt").toString
+    val cfgPath = TestDirs.tmp("graft-hotcfg-cfg").resolve("logsuck.json")
     def writeCfg(host: String): Unit = java.nio.file.Files.write(cfgPath,
       s"""{ "host": {"name": "$host"}, "files": [ { "fileName": "log-*.txt" } ] }""".getBytes("UTF-8"))
     def kvOnly(n: Long, lo: Long) = graft.data.SequenceGen.sequences(spark, n, 2)
@@ -122,12 +122,12 @@ class ConfigSpec extends AnyFunSuite {
 
   test("CLI batch route + query over a reference-format config") {
     // stage raw log files matching a config, run the Main body end-to-end
-    val dir = Files.createTempDirectory("graft-cli-in").toString
-    val out = Files.createTempDirectory("graft-cli-out").toString
+    val dir = TestDirs.tmp("graft-cli-in").toString
+    val out = TestDirs.tmp("graft-cli-out").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "log-0.txt"),
       ("2021/01/20 19:37:00.000000 doing eventType=error userId=7\n" +
         "2021/01/20 19:38:00.000000 doing eventType=view userId=8\n").getBytes("UTF-8"))
-    val cfgPath = Files.createTempDirectory("graft-cli-cfg").resolve("logsuck.json")
+    val cfgPath = TestDirs.tmp("graft-cli-cfg").resolve("logsuck.json")
     java.nio.file.Files.write(cfgPath,
       """{ "host": {"name": "h1"}, "files": [ { "fileName": "log-*.txt" } ] }""".getBytes("UTF-8"))
     Main.run(spark, Map(
@@ -143,8 +143,8 @@ class ConfigSpec extends AnyFunSuite {
 
   test("CLI --curate runs the funnel over a crawl parquet and writes survivors") {
     import org.apache.spark.sql.functions.col
-    val crawlDir = java.nio.file.Files.createTempDirectory("graft-curate-in").toString
-    val out = java.nio.file.Files.createTempDirectory("graft-curate-out").toString + "/ids"
+    val crawlDir = TestDirs.tmp("graft-curate-in").toString
+    val out = TestDirs.tmp("graft-curate-out").toString + "/ids"
     val crawl = graft.sources.DocsAdapter.funnelDocs(spark, "/root/testdata/sf0.001")
     crawl.write.mode("overwrite").parquet(crawlDir)
     Main.run(spark, Map("curate" -> "true", "out" -> out), crawlDir)
@@ -163,8 +163,8 @@ class ConfigSpec extends AnyFunSuite {
 
   test("multi-line stack traces reassemble into one event via a lookahead delimiter") {
     import org.apache.spark.sql.functions.col
-    val dir = java.nio.file.Files.createTempDirectory("graft-trace-in").toString
-    val out = java.nio.file.Files.createTempDirectory("graft-trace-out").toString + "/routed"
+    val dir = TestDirs.tmp("graft-trace-in").toString
+    val out = TestDirs.tmp("graft-trace-out").toString + "/routed"
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "app-0.log"),
       ("2024/01/01 00:00:01.000000 request ok userId=1\n" +
         "2024/01/01 00:00:02.000000 ERROR boom userId=2\n" +
@@ -173,7 +173,7 @@ class ConfigSpec extends AnyFunSuite {
         "2024/01/01 00:00:03.000000 request ok userId=3\n").getBytes("UTF-8"))
     // a new event starts only where a newline is FOLLOWED BY a timestamp —
     // continuation lines (the trace) stay inside the ERROR event
-    val cfgPath = java.nio.file.Files.createTempDirectory("graft-trace-cfg")
+    val cfgPath = TestDirs.tmp("graft-trace-cfg")
       .resolve("logsuck.json")
     java.nio.file.Files.write(cfgPath,
       """{ "files": [ { "fileName": "app-*.log", "fileTypes": ["app"] } ],
@@ -201,8 +201,8 @@ class ConfigSpec extends AnyFunSuite {
 
   test("--prepare CLI: BPE-encode + pack conserve tokens under the cap") {
     import org.apache.spark.sql.functions.col
-    val in = java.nio.file.Files.createTempDirectory("graft-prep-in").toString
-    val out = java.nio.file.Files.createTempDirectory("graft-prep-out").toString + "/packed"
+    val in = TestDirs.tmp("graft-prep-in").toString
+    val out = TestDirs.tmp("graft-prep-out").toString + "/packed"
     graft.sources.DocsAdapter.docs(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text").write.mode("overwrite").parquet(in)
     Main.run(spark, Map("prepare" -> "true", "out" -> out,
@@ -223,7 +223,7 @@ class ConfigSpec extends AnyFunSuite {
   }
 
   test("--profile CLI prints the field-discovery table for raw log input") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-profile-in").toString
+    val dir = TestDirs.tmp("graft-profile-in").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "log-0.txt"),
       ("2024/01/01 00:00:00.000000 hello a=1 b=foo\n" +
         "2024/01/01 00:00:01.000000 hello a=2 b=foo\n").getBytes("UTF-8"))

@@ -149,7 +149,7 @@ class MlSpec extends AnyFunSuite {
   test("artifact store location is threadable: explicit dir round-trips across 'processes'") {
     // at 100 TB artifacts live NEXT TO THE DATA, not in /tmp — the base dir
     // must thread through (CLI --artifact-dir / env / setter)
-    val base = java.nio.file.Files.createTempDirectory("graft-artifacts").toString
+    val base = TestDirs.tmp("graft-artifacts").toString
     val saved = SparkEntry.artifactBaseDirOverride
     try {
       SparkEntry.artifactBaseDirOverride = Some(base)
@@ -170,23 +170,26 @@ class MlSpec extends AnyFunSuite {
     } finally {
       SparkEntry.artifactBaseDirOverride = saved
       SparkEntry.clearIvfMemoryCache() // drop entries keyed under the temp base
+      graft.util.Dirs.deleteRecursively(new java.io.File(base))
     }
   }
 
   test("IVF quantizer artifact round-trips and serves identical results") {
     val emb = DocsAdapter.embeddings(spark, dir)
     val cents = Similarity.ivfCentroids(emb, 8)
-    val path = java.nio.file.Files.createTempDirectory("graft-ivf")
-      .resolve("centroids.txt").toString
-    Similarity.saveCentroids(spark, path, cents)
-    val loaded = Similarity.loadCentroids(spark, path)
-    assert(loaded.length == cents.length)
-    assert(loaded.zip(cents).forall { case (a, b) => a.sameElements(b) },
-      "Float.toString round-trip must be exact")
-    def sorted(df: org.apache.spark.sql.DataFrame) =
-      df.collect().sortBy(r => (r.getLong(0), r.getInt(1))).toSeq
-    assert(sorted(Similarity.ivfTopK(emb, 3, 5, nCells = 8, centroids = Some(loaded))) ==
-      sorted(Similarity.ivfTopK(emb, 3, 5, nCells = 8)))
+    val ivfDir = TestDirs.tmp("graft-ivf")
+    try {
+      val path = ivfDir.resolve("centroids.txt").toString
+      Similarity.saveCentroids(spark, path, cents)
+      val loaded = Similarity.loadCentroids(spark, path)
+      assert(loaded.length == cents.length)
+      assert(loaded.zip(cents).forall { case (a, b) => a.sameElements(b) },
+        "Float.toString round-trip must be exact")
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.collect().sortBy(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(sorted(Similarity.ivfTopK(emb, 3, 5, nCells = 8, centroids = Some(loaded))) ==
+        sorted(Similarity.ivfTopK(emb, 3, 5, nCells = 8)))
+    } finally graft.util.Dirs.deleteRecursively(ivfDir.toFile)
   }
 
   test("IVF cell assignment is a pure projection (no shuffle in the index build)") {
@@ -617,7 +620,7 @@ class MlSpec extends AnyFunSuite {
   test("PQ codebooks round-trip the store; fresh process serves from the artifact") {
     val emb = DocsAdapter.embeddings(spark, dir)
     val books = Similarity.pqCodebooks(emb, m = 8, kCodes = 16)
-    val path = java.nio.file.Files.createTempDirectory("graft-pq")
+    val path = TestDirs.tmp("graft-pq")
       .resolve("books.txt").toString
     Similarity.savePqBooks(spark, path, books)
     val loaded = Similarity.loadPqBooks(spark, path)
@@ -1053,7 +1056,7 @@ class MlSpec extends AnyFunSuite {
     val inc = Seq((10L, "alpha beta gamma"), (12L, "totally new words here"))
       .toDF("doc_id", "text")
     val bloom = TextDedup.buildHistoryBloom(hist, 16)
-    val path = java.nio.file.Files.createTempDirectory("graft-bloom")
+    val path = TestDirs.tmp("graft-bloom")
       .resolve("hist.bloom").toString
     TextDedup.saveBloom(spark, path, bloom)
     val loaded = TextDedup.loadBloom(spark, path)

@@ -19,7 +19,7 @@ class PipelineSpec extends AnyFunSuite {
   private val N = 3000L
 
   private lazy val inputDir: String = {
-    val dir = Files.createTempDirectory("graft-seq").toString
+    val dir = TestDirs.tmp("graft-seq").toString
     SequenceGen.sequences(spark, N, 6).write.mode("overwrite").parquet(dir)
     dir
   }
@@ -36,7 +36,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("route: per-sink counts match the oracle exactly") {
-    val out = Files.createTempDirectory("graft-route").toString
+    val out = TestDirs.tmp("graft-route").toString
     val job = new RouteJob(spark, out, batches = 4)
     val lineage = job.run(inputDir, SequenceGen.configs)
     assert(lineage.map(_.rows).sum == N)
@@ -50,7 +50,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("route: time-travel read at a lineage snapshot id") {
-    val out = Files.createTempDirectory("graft-route-tt").toString
+    val out = TestDirs.tmp("graft-route-tt").toString
     val job = new RouteJob(spark, out, batches = 4)
     val lineage = job.run(inputDir, SequenceGen.configs)
     // a reader pinned at snapshot 1 sees EXACTLY batches 0-1's manifested
@@ -69,7 +69,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("route: per-row token-array equality (the invariant)") {
-    val out = Files.createTempDirectory("graft-route2").toString
+    val out = TestDirs.tmp("graft-route2").toString
     val job = new RouteJob(spark, out, batches = 3)
     job.run(inputDir, SequenceGen.configs)
     val in = spark.read.parquet(inputDir).select("doc_id", "tokens")
@@ -108,7 +108,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("kill mid-run, resume completes without reprocessing (lineage)") {
-    val out = Files.createTempDirectory("graft-resume").toString
+    val out = TestDirs.tmp("graft-resume").toString
     val job = new RouteJob(spark, out, batches = 5)
     intercept[job.SimulatedKill] {
       job.run(inputDir, SequenceGen.configs, failAfter = 2)
@@ -130,7 +130,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("route output partitions by sink (pruned reads) and spreads skew") {
-    val out = Files.createTempDirectory("graft-skew").toString
+    val out = TestDirs.tmp("graft-skew").toString
     val job = new RouteJob(spark, out, batches = 2, saltBuckets = 8)
     job.run(inputDir, SequenceGen.configs)
     // pruned read: only the hot sink's directory is touched
@@ -152,9 +152,9 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("streaming ingest: same sink counts; restart processes only new files") {
-    val streamIn = Files.createTempDirectory("graft-stream-in").toString
-    val streamOut = Files.createTempDirectory("graft-stream-out").toString
-    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val streamIn = TestDirs.tmp("graft-stream-in").toString
+    val streamOut = TestDirs.tmp("graft-stream-out").toString
+    val ckpt = TestDirs.tmp("graft-ckpt").toString
     SequenceGen.sequences(spark, 1000, 2).write.mode("overwrite").parquet(streamIn)
 
     val q1 = graft.streaming.StreamingPipeline.ingest(
@@ -174,9 +174,9 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("streaming ingest dedup drops re-shipped rows across batches via checkpointed state") {
-    val in = Files.createTempDirectory("graft-sdedup-in").toString
-    val out = Files.createTempDirectory("graft-sdedup-out").toString
-    val ckpt = Files.createTempDirectory("graft-sdedup-ckpt").toString
+    val in = TestDirs.tmp("graft-sdedup-in").toString
+    val out = TestDirs.tmp("graft-sdedup-out").toString
+    val ckpt = TestDirs.tmp("graft-sdedup-ckpt").toString
     SequenceGen.sequences(spark, 1000, 2).write.mode("overwrite").parquet(in)
     graft.streaming.StreamingPipeline.ingestDedup(
       spark, in, out, ckpt, SequenceGen.configs, horizon = "2 days")
@@ -214,9 +214,9 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("watermark loss window: beyond-horizon NEW events drop in-stream, reconcileLate repairs them exactly once") {
-    val in = Files.createTempDirectory("graft-late-in").toString
-    val out = Files.createTempDirectory("graft-late-out").toString
-    val ckpt = Files.createTempDirectory("graft-late-ckpt").toString
+    val in = TestDirs.tmp("graft-late-in").toString
+    val out = TestDirs.tmp("graft-late-out").toString
+    val ckpt = TestDirs.tmp("graft-late-ckpt").toString
     // batch 1: rows 0..999 span ~20.6 min of event time; horizon 5 min
     // leaves the watermark ~15.6 min into the range
     SequenceGen.sequences(spark, 1000, 2).write.mode("overwrite").parquet(in)
@@ -259,7 +259,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("streaming route replay is idempotent (same batch id overwrites)") {
-    val out = Files.createTempDirectory("graft-replay").toString
+    val out = TestDirs.tmp("graft-replay").toString
     val enriched = LogPipeline.run(spark,
       SequenceGen.sequences(spark, 500, 2), SequenceGen.configs)
     LogPipeline.routeWrite(enriched, s"$out/batch=7", 4)
@@ -269,10 +269,10 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("compaction: fewer files, identical per-sink row sets (signature-gated)") {
-    val streamIn = Files.createTempDirectory("graft-cmp-in").toString
-    val routed = Files.createTempDirectory("graft-cmp-routed").toString
-    val ckpt = Files.createTempDirectory("graft-cmp-ckpt").toString
-    val compacted = Files.createTempDirectory("graft-cmp-out").toString
+    val streamIn = TestDirs.tmp("graft-cmp-in").toString
+    val routed = TestDirs.tmp("graft-cmp-routed").toString
+    val ckpt = TestDirs.tmp("graft-cmp-ckpt").toString
+    val compacted = TestDirs.tmp("graft-cmp-out").toString
     // two streaming batches -> many small per-batch files
     SequenceGen.sequences(spark, 1000, 2).write.mode("overwrite").parquet(streamIn)
     graft.streaming.StreamingPipeline.ingest(
@@ -293,9 +293,9 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("histogram file-sink serving: batch parity across restarts, state evicts past the watermark") {
-    val streamIn = Files.createTempDirectory("graft-hsink-in").toString
-    val sink = Files.createTempDirectory("graft-hsink-out").toString
-    val ckpt = Files.createTempDirectory("graft-hsink-ckpt").toString
+    val streamIn = TestDirs.tmp("graft-hsink-in").toString
+    val sink = TestDirs.tmp("graft-hsink-out").toString
+    val ckpt = TestDirs.tmp("graft-hsink-ckpt").toString
     // the generator's json layout runs its own clock at 13 s/id (vs
     // 1.23 s/id for kv/access), which would put the watermark hours past
     // anything a later slice can reach — keep the corpus on ONE clock so
@@ -386,7 +386,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("streaming histogram with watermark matches batch histogram") {
-    val streamIn = Files.createTempDirectory("graft-hist-in").toString
+    val streamIn = TestDirs.tmp("graft-hist-in").toString
     SequenceGen.sequences(spark, 800, 2).write.mode("overwrite").parquet(streamIn)
     val q = graft.streaming.StreamingPipeline.histogram(
       spark, streamIn, SequenceGen.configs, "hist_test")
@@ -430,7 +430,7 @@ class PipelineSpec extends AnyFunSuite {
     def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
     // two files an hour apart -> two micro-batches: the second batch's
     // watermark (delay 0 = max seen ts) closes every epoch-A session
-    val dir = Files.createTempDirectory("graft-sess-in")
+    val dir = TestDirs.tmp("graft-sess-in")
     val epochA = Seq(
       (1L, t("2024-01-01T00:00:00Z")), (1L, t("2024-01-01T00:00:08Z")),
       (1L, t("2024-01-01T00:01:00Z")), (2L, t("2024-01-01T00:00:30Z")))
@@ -443,7 +443,7 @@ class PipelineSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
       .withWatermark("ts", "0 seconds")
-    val ckpt = Files.createTempDirectory("graft-sess-ckpt")
+    val ckpt = TestDirs.tmp("graft-sess-ckpt")
     val q = graft.plans.Sessionize.sessions(stream, 10)
       .writeStream.outputMode("append").format("memory")
       .queryName("sess_stream_test")
@@ -481,9 +481,9 @@ class PipelineSpec extends AnyFunSuite {
       rows.toDF("event_id", "ts", "user_id", "event_type")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           lit(0.0).as("value"), lit("{}").as("props"))
-    val in = java.nio.file.Files.createTempDirectory("graft-trans-in").toString
-    val sink = java.nio.file.Files.createTempDirectory("graft-trans-sink").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-trans-ckpt").toString
+    val in = TestDirs.tmp("graft-trans-in").toString
+    val sink = TestDirs.tmp("graft-trans-sink").toString
+    val ckpt = TestDirs.tmp("graft-trans-ckpt").toString
     df(a).write.mode("append").parquet(in)
     graft.streaming.StreamingPipeline.transitionsToSink(spark, in, sink, ckpt)
       .awaitTermination()
@@ -505,9 +505,9 @@ class PipelineSpec extends AnyFunSuite {
 
   test("streaming template mining: drift alerts fall out of diffing serve points") {
     import spark.implicits._
-    val in = java.nio.file.Files.createTempDirectory("graft-tpl-in").toString
-    val sink = java.nio.file.Files.createTempDirectory("graft-tpl-sink").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-tpl-ckpt").toString
+    val in = TestDirs.tmp("graft-tpl-in").toString
+    val sink = TestDirs.tmp("graft-tpl-sink").toString
+    val ckpt = TestDirs.tmp("graft-tpl-ckpt").toString
     def lines(rows: Seq[(String, String)]) = rows.toDF("source", "raw")
     // epoch A: one stable template (user varies -> wildcard at pos 2)
     lines(Seq(("app", "request user 1 done"), ("app", "request user 2 done")))

@@ -72,9 +72,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("routed-sink query prunes sink partitions") {
-    val in = Files.createTempDirectory("graft-plan-in").toString
+    val in = TestDirs.tmp("graft-plan-in").toString
     SequenceGen.sequences(spark, 800, 2).write.mode("overwrite").parquet(in)
-    val out = Files.createTempDirectory("graft-plan-out").toString
+    val out = TestDirs.tmp("graft-plan-out").toString
     new RouteJob(spark, out, batches = 2).run(in, SequenceGen.configs)
     val sinks = LogPipeline.openSinks(spark, out)
     val plan = sinks.filter(col("sink") === "log-0_txt")
@@ -219,7 +219,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("route write projection prunes the fields map (ts comes from time-only extraction)") {
-    val in = Files.createTempDirectory("plan-route-in").toString
+    val in = TestDirs.tmp("plan-route-in").toString
     SequenceGen.sequences(spark, 100, 2).write.mode("overwrite").parquet(in)
     val enriched = LogPipeline.run(spark, spark.read.parquet(in), SequenceGen.configs)
     val persisted = enriched.select(col("doc_id"), col("tokens"), col("n_tok"),
@@ -240,7 +240,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("bucketed store: groupBy and self-join on the bucket key plan with ZERO exchanges") {
     val events = spark.read.parquet(s"$dir/events.parquet")
-    val d = Files.createTempDirectory("graft-bucket-plan").toString
+    val d = TestDirs.tmp("graft-bucket-plan").toString
     graft.plans.BucketedStore.writeBucketed(events, "events_bucketed_plan",
       s"$d/tbl", buckets = 4)
     // the repeated-analytics query: agg on the bucket key — the bucketed

@@ -16,3 +16,22 @@ object TestSpark {
     s
   }
 }
+
+/** Test scratch dirs that do not outlive the test JVM: every suite's
+  * temp dirs hang off ONE per-process root that a shutdown hook deletes.
+  * Before this, each `sbt test` run left ~50 MB of graft-* dirs in /tmp
+  * forever (the bench's sweeper only knows the handful of pid-tagged
+  * production prefixes) — repeated CI/driver cycles grew /tmp without
+  * bound. Same drop-in shape as `Files.createTempDirectory(prefix)`.
+  */
+object TestDirs {
+  private lazy val root: java.nio.file.Path = {
+    val r = java.nio.file.Files.createTempDirectory(
+      s"graft-test-${ProcessHandle.current().pid()}-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.util.Dirs.deleteRecursively(r.toFile)))
+    r
+  }
+  def tmp(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(root, prefix)
+}
